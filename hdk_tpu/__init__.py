@@ -1,0 +1,263 @@
+"""hdk_tpu — a TPU-native vectorized query-execution engine.
+
+A from-scratch rebuild of intel/HDK's capabilities (reference mounted at
+/root/reference) designed for TPUs: columnar tables live as device
+arrays, relational operators are JAX-traced XLA programs (with Pallas
+kernels for the non-XLA-friendly cores), and multi-chip scaling uses
+jax.sharding meshes + collectives instead of the reference's
+threads/GPUs (see SURVEY.md).
+
+Primary API mirrors pyhdk (python/pyhdk/hdk.py):
+
+    import hdk_tpu
+    hdk = hdk_tpu.init()
+    ht = hdk.import_pydict({"a": [1, 2, 1], "b": [10., 20., 30.]}, name="t")
+    res = ht.agg("a", "sum(b)").run()
+    res.to_arrow()
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Sequence
+
+import jax
+
+# The engine needs 64-bit integer/double columns (aggregate accumulators,
+# epoch timestamps, decimal int64).  TPU handles s64 via 2x s32 emulation;
+# hot kernels downcast internally where safe.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from . import types  # noqa: E402
+from .builder import QueryExpr, QueryNode, if_then_else  # noqa: E402
+from .config import Config, build_config  # noqa: E402
+from .ir import expr as _ir_expr  # noqa: E402
+from .ir import node as _ir_node  # noqa: E402
+from .exec.executor import ExecTable, Executor  # noqa: E402
+from .exec import materialize as _mat  # noqa: E402
+from .storage.dictionary import DictionaryRegistry  # noqa: E402
+from .storage import importers as _imp  # noqa: E402
+from .storage.schema import (  # noqa: E402
+    DATA_SCHEMA_ID,
+    RESULT_SCHEMA_ID,
+    SchemaRegistry,
+)
+from .utils.timer import enable_debug_timer, timer_report  # noqa: E402
+
+__version__ = "0.1.0"
+
+
+class QueryResult:
+    """Executed query result; also a queryable temp table
+    (reference: ExecutionResult + ResultSetTableToken, hdk.py:2518
+    ``res.scan`` chaining)."""
+
+    def __init__(self, session: "HDK", table: ExecTable) -> None:
+        self._session = session
+        self._table = table
+        self._registered = None
+
+    @property
+    def row_count(self) -> int:
+        return self._table.nrows
+
+    @property
+    def schema(self):
+        return list(zip(self._table.fields, self._table.types))
+
+    def to_arrow(self):
+        """reference: ResultSetTableToken::toArrow (_sql.pyx:80-83)."""
+        return _mat.to_arrow(self._table, self._session._dicts)
+
+    def to_pandas(self):
+        return _mat.to_pandas(self._table, self._session._dicts)
+
+    def head(self, n: int = 10):
+        import pyarrow as pa
+
+        return self.to_arrow().slice(0, n)
+
+    @property
+    def scan(self) -> QueryNode:
+        """Chain this result as an input (reference: hdk.py:2518)."""
+        if self._registered is None:
+            s = self._session
+            tid = s._schema.next_table_id(RESULT_SCHEMA_ID)
+            tname = f"__result_{tid & 0xFFFFFF}"
+            table = _mat.to_storage_table(
+                self._table, tid, tname, s._config.storage.fragment_size)
+            s._schema.register(table)
+            self._registered = table
+        return self._session.scan(self._registered.name)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        cols = ", ".join(f"{n}: {ty}" for n, ty in self.schema)
+        return f"QueryResult({self.row_count} rows; {cols})"
+
+
+class HDK:
+    """Session facade wiring Config -> storage -> executor -> builder
+    (reference: HDK.__init__ hdk.py:2113-2128)."""
+
+    def __init__(self, **config_kwargs) -> None:
+        self._config = (config_kwargs.pop("config")
+                        if "config" in config_kwargs
+                        else build_config(**config_kwargs))
+        self._schema = SchemaRegistry()
+        self._dicts = DictionaryRegistry()
+        self._executor = Executor(self._schema, self._dicts, self._config)
+        self._tmp_counter = 0
+        self._lock = threading.Lock()
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    # -- ingest ------------------------------------------------------------
+    def _table_name(self, name: Optional[str]) -> str:
+        if name:
+            return name
+        with self._lock:
+            self._tmp_counter += 1
+            return f"table_{self._tmp_counter}"
+
+    def _register(self, name, cols) -> QueryNode:
+        tid = self._schema.next_table_id(DATA_SCHEMA_ID)
+        table = _imp.build_table(tid, name, cols,
+                                 self._config.storage.fragment_size)
+        self._schema.register(table)
+        return self.scan(name)
+
+    def import_pydict(self, data: Dict[str, Sequence], name: Optional[str] = None,
+                      schema: Optional[Dict[str, types.Type]] = None) -> QueryNode:
+        """reference: hdk.py:2416 import_pydict."""
+        name = self._table_name(name)
+        cols = _imp.columns_from_pydict(data, self._dicts, schema)
+        return self._register(name, cols)
+
+    def import_arrow(self, at, name: Optional[str] = None,
+                     schema=None) -> QueryNode:
+        """reference: hdk.py:2361 import_arrow."""
+        name = self._table_name(name)
+        cols = _imp.columns_from_arrow(at, self._dicts, schema)
+        return self._register(name, cols)
+
+    def import_pandas(self, df, name: Optional[str] = None) -> QueryNode:
+        return self.import_arrow(
+            __import__("pyarrow").Table.from_pandas(df, preserve_index=False),
+            name)
+
+    def import_csv(self, path, name: Optional[str] = None, **read_options) -> QueryNode:
+        """reference: hdk.py:2229 import_csv (Arrow multithreaded reader)."""
+        import pyarrow.csv as pacsv
+
+        paths = path if isinstance(path, (list, tuple)) else [path]
+        tables = [pacsv.read_csv(p, **read_options) for p in paths]
+        import pyarrow as pa
+
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return self.import_arrow(at, name)
+
+    def import_parquet(self, path, name: Optional[str] = None) -> QueryNode:
+        """reference: hdk.py:2313 import_parquet."""
+        import pyarrow.parquet as pq
+
+        return self.import_arrow(pq.read_table(path), name)
+
+    def create_table(self, name: str, schema: Dict[str, object]) -> QueryNode:
+        """Empty table from {col: type-string-or-Type}
+        (reference: hdk.py:2130 create_table)."""
+        resolved = {
+            k: (types.parse_type(v) if isinstance(v, str) else v)
+            for k, v in schema.items()
+        }
+        data = {k: np.zeros(0, v.physical_dtype()) for k, v in resolved.items()}
+        # text columns need a dictionary even when empty
+        for k, v in list(resolved.items()):
+            if v.is_string():
+                d = self._dicts.create()
+                resolved[k] = types.dict_text(d.dict_id)
+                data[k] = np.zeros(0, np.int32)
+        cols = [(k, v, data[k], None) for k, v in resolved.items()]
+        return self._register(name, cols)
+
+    def drop_table(self, name: str) -> None:
+        """reference: hdk.py:2169."""
+        self._schema.drop(name)
+
+    def append_pydict(self, name: str, data: Dict[str, Sequence]) -> None:
+        """reference: import append logic hdk.py:2292-2305."""
+        table = self._schema.get(name)
+        schema = {c.info.name: c.type for c in table.columns if not c.info.is_rowid}
+        cols = _imp.columns_from_pydict(data, self._dicts, schema)
+        from .storage.table import Column, ColumnInfo
+
+        ordered = []
+        by_name = dict((n, (ty, d, v)) for n, ty, d, v in cols)
+        for c in table.columns:
+            if c.info.is_rowid:
+                continue
+            ty, d, v = by_name[c.info.name]
+            ordered.append(Column(c.info, d, v))
+        table.append(ordered)
+
+    # -- query construction -------------------------------------------------
+    def scan(self, name: str) -> QueryNode:
+        """reference: hdk.py:2556 scan."""
+        return QueryNode(_ir_node.Scan(self._schema.get(name)), self)
+
+    def table_names(self):
+        return self._schema.table_names()
+
+    def cst(self, value, type_str: Optional[str] = None) -> QueryExpr:
+        """Literal (reference: hdk.py:2652 cst)."""
+        if type_str is not None:
+            typ = types.parse_type(type_str)
+            return QueryExpr(_ir_expr.Constant(typ, value))
+        from .builder import _to_expr
+
+        return QueryExpr(_to_expr(value))
+
+    def date(self, value: str) -> QueryExpr:
+        """reference: hdk.py:2700 date literal."""
+        days = np.datetime64(value, "D").astype(np.int64)
+        return QueryExpr(_ir_expr.Constant(types.date32(False), int(days)))
+
+    def timestamp(self, value: str, unit: str = "us") -> QueryExpr:
+        """reference: hdk.py:2769 timestamp literal."""
+        tu = types.TimeUnit(unit)
+        v = np.datetime64(value).astype(f"datetime64[{unit}]").astype(np.int64)
+        return QueryExpr(_ir_expr.Constant(types.timestamp(tu, False), int(v)))
+
+    def time(self, value: str) -> QueryExpr:
+        """reference: hdk.py:2735 time literal."""
+        h, m, s = (list(map(int, value.split(":"))) + [0, 0])[:3]
+        return QueryExpr(_ir_expr.Constant(
+            types.time64(types.TimeUnit.SECOND, False), h * 3600 + m * 60 + s))
+
+    if_then_else = staticmethod(if_then_else)
+
+    # -- execution ----------------------------------------------------------
+    def _run(self, node, **options) -> QueryResult:
+        from .exec.optimizer import optimize_dag
+
+        dag = _ir_node.QueryDag(node)
+        dag = optimize_dag(dag, self._config)
+        table = self._executor.execute(dag)
+        return QueryResult(self, table)
+
+
+_global: Optional[HDK] = None
+_global_lock = threading.Lock()
+
+
+def init(**kwargs) -> HDK:
+    """Global session (reference: pyhdk.init singleton, hdk.py:2956-2963 —
+    repeat calls return the existing instance, kwargs ignored)."""
+    global _global
+    with _global_lock:
+        if _global is None:
+            _global = HDK(**kwargs)
+        return _global

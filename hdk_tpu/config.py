@@ -1,0 +1,148 @@
+"""Configuration tree for hdk_tpu.
+
+TPU-native analog of the reference's typed config struct tree
+(reference: omniscidb/Shared/Config.h:20-191, populated by
+ConfigBuilder/ConfigBuilder.cpp).  The reference parses 205 CLI flags into
+nested structs; here nested dataclasses are populated from keyword
+arguments using dotted or flat names (``buildConfig`` analog:
+python/pyhdk/_common.pyx:187-199).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+
+@dataclass
+class WatchdogConfig:
+    """reference: Shared/Config.h:20-26."""
+
+    enable: bool = False
+    max_rows_per_step: int = 2**62  # static budget; 0/huge = unlimited
+    time_limit_ms: int = 0  # dynamic budget; 0 = unlimited
+
+
+@dataclass
+class GroupByConfig:
+    """reference: Shared/Config.h:40-60 (GroupByConfig)."""
+
+    bigint_count: bool = False
+    perfect_hash_entries_limit: int = 1 << 22  # max dense buffer entries
+    baseline_fill_fraction: float = 0.5  # table sized groups/fill (ref ~2x)
+    big_group_threshold: int = 20000
+    default_max_groups: int = 1 << 26  # cap for unsized baseline buffers
+    # partitioned aggregation (reference: Shared/Config.h:44-60)
+    enable_partitioned_aggregation: bool = True
+    partitioning_group_size_threshold: int = 1 << 22
+    partitioning_buffer_size_threshold: int = 1 << 30
+    partitioning_buffer_target_size: int = 1 << 25
+    min_partitions: int = 2
+    max_partitions: int = 1024
+
+
+@dataclass
+class JoinConfig:
+    """reference: Shared/Config.h JoinConfig + HashJoin tuning."""
+
+    perfect_hash_range_limit: int = 1 << 24  # dense build table cap
+    enable_loop_join: bool = True
+    loop_join_inner_table_max_num_rows: int = 5000
+
+
+@dataclass
+class ExecConfig:
+    """reference: Shared/Config.h:70-130 (ExecConfig)."""
+
+    device: str = "auto"  # auto|tpu|cpu — jax platform selection
+    enable_multifrag_results: bool = True
+    allow_retry: bool = True  # overflow / out-of-slots retry ladder
+    interpret_pallas: bool = False  # run pallas kernels interpreted
+    streaming_topn_max: int = 100000
+    parallel_top_min: int = 100000
+    watchdog: WatchdogConfig = field(default_factory=WatchdogConfig)
+    group_by: GroupByConfig = field(default_factory=GroupByConfig)
+    join: JoinConfig = field(default_factory=JoinConfig)
+
+
+@dataclass
+class StorageConfig:
+    """reference: ArrowStorage defaults (ArrowStorage.h:40)."""
+
+    fragment_size: int = 1 << 25  # 32M rows, matching the reference default
+    enable_lazy_dict_materialization: bool = False
+
+
+@dataclass
+class CacheConfig:
+    """reference: Shared/Config.h:166-175."""
+
+    enable_hashtable_cache: bool = True
+    hashtable_cache_size: int = 1 << 32
+    enable_compiled_cache: bool = True  # rely on jax jit cache
+
+
+@dataclass
+class DebugConfig:
+    """reference: Shared/Config.h:176-190."""
+
+    enable_debug_timer: bool = False
+    log_dir: str = "hdk_tpu_log"
+    explain: bool = False
+
+
+@dataclass
+class DistConfig:
+    """Multi-chip/multi-host settings — new vs the reference (it is
+    single-node; see SURVEY.md §2.8)."""
+
+    mesh_axis: str = "frag"
+    shuffle_partitions_per_device: int = 1
+    skew_sample_size: int = 1 << 16
+    heavy_hitter_threshold: float = 0.25  # fraction of one partition budget
+
+
+@dataclass
+class Config:
+    """Root config (reference: Shared/Config.h:191)."""
+
+    exec: ExecConfig = field(default_factory=ExecConfig)
+    storage: StorageConfig = field(default_factory=StorageConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+
+
+def _set_dotted(cfg: Any, path: str, value: Any) -> bool:
+    head, _, rest = path.partition(".")
+    if not hasattr(cfg, head):
+        return False
+    if rest:
+        return _set_dotted(getattr(cfg, head), rest, value)
+    setattr(cfg, head, value)
+    return True
+
+
+def _set_flat(cfg: Any, name: str, value: Any) -> bool:
+    """Search the tree for a field with this leaf name (kwargs style,
+    like pyhdk's flat keyword args)."""
+    for f in fields(cfg):
+        sub = getattr(cfg, f.name)
+        if f.name == name and not is_dataclass(sub):
+            setattr(cfg, f.name, value)
+            return True
+        if is_dataclass(sub) and _set_flat(sub, name, value):
+            return True
+    return False
+
+
+def build_config(**kwargs: Any) -> Config:
+    """Build a Config from flat or dotted keyword args, e.g.
+    ``build_config(fragment_size=1<<20, **{"exec.watchdog.enable": True})``.
+    Unknown keys raise, matching ConfigBuilder's strict flag parsing."""
+    cfg = Config()
+    for key, value in kwargs.items():
+        ok = _set_dotted(cfg, key, value) if "." in key else _set_flat(cfg, key, value)
+        if not ok:
+            raise ValueError(f"unknown config option: {key!r}")
+    return cfg

@@ -1,0 +1,440 @@
+"""Group-by / aggregation engines.
+
+The reference picks one of several output layouts per query
+(reference: ResultSet/ResultType.h:28-34 via MemoryLayoutBuilder.h:40-51):
+
+  * NonGroupedAggregate  -> ``nogroup_agg``: pure XLA reductions.
+  * GroupByPerfectHash   -> ``groupby_perfect``: the reference computes
+    ``off = (key - min_key) / bucket * stride`` positionally with no
+    probing (GroupByRuntime.cpp:199-213, multi-key cross-product formula
+    in docs/results.rst).  On TPU this is a segment-reduction into a
+    dense buffer — the TPU-native equivalent of a positional group
+    buffer, with a trailing slot per nullable key (the reference's
+    has_nulls extra slot).
+  * GroupByBaselineHash  -> ``groupby_sort``: the reference uses a
+    MurmurHash open-addressing table with CAS claims
+    (GroupByRuntime.cpp:31-54).  Contended CAS scatters are the wrong
+    tool on a TPU (no fast global atomics; see SURVEY.md §7.3), so the
+    baseline layout is *sort-based*: lexicographic multi-key sort, group
+    boundary detection, then sorted-segment reductions.  This yields the
+    same groups, naturally compacted and key-ordered.
+
+Aggregate cell semantics follow the reference (SURVEY.md A.2):
+COUNT(*) counts rows; COUNT(col) counts non-null; SUM/MIN/MAX/AVG skip
+nulls and return NULL for all-null groups; AVG is a (sum, count) pair
+finalized at materialization; STDDEV/VAR use (sum, sumsq, count).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import types as t
+from ..ir.expr import AggKind
+from .masked import MaskedCol, combine_masks
+
+
+@dataclass
+class AggSpec:
+    """One aggregate target, operand already evaluated."""
+
+    kind: AggKind
+    operand: Optional[MaskedCol]  # None for COUNT(*)
+    out_type: t.Type
+    distinct: bool = False
+    arg1: object = None  # quantile fraction / k / etc.
+    interpolation: str = "linear"
+
+
+@dataclass
+class PerfectHashLayout:
+    """Dense positional layout over integer key ranges (reference:
+    QueryMemoryDescriptor min_val/max_val/bucket, QMD.h:212-214)."""
+
+    mins: List[int]
+    sizes: List[int]  # per-key slot count (incl. +1 null slot if nullable)
+    null_slots: List[bool]
+
+    @property
+    def entry_count(self) -> int:
+        return int(math.prod(self.sizes))
+
+
+def choose_perfect_layout(
+    key_types: Sequence[t.Type],
+    key_ranges: Sequence[Tuple[Optional[float], Optional[float], bool]],
+    limit: int,
+) -> Optional[PerfectHashLayout]:
+    """Layout chooser (reference: MemoryLayoutBuilder picks PerfectHash when
+    the key-range product is small; Shared/Config.h big_group_threshold)."""
+    mins: List[int] = []
+    sizes: List[int] = []
+    null_slots: List[bool] = []
+    total = 1
+    for typ, (lo, hi, has_nulls) in zip(key_types, key_ranges):
+        ok = (typ.is_integer() or typ.is_boolean() or typ.is_dict_encoded_string()
+              or (typ.is_date() and typ.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+        if not ok or lo is None or hi is None:
+            if typ.is_boolean():
+                lo, hi = 0, 1
+            else:
+                return None
+        size = int(hi) - int(lo) + 1
+        if has_nulls or typ.nullable:
+            size += 1
+        if size <= 0:
+            return None
+        mins.append(int(lo))
+        sizes.append(size)
+        null_slots.append(True)  # null slot always reserved at index size-1
+        total *= size
+        if total > limit:
+            return None
+    return PerfectHashLayout(mins, sizes, null_slots)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_SUM_DTYPE = {True: jnp.float64, False: jnp.int64}
+
+
+def _acc_dtype(v: MaskedCol):
+    return jnp.float64 if jnp.issubdtype(v.data.dtype, jnp.floating) else jnp.int64
+
+
+def _minmax_identity(dtype, is_min: bool):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.asarray(jnp.inf if is_min else -jnp.inf, dtype)
+    info = jnp.iinfo(dtype)
+    return jnp.asarray(info.max if is_min else info.min, dtype)
+
+
+def _seg_sum(vals, gid, n, sorted_):
+    return jax.ops.segment_sum(vals, gid, num_segments=n,
+                               indices_are_sorted=sorted_)
+
+
+def _seg_min(vals, gid, n, sorted_):
+    return jax.ops.segment_min(vals, gid, num_segments=n,
+                               indices_are_sorted=sorted_)
+
+
+def _seg_max(vals, gid, n, sorted_):
+    return jax.ops.segment_max(vals, gid, num_segments=n,
+                               indices_are_sorted=sorted_)
+
+
+@dataclass
+class AggResult:
+    """Raw aggregate buffers; AVG/STDDEV finalized in ``finalize``."""
+
+    slots: List[jnp.ndarray]
+
+    def finalize(self, spec: AggSpec, group_count: Optional[jnp.ndarray]) -> MaskedCol:
+        k = spec.kind
+        out_dt = jnp.dtype(spec.out_type.physical_dtype())
+        if k == AggKind.COUNT:
+            return MaskedCol(self.slots[0].astype(out_dt))
+        if k in (AggKind.SUM, AggKind.MIN, AggKind.MAX, AggKind.SAMPLE,
+                 AggKind.SINGLE_VALUE):
+            data, nonnull = self.slots
+            return MaskedCol(data.astype(out_dt), nonnull > 0)
+        if k == AggKind.AVG:
+            s, c = self.slots
+            avg = s.astype(jnp.float64) / jnp.where(c == 0, 1, c)
+            return MaskedCol(avg.astype(out_dt), c > 0)
+        if k in (AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
+            s, sq, c = self.slots
+            cf = c.astype(jnp.float64)
+            mean = s / jnp.where(cf == 0, 1.0, cf)
+            var = (sq - cf * mean * mean) / jnp.where(cf <= 1, 1.0, cf - 1.0)
+            var = jnp.maximum(var, 0.0)
+            out = jnp.sqrt(var) if k == AggKind.STDDEV_SAMP else var
+            return MaskedCol(out.astype(out_dt), c > 1)
+        if k in (AggKind.COUNT_DISTINCT, AggKind.APPROX_COUNT_DISTINCT):
+            return MaskedCol(self.slots[0].astype(out_dt))
+        if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
+            data, nonnull = self.slots
+            return MaskedCol(data.astype(out_dt), nonnull > 0)
+        raise NotImplementedError(f"aggregate {k}")
+
+
+def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResult:
+    """Compute raw slot buffers for one aggregate over assigned group ids.
+
+    ``row_valid`` masks rows that participate at all (filter fusion +
+    perfect-hash out-of-range guard); rows with row_valid False must
+    already map to a discard segment >= n in ``gid``.
+    """
+    k = spec.kind
+    num = n + 1  # one discard segment at the end
+
+    def ones_like_rows():
+        return jnp.ones(gid.shape, jnp.int64)
+
+    if k == AggKind.COUNT and spec.operand is None:
+        cnt = _seg_sum(ones_like_rows(), gid, num, sorted_)[:n]
+        return AggResult([cnt])
+
+    v = spec.operand
+    assert v is not None, f"{k} requires an operand"
+    valid = v.mask if v.mask is not None else None
+
+    if k == AggKind.COUNT:
+        ones = ones_like_rows() if valid is None else valid.astype(jnp.int64)
+        return AggResult([_seg_sum(ones, gid, num, sorted_)[:n]])
+
+    nonnull = (ones_like_rows() if valid is None else valid.astype(jnp.int64))
+    nonnull_per_group = _seg_sum(nonnull, gid, num, sorted_)[:n]
+
+    if k in (AggKind.SUM, AggKind.AVG, AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
+        acc = v.fill(0).astype(_acc_dtype(v))
+        s = _seg_sum(acc, gid, num, sorted_)[:n]
+        if k == AggKind.SUM:
+            return AggResult([s, nonnull_per_group])
+        if k == AggKind.AVG:
+            return AggResult([s.astype(jnp.float64), nonnull_per_group])
+        sq = _seg_sum((acc * acc).astype(jnp.float64), gid, num, sorted_)[:n]
+        return AggResult([s.astype(jnp.float64), sq, nonnull_per_group])
+
+    if k in (AggKind.MIN, AggKind.SAMPLE, AggKind.SINGLE_VALUE):
+        ident = _minmax_identity(v.data.dtype, True)
+        vals = v.data if valid is None else jnp.where(valid, v.data, ident)
+        m = _seg_min(vals, gid, num, sorted_)[:n]
+        m = jnp.where(nonnull_per_group > 0, m, ident)
+        return AggResult([m, nonnull_per_group])
+
+    if k == AggKind.MAX:
+        ident = _minmax_identity(v.data.dtype, False)
+        vals = v.data if valid is None else jnp.where(valid, v.data, ident)
+        m = _seg_max(vals, gid, num, sorted_)[:n]
+        m = jnp.where(nonnull_per_group > 0, m, ident)
+        return AggResult([m, nonnull_per_group])
+
+    if k in (AggKind.COUNT_DISTINCT, AggKind.APPROX_COUNT_DISTINCT):
+        return AggResult([_count_distinct(v, gid, n, num)])
+
+    if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
+        q = float(spec.arg1)
+        data = _group_quantile(v, gid, n, num, q, spec.interpolation)
+        return AggResult([data, nonnull_per_group])
+
+    raise NotImplementedError(f"aggregate {k}")
+
+
+def _count_distinct(v: MaskedCol, gid, n: int, num: int):
+    """Exact COUNT(DISTINCT x) per group: sort (gid, x) pairs and count
+    pair boundaries (reference semantics: CountDistinct.h exact bitmap /
+    set; the TPU-native mechanism is sort-unique)."""
+    valid = v.mask
+    key_g = jnp.where(valid, gid, num - 1) if valid is not None else gid
+    vals64 = _orderable_int64(v.data)
+    # lexicographic (gid, value) sort
+    perm = jnp.argsort(vals64, stable=True)
+    perm = perm[jnp.argsort(key_g[perm], stable=True)]
+    sg = key_g[perm]
+    sv = vals64[perm]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1]),
+    ])
+    return _seg_sum(first.astype(jnp.int64), sg, num, True)[:n]
+
+
+def _group_quantile(v: MaskedCol, gid, n: int, num: int, q: float,
+                    interpolation: str):
+    """Exact per-group quantile via (gid, value) sort + positional gather
+    (reference: Shared/quantile.h exact path; approx tdigest maps here to
+    the exact computation, which satisfies its error bound trivially)."""
+    valid = v.mask
+    key_g = jnp.where(valid, gid, num - 1) if valid is not None else gid
+    fvals = v.data.astype(jnp.float64)
+    perm = jnp.argsort(fvals, stable=True)
+    perm = perm[jnp.argsort(key_g[perm], stable=True)]
+    sg = key_g[perm]
+    sv = fvals[perm]
+    counts = _seg_sum(jnp.ones(sg.shape, jnp.int64), sg, num, True)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                              jnp.cumsum(counts)[:-1]])
+    cnt = counts[:n]
+    start = starts[:n]
+    pos = q * jnp.maximum(cnt - 1, 0).astype(jnp.float64)
+    lo = jnp.floor(pos).astype(jnp.int64)
+    hi = jnp.ceil(pos).astype(jnp.int64)
+    total = sg.shape[0]
+    lo_v = sv[jnp.clip(start + lo, 0, total - 1)]
+    hi_v = sv[jnp.clip(start + hi, 0, total - 1)]
+    if interpolation == "lower":
+        return lo_v
+    if interpolation == "higher":
+        return hi_v
+    frac = pos - lo.astype(jnp.float64)
+    return lo_v + (hi_v - lo_v) * frac
+
+
+def _orderable_int64(data):
+    """Map values to int64 preserving order (floats via IEEE trick)."""
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        bits = jax.lax.bitcast_convert_type(
+            data.astype(jnp.float64), jnp.int64)
+        return jnp.where(bits < 0, jnp.int64(-0x8000000000000000) - bits - 1, bits)
+    if data.dtype == jnp.bool_:
+        return data.astype(jnp.int64)
+    return data.astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# layouts
+# ---------------------------------------------------------------------------
+
+def nogroup_agg(specs: Sequence[AggSpec], nrows: int,
+                row_mask: Optional[jnp.ndarray]) -> List[MaskedCol]:
+    """Scalar aggregation (reference: NonGroupedAggregate layout)."""
+    gid = (jnp.zeros((nrows,), jnp.int32) if row_mask is None
+           else jnp.where(row_mask, 0, 1).astype(jnp.int32))
+    out = []
+    for spec in specs:
+        res = _agg_slots(spec, gid, None, 1, False)
+        col = res.finalize(spec, None)
+        out.append(MaskedCol(col.data[0], col.mask[0] if col.mask is not None else None))
+    return out
+
+
+def groupby_perfect(
+    keys: Sequence[MaskedCol],
+    layout: PerfectHashLayout,
+    specs: Sequence[AggSpec],
+    row_mask: Optional[jnp.ndarray],
+) -> Tuple[List[MaskedCol], List[MaskedCol], jnp.ndarray]:
+    """Dense positional group-by.
+
+    Returns (key_columns, agg_columns, exists) where all buffers have
+    ``layout.entry_count`` entries and ``exists`` marks observed groups.
+    The caller compacts (reference keeps dense buffers and skips empty
+    entries at iteration time — ResultSetIteration.cpp).
+    """
+    n = layout.entry_count
+    gid = jnp.zeros(keys[0].data.shape, jnp.int64)
+    stride = 1
+    # row-major over keys, first key outermost (reference cross-product
+    # index formula, docs/results.rst)
+    for key, mn, size in zip(reversed(list(keys)),
+                             reversed(layout.mins), reversed(layout.sizes)):
+        idx = key.data.astype(jnp.int64) - mn
+        if key.mask is not None:
+            idx = jnp.where(key.mask, idx, size - 1)
+        gid = gid + idx * stride
+        stride *= size
+    in_range = (gid >= 0) & (gid < n)
+    if row_mask is not None:
+        in_range = in_range & row_mask
+    gid = jnp.where(in_range, gid, n).astype(jnp.int32)
+
+    exists = _seg_sum(jnp.ones(gid.shape, jnp.int64), gid, n + 1, False)[:n] > 0
+
+    agg_cols = []
+    for spec in specs:
+        res = _agg_slots(spec, gid, in_range, n, False)
+        agg_cols.append(res.finalize(spec, None))
+
+    # reconstruct key values from the dense entry index
+    entry = jnp.arange(n, dtype=jnp.int64)
+    key_cols: List[MaskedCol] = []
+    rem = entry
+    strides = []
+    acc = 1
+    for size in reversed(layout.sizes):
+        strides.append(acc)
+        acc *= size
+    strides = list(reversed(strides))
+    for key, mn, size, st in zip(keys, layout.mins, layout.sizes, strides):
+        idx = (rem // st) % size
+        is_null_slot = idx == (size - 1)
+        data = (idx + mn).astype(key.data.dtype)
+        nullable = key.mask is not None
+        key_cols.append(MaskedCol(data, ~is_null_slot if nullable else None))
+    return key_cols, agg_cols, exists
+
+
+def groupby_sort(
+    keys: Sequence[MaskedCol],
+    specs: Sequence[AggSpec],
+    entry_cap: int,
+    row_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[List[MaskedCol], List[MaskedCol], jnp.ndarray, jnp.ndarray]:
+    """Sort-based baseline group-by.
+
+    ``row_valid`` (optional) marks rows that participate; invalid rows
+    (e.g. shuffle padding) sort after all valid rows as garbage groups
+    that are excluded from the returned count.  Returns
+    (key_cols, agg_cols, exists, n_groups): buffers sized ``entry_cap``;
+    the first ``n_groups`` entries are real groups in lexicographic key
+    order.
+    """
+    nrows = keys[0].data.shape[0]
+    # lexicographic stable sort, last key first; validity is a virtual
+    # leading key so invalid rows cluster at the end
+    perm = jnp.arange(nrows, dtype=jnp.int32)
+    sort_keys = []
+    for key in keys:
+        kv = _orderable_int64(key.data)
+        if key.mask is not None:  # nulls group at the high end
+            kv = jnp.where(key.mask, kv, jnp.iinfo(jnp.int64).max)
+        sort_keys.append(kv)
+    for kv in reversed(sort_keys):
+        perm = perm[jnp.argsort(kv[perm], stable=True)]
+    if row_valid is not None:
+        invalid_key = (~row_valid).astype(jnp.int32)
+        perm = perm[jnp.argsort(invalid_key[perm], stable=True)]
+
+    boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
+    for key, kv in zip(keys, sort_keys):
+        skv = kv[perm]
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), skv[1:] != skv[:-1]])
+    if row_valid is not None:
+        sv = row_valid[perm].astype(jnp.int32)
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
+    gid_sorted = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    if row_valid is None:
+        n_groups = gid_sorted[-1] + 1 if nrows > 0 else jnp.asarray(0, jnp.int32)
+    else:
+        # valid groups form a prefix (validity is the leading sort key)
+        n_groups = jnp.max(jnp.where(row_valid[perm], gid_sorted + 1, 0))
+    gid_sorted = jnp.minimum(gid_sorted, entry_cap - 1)  # overflow guard
+
+    agg_cols = []
+    for spec in specs:
+        sorted_operand = spec.operand
+        if sorted_operand is not None:
+            sorted_operand = MaskedCol(
+                sorted_operand.data[perm],
+                sorted_operand.mask[perm] if sorted_operand.mask is not None else None)
+        sspec = AggSpec(spec.kind, sorted_operand, spec.out_type,
+                        spec.distinct, spec.arg1, spec.interpolation)
+        res = _agg_slots(sspec, gid_sorted, None, entry_cap, True)
+        agg_cols.append(res.finalize(sspec, None))
+
+    key_cols = []
+    for key in keys:
+        sk = key.data[perm]
+        data = jnp.zeros((entry_cap,), key.data.dtype).at[gid_sorted].set(
+            sk, mode="drop")
+        if key.mask is not None:
+            sm = key.mask[perm]
+            mask = jnp.zeros((entry_cap,), jnp.bool_).at[gid_sorted].set(
+                sm, mode="drop")
+        else:
+            mask = None
+        key_cols.append(MaskedCol(data, mask))
+
+    exists = jnp.arange(entry_cap) < n_groups
+    return key_cols, agg_cols, exists, n_groups

@@ -1,0 +1,124 @@
+"""Equi-join engine.
+
+Reference: QueryEngine/JoinHashTable/ — PerfectJoinHashTable (dense
+min/max-keyed direct index, PerfectJoinHashTable.h:54) and
+BaselineJoinHashTable (MurmurHash open-addressing, BaselineJoinHashTable
+.h:52), probed from generated JoinLoops (IRCodegen.cpp:513).
+
+TPU-native design (SURVEY.md §7.1/M4): open-addressing CAS tables are a
+poor fit for the TPU's vector memory system, so the general path is a
+**sorted-hash join**:
+
+  1. hash all build keys to 64-bit (splitmix-style mixer — role of
+     MurmurHash in GroupByRuntime.cpp:25-29);
+  2. argsort build side by hash — the sorted (hash, row) pair array *is*
+     the hash table (keys|payload layout analog of HashTable.h:25);
+  3. probe = vectorized binary search (searchsorted lower/upper) giving a
+     candidate range per probe row — the OneToMany (offset, count) pair;
+  4. expand candidate pairs, then verify true key equality to discard
+     64-bit hash collisions (the reference compares keys in the probe
+     loop for the same reason);
+  5. SQL semantics: NULL keys never match — enforced by disjoint hash
+     sentinels per side, so null rows generate zero candidates.
+
+Expansion size is data-dependent: the executor syncs the candidate total
+to the host between pass 1 and 2 — the same two-pass count-then-fill
+structure the reference uses to build OneToMany tables
+(fill_one_to_many_hash_table, HashJoinRuntime.h:181).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .groupby import _orderable_int64
+from .masked import MaskedCol, combine_masks
+
+# disjoint null sentinels per side => null never matches null
+_BUILD_NULL = jnp.uint64(0xF0F0F0F0F0F0F0F0)
+_PROBE_NULL = jnp.uint64(0x0F0F0F0F0F0F0F0F)
+
+
+def _mix64(x: jnp.ndarray) -> jnp.ndarray:
+    """splitmix64 finalizer — 64-bit avalanche mixer."""
+    x = x ^ (x >> 30)
+    x = x * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> 27)
+    x = x * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> 31)
+
+
+def hash_keys(cols: Sequence[MaskedCol], null_sentinel: jnp.ndarray) -> jnp.ndarray:
+    """Combined 64-bit hash of key columns; rows with any NULL key get
+    ``null_sentinel``."""
+    h = jnp.full(cols[0].data.shape, 0x243F6A8885A308D3, jnp.uint64)
+    valid = None
+    for c in cols:
+        k = _orderable_int64(c.data).astype(jnp.uint64)
+        h = _mix64(h ^ _mix64(k))
+        valid = combine_masks(valid, c.mask)
+    if valid is not None:
+        h = jnp.where(valid, h, null_sentinel)
+    return h
+
+
+@dataclass
+class BuildTable:
+    """Sorted-hash 'table': permutation + sorted hashes (cacheable per
+    plan hash — reference: DataRecycler/HashtableRecycler.h:32)."""
+
+    perm: jnp.ndarray  # build row index, ordered by hash
+    sorted_hash: jnp.ndarray
+
+
+def build(build_keys: Sequence[MaskedCol]) -> BuildTable:
+    h = hash_keys(build_keys, _BUILD_NULL)
+    perm = jnp.argsort(h, stable=True).astype(jnp.int32)
+    return BuildTable(perm, h[perm])
+
+
+def probe_ranges(table: BuildTable, probe_keys: Sequence[MaskedCol]
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lo, hi) candidate positions in the sorted build table per probe row."""
+    ph = hash_keys(probe_keys, _PROBE_NULL)
+    lo = jnp.searchsorted(table.sorted_hash, ph, side="left")
+    hi = jnp.searchsorted(table.sorted_hash, ph, side="right")
+    return lo.astype(jnp.int64), hi.astype(jnp.int64)
+
+
+def expand_pairs(table: BuildTable, lo: jnp.ndarray, hi: jnp.ndarray,
+                 total: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize candidate (probe_row, build_row) pairs; ``total`` is the
+    host-synced candidate count (static for this trace)."""
+    counts = hi - lo
+    offsets = jnp.cumsum(counts)  # inclusive
+    excl = offsets - counts
+    j = jnp.arange(total, dtype=jnp.int64)
+    l_idx = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
+    safe_l = jnp.minimum(l_idx, lo.shape[0] - 1)
+    within = j - excl[safe_l]
+    pos = lo[safe_l] + within
+    r_idx = table.perm[jnp.clip(pos, 0, table.perm.shape[0] - 1)]
+    return safe_l, r_idx
+
+
+def verify_pairs(build_keys: Sequence[MaskedCol], probe_keys: Sequence[MaskedCol],
+                 l_idx: jnp.ndarray, r_idx: jnp.ndarray) -> jnp.ndarray:
+    """True-equality check on candidate pairs (hash-collision guard)."""
+    ok = jnp.ones(l_idx.shape, jnp.bool_)
+    for pk, bk in zip(probe_keys, build_keys):
+        pv = pk.data[l_idx]
+        bv = bk.data[r_idx]
+        eq = pv == bv
+        if pk.mask is not None:
+            eq = eq & pk.mask[l_idx]
+        if bk.mask is not None:
+            eq = eq & bk.mask[r_idx]
+        ok = ok & eq
+    return ok
+
+

@@ -1,0 +1,197 @@
+"""Distributed group-by over a device mesh.
+
+The reference's multi-device aggregation is: per-device output buffers,
+then a host-side reduction (reference: Execute.cpp:1156
+reduceMultiDeviceResults via ResultSetReductionJIT; SURVEY.md A.4).  The
+TPU translation (A.4 note): keep identical per-shard layouts so the
+combine is positional, and let XLA collectives do the reduce:
+
+  * ``dist_groupby_perfect`` — each shard computes a dense positional
+    partial buffer, combined with psum/pmin/pmax over the mesh axis (the
+    perfect-hash case is a pure elementwise tree-reduce).  Works for
+    distributive/algebraic aggregates (COUNT/SUM/AVG/MIN/MAX/STDDEV).
+  * ``dist_groupby_shuffled`` — holistic aggregates (COUNT DISTINCT,
+    QUANTILE) and high-cardinality keys: rows are exchanged so each key
+    lives wholly on its owner shard (parallel/shuffle.py all_to_all),
+    then each shard runs the local sort-based group-by.  The result is a
+    sharded group table, the pod-scale analog of the reference's
+    partitioned aggregation (RelAlgExecutor.cpp:691-860).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..exec import groupby as gb
+from ..exec.masked import MaskedCol
+from ..ir.expr import AggKind
+from . import shuffle as shf
+from .mesh import FRAG_AXIS
+
+# slot-combine rule per aggregate kind: how per-shard raw slots merge
+# (reference: ResultSetReductionOps.h op kinds)
+_COMBINE = {
+    AggKind.COUNT: ("sum",),
+    AggKind.SUM: ("sum", "sum"),
+    AggKind.AVG: ("sum", "sum"),
+    AggKind.STDDEV_SAMP: ("sum", "sum", "sum"),
+    AggKind.VAR_SAMP: ("sum", "sum", "sum"),
+    AggKind.MIN: ("min", "sum"),
+    AggKind.MAX: ("max", "sum"),
+    AggKind.SAMPLE: ("min", "sum"),
+    AggKind.SINGLE_VALUE: ("min", "sum"),
+}
+
+
+def perfect_combinable(specs: Sequence[gb.AggSpec]) -> bool:
+    return all(s.kind in _COMBINE for s in specs)
+
+
+def dist_groupby_perfect(
+    mesh: Mesh,
+    keys: Sequence[MaskedCol],
+    layout: gb.PerfectHashLayout,
+    specs: Sequence[gb.AggSpec],
+    axis: str = FRAG_AXIS,
+):
+    """Row-sharded keys/operands -> replicated finalized dense buffers.
+
+    Returns (key_cols, agg_cols, exists) with ``layout.entry_count``
+    entries, replicated on every shard.
+    """
+    n = layout.entry_count
+    operands = [s.operand for s in specs]
+
+    def shard_fn(keys_l, operands_l):
+        # same positional layout on every shard => psum is the reducer
+        gid = jnp.zeros(keys_l[0].data.shape, jnp.int64)
+        stride = 1
+        for key, mn, size in zip(reversed(list(keys_l)),
+                                 reversed(layout.mins),
+                                 reversed(layout.sizes)):
+            idx = key.data.astype(jnp.int64) - mn
+            if key.mask is not None:
+                idx = jnp.where(key.mask, idx, size - 1)
+            gid = gid + idx * stride
+            stride *= size
+        in_range = (gid >= 0) & (gid < n)
+        gid = jnp.where(in_range, gid, n).astype(jnp.int32)
+
+        exists_local = jax.ops.segment_sum(
+            jnp.ones(gid.shape, jnp.int64), gid, num_segments=n + 1)[:n] > 0
+        exists = jax.lax.psum(exists_local.astype(jnp.int32), axis) > 0
+
+        out = []
+        for spec, op in zip(specs, operands_l):
+            sspec = gb.AggSpec(spec.kind, op, spec.out_type, spec.distinct,
+                               spec.arg1, spec.interpolation)
+            slots = gb._agg_slots(sspec, gid, in_range, n, False).slots
+            combined = []
+            for slot, rule in zip(slots, _COMBINE[spec.kind]):
+                if rule == "sum":
+                    combined.append(jax.lax.psum(slot, axis))
+                elif rule == "min":
+                    combined.append(jax.lax.pmin(slot, axis))
+                else:
+                    combined.append(jax.lax.pmax(slot, axis))
+            out.append(gb.AggResult(combined).finalize(sspec, None))
+        return out, exists
+
+    in_specs = (
+        jax.tree.map(lambda _: P(axis), list(keys)),
+        jax.tree.map(lambda _: P(axis), list(operands)),
+    )
+    out_specs = (
+        jax.tree.map(lambda _: P(), [_out_struct(s) for s in specs]),
+        P(),
+    )
+    agg_cols, exists = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False)(list(keys), list(operands))
+
+    # reconstruct key columns from the dense entry index (host-side math)
+    entry = jnp.arange(n, dtype=jnp.int64)
+    strides = []
+    acc = 1
+    for size in reversed(layout.sizes):
+        strides.append(acc)
+        acc *= size
+    strides = list(reversed(strides))
+    key_cols = []
+    for key, mn, size, st in zip(keys, layout.mins, layout.sizes, strides):
+        idx = (entry // st) % size
+        data = (idx + mn).astype(key.data.dtype)
+        mask = (idx != size - 1) if key.mask is not None else None
+        key_cols.append(MaskedCol(data, mask))
+    return key_cols, agg_cols, exists
+
+
+def _out_struct(spec: gb.AggSpec) -> MaskedCol:
+    """Placeholder with the pytree structure finalize() returns."""
+    nullable = spec.kind not in (AggKind.COUNT, AggKind.COUNT_DISTINCT,
+                                 AggKind.APPROX_COUNT_DISTINCT)
+    return MaskedCol(jnp.zeros(()), jnp.zeros((), jnp.bool_) if nullable else None)
+
+
+def dist_groupby_shuffled(
+    mesh: Mesh,
+    keys: Sequence[MaskedCol],
+    specs: Sequence[gb.AggSpec],
+    rows_per_shard: int,
+    group_cap_per_shard: int,
+    axis: str = FRAG_AXIS,
+    slack: float = 2.0,
+):
+    """Row-sharded inputs -> per-shard complete groups via all_to_all.
+
+    Returns (key_cols, agg_cols, group_valid, overflow) where buffers are
+    sharded (num_shards * group_cap_per_shard rows total); ``group_valid``
+    marks real groups.  ``overflow`` > 0 means the shuffle capacity was
+    exceeded and the caller must retry with more slack (reference analog:
+    OUT_OF_SLOTS -> retry ladder, Execute.cpp:2291).
+    """
+    num_shards = mesh.devices.size
+    cap = max(1, int(math.ceil(rows_per_shard / num_shards * slack)))
+    operands = [s.operand for s in specs]
+
+    def shard_fn(keys_l, operands_l):
+        present = [op for op in operands_l if op is not None]
+        cols, row_valid, overflow = shf.shuffle_rows(
+            list(keys_l), present, axis, num_shards, cap)
+        k2 = cols[: len(keys_l)]
+        rest = cols[len(keys_l):]
+        ops2: List[Optional[MaskedCol]] = []
+        it = iter(rest)
+        for op in operands_l:
+            ops2.append(next(it) if op is not None else None)
+        specs2 = [
+            gb.AggSpec(s.kind, o, s.out_type, s.distinct, s.arg1, s.interpolation)
+            for s, o in zip(specs, ops2)
+        ]
+        key_cols, agg_cols, exists, _n = gb.groupby_sort(
+            k2, specs2, group_cap_per_shard, row_valid=row_valid)
+        total_overflow = jax.lax.psum(overflow, axis)
+        return key_cols, agg_cols, exists, total_overflow
+
+    in_specs = (
+        jax.tree.map(lambda _: P(axis), list(keys)),
+        jax.tree.map(lambda _: P(axis), list(operands)),
+    )
+    out_specs = (
+        jax.tree.map(lambda _: P(axis), [MaskedCol(jnp.zeros(()), None
+                                                   if k.mask is None else jnp.zeros((), jnp.bool_))
+                                         for k in keys]),
+        jax.tree.map(lambda _: P(axis), [_out_struct(s) for s in specs]),
+        P(axis),
+        P(),
+    )
+    return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)(
+        list(keys), list(operands))

@@ -1,0 +1,209 @@
+"""Data import: pydict / pandas / Arrow / CSV / Parquet -> Table.
+
+Reference entry points: pyhdk ``import_pydict`` (hdk.py:2416),
+``import_arrow`` (:2361), ``import_csv`` (:2229), ``import_parquet``
+(:2313); engine side ArrowStorage::importArrowTable (ArrowStorage.cpp:666)
+with arrow-type coercion (ArrowStorageUtils.cpp) and text dict-encoding.
+
+TPU-native coercions (everything must land in a fixed-width device dtype):
+  * text        -> StringDictionary int32 codes (DictionaryType)
+  * arrow dictionary arrays -> re-encoded into the table's dictionary
+  * timestamps  -> int64 in the arrow unit
+  * date32/64   -> int32 days / int64 seconds
+  * decimal128  -> scaled int64 (DecimalType), precision <= 18
+  * bool        -> np.bool_ (validity mask carries nulls)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import types as t
+from .dictionary import DictionaryRegistry, StringDictionary
+from .table import Column, ColumnInfo, Table
+
+try:  # pyarrow is present in the target environment; keep a soft gate
+    import pyarrow as pa
+    import pyarrow.compute as pc
+except ImportError:  # pragma: no cover
+    pa = None
+    pc = None
+
+
+def _encode_strings(
+    values: Sequence[Optional[str]], dictionary: StringDictionary
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    codes = dictionary.bulk_get_or_add(
+        [None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v) for v in values]
+    )
+    from .dictionary import NULL_CODE
+
+    validity = codes != NULL_CODE
+    return codes, (None if bool(validity.all()) else validity)
+
+
+def _from_numpy(
+    name: str,
+    arr: np.ndarray,
+    dicts: DictionaryRegistry,
+    declared: Optional[t.Type],
+    validity: Optional[np.ndarray] = None,
+) -> Tuple[t.Type, np.ndarray, Optional[np.ndarray]]:
+    arr = np.asarray(arr)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        if declared is not None and declared.is_dict_encoded_string():
+            d = dicts.get(declared.dict_id)  # type: ignore[attr-defined]
+        else:
+            d = dicts.create()
+        codes, validity = _encode_strings(arr.tolist(), d)
+        return t.dict_text(d.dict_id, nullable=validity is not None), codes, validity
+    if np.issubdtype(arr.dtype, np.floating):
+        nan_mask = np.isnan(arr)
+        if nan_mask.any() and validity is None:
+            validity = ~nan_mask
+    if np.issubdtype(arr.dtype, np.datetime64):
+        typ = t.from_numpy_dtype(arr.dtype)
+        phys = arr.astype(typ.physical_dtype())
+        nat = np.isnat(arr)
+        if nat.any():
+            validity = ~nat if validity is None else (validity & ~nat)
+        return typ.with_nullable(validity is not None), phys, validity
+    if declared is not None:
+        phys = arr.astype(declared.physical_dtype(), copy=False)
+        return declared, phys, validity
+    typ = t.from_numpy_dtype(arr.dtype, nullable=validity is not None)
+    return typ, arr, validity
+
+
+def columns_from_pydict(
+    data: Dict[str, Sequence],
+    dicts: DictionaryRegistry,
+    schema: Optional[Dict[str, t.Type]] = None,
+) -> List[Tuple[str, t.Type, np.ndarray, Optional[np.ndarray]]]:
+    out = []
+    for name, values in data.items():
+        declared = (schema or {}).get(name)
+        if isinstance(values, np.ndarray):
+            arr = values
+            validity = None
+        else:
+            values = list(values)
+            has_none = any(v is None for v in values)
+            if has_none and values and any(
+                isinstance(v, (int, float, np.integer, np.floating))
+                for v in values if v is not None
+            ):
+                validity = np.asarray([v is not None for v in values])
+                fill = 0
+                arr = np.asarray([fill if v is None else v for v in values])
+            else:
+                arr = np.asarray(values, dtype=object if has_none else None)
+                validity = None
+        typ, phys, validity = _from_numpy(name, arr, dicts, declared, validity)
+        out.append((name, typ, phys, validity))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow
+# ---------------------------------------------------------------------------
+
+def _arrow_validity(arr: "pa.ChunkedArray") -> Optional[np.ndarray]:
+    if arr.null_count == 0:
+        return None
+    return np.asarray(pc.is_valid(arr).combine_chunks())
+
+
+def _arrow_column(
+    name: str,
+    arr: "pa.ChunkedArray",
+    dicts: DictionaryRegistry,
+    declared: Optional[t.Type],
+) -> Tuple[t.Type, np.ndarray, Optional[np.ndarray]]:
+    at = arr.type
+    validity = _arrow_validity(arr)
+    nullable = validity is not None
+
+    def fixed(np_dtype, typ: t.Type):
+        filled = arr.combine_chunks()
+        if validity is not None:
+            filled = pc.fill_null(filled, 0)
+        data = np.asarray(filled, dtype=np_dtype)
+        return typ.with_nullable(nullable), data, validity
+
+    if pa.types.is_boolean(at):
+        return fixed(np.bool_, t.boolean())
+    if pa.types.is_integer(at):
+        width = at.bit_width // 8
+        if pa.types.is_unsigned_integer(at):
+            width = min(width * 2, 8)
+        return fixed(np.dtype(f"int{width * 8}"), t.IntegerType(True, width))
+    if pa.types.is_floating(at):
+        width = 8 if at.bit_width == 64 else 4
+        filled = arr.combine_chunks()
+        data = np.asarray(filled, dtype=np.dtype(f"float{width * 8}"))
+        return t.FloatingPointType(nullable, width), data, validity
+    if pa.types.is_decimal(at):
+        if at.precision > 18:
+            raise TypeError(f"decimal precision {at.precision} > 18 unsupported")
+        ints = pc.multiply(pc.cast(arr, pa.float64()), 10.0 ** at.scale)
+        data = np.asarray(pc.round(ints).cast(pa.int64()).combine_chunks())
+        if validity is not None:
+            data = np.where(validity, data, 0)
+        return t.decimal64(at.precision, at.scale, nullable), data, validity
+    if pa.types.is_date32(at):
+        return fixed(np.int32, t.date32())
+    if pa.types.is_date64(at):
+        ms = np.asarray(pc.fill_null(arr.cast(pa.int64()), 0).combine_chunks())
+        return t.date64().with_nullable(nullable), ms // 1000, validity
+    if pa.types.is_timestamp(at):
+        unit = {"s": t.TimeUnit.SECOND, "ms": t.TimeUnit.MILLI,
+                "us": t.TimeUnit.MICRO, "ns": t.TimeUnit.NANO}[at.unit]
+        return fixed(np.int64, t.timestamp(unit))
+    if pa.types.is_time32(at) or pa.types.is_time64(at):
+        unit = {"s": t.TimeUnit.SECOND, "ms": t.TimeUnit.MILLI,
+                "us": t.TimeUnit.MICRO, "ns": t.TimeUnit.NANO}[at.unit]
+        return fixed(np.int64, t.time64(unit))
+    if pa.types.is_dictionary(at) or pa.types.is_string(at) or pa.types.is_large_string(at):
+        if declared is not None and declared.is_dict_encoded_string():
+            d = dicts.get(declared.dict_id)  # type: ignore[attr-defined]
+        else:
+            d = dicts.create()
+        pylist = arr.to_pylist()
+        codes, validity = _encode_strings(pylist, d)
+        return t.dict_text(d.dict_id, nullable=validity is not None), codes, validity
+    raise TypeError(f"unsupported arrow type for column {name!r}: {at}")
+
+
+def columns_from_arrow(
+    table: "pa.Table",
+    dicts: DictionaryRegistry,
+    schema: Optional[Dict[str, t.Type]] = None,
+) -> List[Tuple[str, t.Type, np.ndarray, Optional[np.ndarray]]]:
+    out = []
+    for name in table.column_names:
+        declared = (schema or {}).get(name)
+        typ, data, validity = _arrow_column(name, table.column(name), dicts, declared)
+        out.append((name, typ, data, validity))
+    return out
+
+
+def columns_from_pandas(df, dicts: DictionaryRegistry, schema=None):
+    if pa is None:  # pragma: no cover
+        raise RuntimeError("pyarrow required for pandas import")
+    return columns_from_arrow(pa.Table.from_pandas(df, preserve_index=False), dicts, schema)
+
+
+def build_table(
+    table_id: int,
+    name: str,
+    cols: List[Tuple[str, t.Type, np.ndarray, Optional[np.ndarray]]],
+    fragment_size: int,
+) -> Table:
+    columns = [
+        Column(ColumnInfo(table_id, i, cname, typ), data, validity)
+        for i, (cname, typ, data, validity) in enumerate(cols)
+    ]
+    return Table(table_id, name, columns, fragment_size)

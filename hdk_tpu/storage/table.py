@@ -1,0 +1,223 @@
+"""Columnar in-memory tables: the TPU analog of ArrowStorage.
+
+Reference: omniscidb/ArrowStorage/ArrowStorage.h:29-135 — tables are
+per-column chunked arrays split into row fragments with per-fragment
+min/max/null stats (``computeStats`` ArrowStorage.h:221) used for
+fragment skipping (Execute.h:540 skipFragmentPair).
+
+TPU-native design:
+  * Host tier: columns are contiguous numpy arrays + optional validity
+    masks (Arrow-style), staged for zero-copy handoff to jax.
+  * Device tier: on first use a column is transferred to the default
+    device (or sharded over a mesh axis for multi-chip runs) and cached;
+    this replaces the reference's CPU->GPU BufferMgr chunk pinning
+    (DataMgr/BufferMgr).
+  * Fragments are logical row ranges kept for (a) stats-based pruning and
+    (b) the row-shard axis when distributing over a mesh.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import types as t
+from .dictionary import NULL_CODE, StringDictionary
+
+ROWID_NAME = "rowid"  # hidden virtual column (reference: ArrowStorage rowid)
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    """reference: SchemaMgr/ColumnInfo.h."""
+
+    table_id: int
+    col_idx: int
+    name: str
+    type: t.Type
+    is_rowid: bool = False
+
+
+@dataclass(frozen=True)
+class FragmentStats:
+    """Per-fragment per-column stats (reference: ChunkMetadata min/max/nulls,
+    ArrowStorage::computeStats ArrowStorage.h:221)."""
+
+    row_start: int
+    row_end: int
+    min_val: Optional[float]
+    max_val: Optional[float]
+    null_count: int
+
+
+class Column:
+    """One column: host numpy data (+validity) with a cached device copy."""
+
+    def __init__(
+        self,
+        info: ColumnInfo,
+        data: np.ndarray,
+        validity: Optional[np.ndarray] = None,
+    ) -> None:
+        assert data.ndim == 1
+        if validity is not None:
+            assert validity.dtype == np.bool_ and validity.shape == data.shape
+            if bool(validity.all()):
+                validity = None
+        self.info = info
+        self.data = data
+        self.validity = validity  # True = valid (Arrow convention)
+        self._device: Optional[Tuple[object, object]] = None
+        self._lock = threading.Lock()
+
+    @property
+    def type(self) -> t.Type:
+        return self.info.type
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def has_nulls(self) -> bool:
+        return self.validity is not None
+
+    def device_arrays(self):
+        """(data, mask_or_None) as jax arrays, cached.
+
+        Replaces the reference's chunk fetch path
+        (DataMgr::getBuffer -> ArrowStorage::fetchBuffer, ArrowStorage.h:65).
+        """
+        if self._device is None:
+            with self._lock:
+                if self._device is None:
+                    import jax.numpy as jnp
+
+                    data = jnp.asarray(self.data)
+                    mask = jnp.asarray(self.validity) if self.validity is not None else None
+                    self._device = (data, mask)
+        return self._device
+
+    def drop_device_cache(self) -> None:
+        self._device = None
+
+    def fragment_stats(self, row_start: int, row_end: int) -> FragmentStats:
+        sl = self.data[row_start:row_end]
+        if self.validity is not None:
+            v = self.validity[row_start:row_end]
+            nulls = int((~v).sum())
+            sl = sl[v]
+        else:
+            nulls = 0
+        if sl.size == 0 or sl.dtype == object or sl.dtype == np.bool_:
+            return FragmentStats(row_start, row_end, None, None, nulls)
+        return FragmentStats(row_start, row_end, sl.min().item(), sl.max().item(), nulls)
+
+
+class Table:
+    """An in-memory columnar table split into row fragments."""
+
+    def __init__(
+        self,
+        table_id: int,
+        name: str,
+        columns: Sequence[Column],
+        fragment_size: int,
+    ) -> None:
+        assert columns, "table must have at least one column"
+        nrows = len(columns[0])
+        for c in columns:
+            assert len(c) == nrows, "ragged columns"
+        self.table_id = table_id
+        self.name = name
+        self.columns: List[Column] = list(columns)
+        self._by_name: Dict[str, Column] = {c.info.name: c for c in columns}
+        self.nrows = nrows
+        self.fragment_size = max(1, fragment_size)
+        self._stats: Dict[Tuple[int, int], FragmentStats] = {}
+        self._stats_lock = threading.Lock()
+
+    # -- schema -------------------------------------------------------------
+    def column_names(self, include_rowid: bool = False) -> List[str]:
+        return [
+            c.info.name
+            for c in self.columns
+            if include_rowid or not c.info.is_rowid
+        ]
+
+    def column(self, name: str) -> Column:
+        col = self._by_name.get(name)
+        if col is None:
+            if name == ROWID_NAME:
+                return self._make_rowid()
+            raise KeyError(f"no column {name!r} in table {self.name!r}")
+        return col
+
+    def column_info(self, name: str) -> ColumnInfo:
+        return self.column(name).info
+
+    def _make_rowid(self) -> Column:
+        info = ColumnInfo(self.table_id, len(self.columns), ROWID_NAME,
+                          t.int64(nullable=False), is_rowid=True)
+        col = Column(info, np.arange(self.nrows, dtype=np.int64))
+        self._by_name[ROWID_NAME] = col
+        self.columns.append(col)
+        return col
+
+    # -- fragments ----------------------------------------------------------
+    @property
+    def fragments(self) -> List[Tuple[int, int]]:
+        out = []
+        start = 0
+        while start < self.nrows:
+            out.append((start, min(start + self.fragment_size, self.nrows)))
+            start += self.fragment_size
+        return out or [(0, 0)]
+
+    def stats(self, name: str, frag: Tuple[int, int]) -> FragmentStats:
+        key = (self.column(name).info.col_idx, frag[0])
+        with self._stats_lock:
+            st = self._stats.get(key)
+            if st is None:
+                st = self.column(name).fragment_stats(*frag)
+                self._stats[key] = st
+        return st
+
+    def column_range(self, name: str) -> Tuple[Optional[float], Optional[float], bool]:
+        """Whole-table (min, max, has_nulls) from fragment stats — drives
+        perfect-hash layout choice (reference: ColumnarResults /
+        getExpressionRange over chunk metadata)."""
+        lo: Optional[float] = None
+        hi: Optional[float] = None
+        has_nulls = False
+        for frag in self.fragments:
+            st = self.stats(name, frag)
+            has_nulls |= st.null_count > 0
+            if st.min_val is not None:
+                lo = st.min_val if lo is None else min(lo, st.min_val)
+                hi = st.max_val if hi is None else max(hi, st.max_val)
+        return lo, hi, has_nulls
+
+    # -- append (reference: ArrowStorage::appendArrowTable :851) ------------
+    def append(self, columns: Sequence[Column]) -> None:
+        assert len(columns) == len([c for c in self.columns if not c.info.is_rowid])
+        self._by_name.pop(ROWID_NAME, None)
+        self.columns = [c for c in self.columns if not c.info.is_rowid]
+        new_cols: List[Column] = []
+        for old, new in zip(self.columns, columns):
+            assert old.type.physical_dtype() == new.data.dtype, (
+                f"append dtype mismatch on {old.info.name}"
+            )
+            data = np.concatenate([old.data, new.data])
+            if old.validity is None and new.validity is None:
+                validity = None
+            else:
+                va = old.validity if old.validity is not None else np.ones(len(old), np.bool_)
+                vb = new.validity if new.validity is not None else np.ones(len(new), np.bool_)
+                validity = np.concatenate([va, vb])
+            new_cols.append(Column(old.info, data, validity))
+        self.columns = new_cols
+        self._by_name = {c.info.name: c for c in new_cols}
+        self.nrows = len(new_cols[0]) if new_cols else 0
+        self._stats.clear()

@@ -1,0 +1,132 @@
+"""Datetime semantics vs pandas (reference: ExtractFromTime.cpp,
+DateTruncate.cpp, DateAdd.cpp tables; Tests date/time suites)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture(scope="module")
+def ts_data(rng):
+    # timestamps across years incl. pre-epoch, leap years, DST-free UTC
+    base = pd.Timestamp("1965-01-01")
+    offsets = rng.integers(0, 3650 * 4, 500)  # days over ~40 years
+    secs = rng.integers(0, 86400, 500)
+    ts = base + pd.to_timedelta(offsets, unit="D") + pd.to_timedelta(secs, unit="s")
+    return pd.DataFrame({"ts": ts})
+
+
+@pytest.fixture(scope="module")
+def ht(hdk, ts_data):
+    return hdk.import_pandas(ts_data, name="dt_t")
+
+
+@pytest.mark.parametrize("field,pdattr", [
+    ("year", lambda s: s.dt.year),
+    ("quarter", lambda s: s.dt.quarter),
+    ("month", lambda s: s.dt.month),
+    ("day", lambda s: s.dt.day),
+    ("hour", lambda s: s.dt.hour),
+    ("minute", lambda s: s.dt.minute),
+    ("second", lambda s: s.dt.second),
+    ("doy", lambda s: s.dt.dayofyear),
+    ("isodow", lambda s: s.dt.dayofweek + 1),
+    ("dow", lambda s: (s.dt.dayofweek + 1) % 7),
+    ("week", lambda s: s.dt.isocalendar().week.astype("int64")),
+])
+def test_extract(ht, ts_data, field, pdattr):
+    res = ht.proj(x=ht["ts"].extract(field)).run().to_pandas()
+    exp = pdattr(ts_data["ts"])
+    np.testing.assert_array_equal(res["x"].to_numpy(), exp.to_numpy(),
+                                  err_msg=field)
+
+
+@pytest.mark.parametrize("field,freq", [
+    ("year", "YS"), ("quarter", "QS"), ("month", "MS"),
+    ("day", "D"), ("hour", "h"), ("minute", "min"),
+])
+def test_date_trunc(ht, ts_data, field, freq):
+    res = ht.proj(x=ht["ts"].trunc(field)).run().to_pandas()
+    if freq in ("YS", "QS", "MS"):
+        exp = ts_data["ts"].dt.to_period(freq[0] if freq != "QS" else "Q").dt.start_time
+    else:
+        exp = ts_data["ts"].dt.floor(freq)
+    np.testing.assert_array_equal(
+        res["x"].to_numpy().astype("datetime64[us]"),
+        exp.to_numpy().astype("datetime64[us]"), err_msg=field)
+
+
+def test_trunc_week_is_monday(ht, ts_data):
+    res = ht.proj(x=ht["ts"].trunc("week")).run().to_pandas()
+    got = pd.to_datetime(res["x"])
+    assert (got.dt.dayofweek == 0).all()
+    assert ((ts_data["ts"].dt.normalize() - got).dt.days < 7).all()
+
+
+@pytest.mark.parametrize("field,n", [
+    ("day", 40), ("month", 5), ("year", 2), ("hour", -30), ("month", -13),
+])
+def test_date_add(ht, ts_data, field, n):
+    res = ht.proj(x=ht["ts"].add_interval(n, field)).run().to_pandas()
+    exp = ts_data["ts"] + pd.DateOffset(**{field + "s": n})
+    np.testing.assert_array_equal(
+        res["x"].to_numpy().astype("datetime64[us]"),
+        exp.to_numpy().astype("datetime64[us]"), err_msg=f"{field}{n}")
+
+
+def test_date_add_month_clamps(hdk):
+    ht = hdk.import_pydict(
+        {"d": np.asarray(["2020-01-31", "2020-02-29"], dtype="datetime64[s]")},
+        name="clamp_t")
+    res = ht.proj(x=ht["d"].add_interval(1, "month"),
+                  y=ht["d"].add_interval(12, "month")).run().to_pandas()
+    assert str(res["x"][0])[:10] == "2020-02-29"
+    assert str(res["x"][1])[:10] == "2020-03-29"
+    assert str(res["y"][1])[:10] == "2021-02-28"  # leap day + 1y clamps
+
+
+def test_date_diff(hdk):
+    ht = hdk.import_pydict({
+        "a": np.asarray(["2020-01-31", "2020-03-01", "1969-06-01"],
+                        dtype="datetime64[s]"),
+        "b": np.asarray(["2020-03-01", "2020-01-31", "1972-06-01"],
+                        dtype="datetime64[s]"),
+    }, name="diff_t")
+    res = ht.proj(d=ht["a"].diff("day", ht["b"]),
+                  m=ht["a"].diff("month", ht["b"]),
+                  y=ht["a"].diff("year", ht["b"])).run().to_pandas()
+    assert list(res["d"]) == [30, -30, 1096]
+    assert list(res["m"]) == [1, -1, 36]
+    assert list(res["y"]) == [0, 0, 3]
+
+
+def test_date32_column(hdk):
+    dates = np.asarray(["2021-03-14", "1999-12-31", "1970-01-01"],
+                       dtype="datetime64[D]")
+    ht = hdk.import_pydict({"d": dates}, name="d32_t")
+    res = ht.proj(y=ht["d"].extract("year"), m=ht["d"].extract("month"),
+                  dom=ht["d"].extract("day")).run().to_pandas()
+    assert list(res["y"]) == [2021, 1999, 1970]
+    assert list(res["m"]) == [3, 12, 1]
+    assert list(res["dom"]) == [14, 31, 1]
+
+
+def test_timestamp_literal_compare(hdk, ht, ts_data):
+    lit = hdk.timestamp("2000-01-01T00:00:00", unit="us")
+    res = ht.filter(ht["ts"] >= lit).run()
+    exp = (ts_data["ts"] >= pd.Timestamp("2000-01-01")).sum()
+    assert res.row_count == exp
+
+
+def test_extract_on_groupby_key(ht, ts_data):
+    # the taxi Q3 pattern: GROUP BY extract(year from ts)
+    res = ht.agg(ht["ts"].extract("year").name("y"), "count").run().to_pandas()
+    exp = ts_data["ts"].dt.year.value_counts().sort_index()
+    assert list(res.sort_values("y")["count"]) == list(exp.values)

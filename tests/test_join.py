@@ -1,0 +1,153 @@
+"""Join tests, differential vs pandas merge
+(reference: Tests/JoinHashTableTest.cpp, ArrowBasedExecuteTest join suites)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture(scope="module")
+def dfs(rng):
+    n_l, n_r = 3000, 500
+    lhs = pd.DataFrame({
+        "k": rng.integers(0, 600, n_l),
+        "v": rng.normal(size=n_l),
+    })
+    rhs = pd.DataFrame({
+        "k": rng.permutation(600)[:n_r],   # unique keys
+        "w": rng.integers(0, 100, n_r),
+    })
+    dup = pd.DataFrame({
+        "k": rng.integers(0, 50, 200),     # duplicate build keys
+        "u": rng.normal(size=200),
+    })
+    return lhs, rhs, dup
+
+
+@pytest.fixture(scope="module")
+def tables(hdk, dfs):
+    lhs, rhs, dup = dfs
+    return (hdk.import_pandas(lhs, name="join_l"),
+            hdk.import_pandas(rhs, name="join_r"),
+            hdk.import_pandas(dup, name="join_dup"))
+
+
+def test_inner_join_unique_build(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    res = tl.join(tr, "k", "k").run().to_pandas()
+    exp = lhs.merge(rhs, on="k", how="inner", suffixes=("", "_r"))
+    exp = exp.rename(columns={"k": "k"})
+    exp.insert(2, "k_r", exp["k"])
+    assert_frames_match(res, exp[["k", "v", "k_r", "w"]])
+
+
+def test_inner_join_one_to_many(tables, dfs):
+    tl, _, td = tables
+    lhs, _, dup = dfs
+    res = tl.join(td, "k", "k").run().to_pandas()
+    exp = lhs.merge(dup, on="k", how="inner")
+    exp.insert(2, "k_r", exp["k"])
+    assert_frames_match(res, exp[["k", "v", "k_r", "u"]])
+
+
+def test_left_join(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    res = tl.join(tr, "k", "k", how="left").run().to_pandas()
+    exp = lhs.merge(rhs, on="k", how="left")
+    exp.insert(2, "k_r", exp["k"].where(exp["w"].notna()))
+    assert_frames_match(res, exp[["k", "v", "k_r", "w"]])
+
+
+def test_semi_join(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    res = tl.join(tr, "k", "k", how="semi").run().to_pandas()
+    exp = lhs[lhs["k"].isin(rhs["k"])]
+    assert_frames_match(res, exp)
+
+
+def test_anti_join(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    res = tl.join(tr, "k", "k", how="anti").run().to_pandas()
+    exp = lhs[~lhs["k"].isin(rhs["k"])]
+    assert_frames_match(res, exp)
+
+
+def test_multikey_join(hdk, rng):
+    n = 1000
+    lhs = pd.DataFrame({"a": rng.integers(0, 10, n),
+                        "b": rng.integers(0, 10, n),
+                        "v": np.arange(n)})
+    rhs = pd.DataFrame({"a": np.repeat(np.arange(10), 10),
+                        "b": np.tile(np.arange(10), 10),
+                        "w": np.arange(100) * 2})
+    tl = hdk.import_pandas(lhs, name="mk_l")
+    tr = hdk.import_pandas(rhs, name="mk_r")
+    res = tl.join(tr, ["a", "b"], ["a", "b"]).run().to_pandas()
+    exp = lhs.merge(rhs, on=["a", "b"], how="inner")
+    exp.insert(3, "a_r", exp["a"])
+    exp.insert(4, "b_r", exp["b"])
+    assert_frames_match(res, exp[["a", "b", "v", "a_r", "b_r", "w"]])
+
+
+def test_null_keys_never_match(hdk):
+    lhs = {"k": [1, None, 2, None], "v": [1, 2, 3, 4]}
+    rhs = {"k": [1, None, 3], "w": [10, 20, 30]}
+    tl = hdk.import_pydict(lhs, name="nk_l")
+    tr = hdk.import_pydict(rhs, name="nk_r")
+    res = tl.join(tr, "k", "k").run().to_pandas()
+    assert res.shape[0] == 1
+    assert res["v"][0] == 1 and res["w"][0] == 10
+    # anti: null-key lhs rows are kept (NOT EXISTS semantics)
+    anti = tl.join(tr, "k", "k", how="anti").run().to_pandas()
+    assert sorted(anti["v"]) == [2, 3, 4]
+
+
+def test_string_key_join(hdk):
+    tl = hdk.import_pydict({"s": ["a", "b", "c", "a"], "v": [1, 2, 3, 4]},
+                           name="sk_l")
+    tr = hdk.import_pydict({"s": ["a", "c"], "w": [10, 30]}, name="sk_r")
+    res = tl.join(tr, "s", "s").run().to_pandas()
+    exp = pd.DataFrame({"s": ["a", "a", "c"], "v": [1, 4, 3],
+                        "s_r": ["a", "a", "c"], "w": [10, 10, 30]})
+    assert_frames_match(res, exp)
+
+
+def test_join_residual_condition(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    cond = tl["v"] > tr["w"].cast("fp64") / 100.0
+    res = tl.join(tr, "k", "k", cond=cond).run().to_pandas()
+    exp = lhs.merge(rhs, on="k", how="inner")
+    exp = exp[exp["v"] > exp["w"] / 100.0]
+    exp.insert(2, "k_r", exp["k"])
+    assert_frames_match(res, exp[["k", "v", "k_r", "w"]])
+
+
+def test_join_then_groupby(tables, dfs):
+    tl, tr, _ = tables
+    lhs, rhs, _ = dfs
+    joined = tl.join(tr, "k", "k")
+    res = joined.agg("w", "count", "sum(v)").run().to_pandas()
+    m = lhs.merge(rhs, on="k", how="inner")
+    exp = m.groupby("w").agg(count=("w", "size"), v_sum=("v", "sum")).reset_index()
+    assert_frames_match(res, exp)
+
+
+def test_empty_probe_and_build(hdk):
+    tl = hdk.import_pydict({"k": [1, 2], "v": [1, 2]}, name="ej_l")
+    tr = hdk.import_pydict({"k": [5], "w": [9]}, name="ej_r")
+    assert tl.join(tr, "k", "k").run().row_count == 0
+    left = tl.join(tr, "k", "k", how="left").run().to_pandas()
+    assert left.shape[0] == 2 and left["w"].isna().all()
