@@ -98,13 +98,21 @@ def engine_suite(data):
     return {"q1": q1, "q2": q2, "q3": q3, "q4": q4}
 
 
+def _settle(result):
+    """Block until the result's device computation finished (jax dispatch
+    is async; without this the timer measures only enqueue latency)."""
+    if hasattr(result, "block"):
+        result.block()
+    return result
+
+
 def time_fn(fn, warmup: int = 1, iters: int = 3) -> float:
     for _ in range(warmup):
-        fn()
+        _settle(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn()
+        _settle(fn())
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 

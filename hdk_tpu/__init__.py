@@ -56,12 +56,28 @@ class QueryResult:
 
     def __init__(self, session: "HDK", table: ExecTable) -> None:
         self._session = session
-        self._table = table
+        self._table = table  # may carry a lazy row_mask; compacted on use
         self._registered = None
+
+    def _dense(self) -> ExecTable:
+        if self._table.row_mask is not None:
+            self._table = self._table.compact()
+        return self._table
 
     @property
     def row_count(self) -> int:
-        return self._table.nrows
+        return self._table.live_count()
+
+    def block(self) -> "QueryResult":
+        """Wait for all device computation behind this result (jax
+        dispatch is async; benchmarks must block before stopping timers)."""
+        for c in self._table.columns:
+            c.data.block_until_ready()
+            if c.mask is not None:
+                c.mask.block_until_ready()
+        if self._table.row_mask is not None:
+            self._table.row_mask.block_until_ready()
+        return self
 
     @property
     def schema(self):
@@ -69,10 +85,10 @@ class QueryResult:
 
     def to_arrow(self):
         """reference: ResultSetTableToken::toArrow (_sql.pyx:80-83)."""
-        return _mat.to_arrow(self._table, self._session._dicts)
+        return _mat.to_arrow(self._dense(), self._session._dicts)
 
     def to_pandas(self):
-        return _mat.to_pandas(self._table, self._session._dicts)
+        return _mat.to_pandas(self._dense(), self._session._dicts)
 
     def head(self, n: int = 10):
         import pyarrow as pa
@@ -87,7 +103,7 @@ class QueryResult:
             tid = s._schema.next_table_id(RESULT_SCHEMA_ID)
             tname = f"__result_{tid & 0xFFFFFF}"
             table = _mat.to_storage_table(
-                self._table, tid, tname, s._config.storage.fragment_size)
+                self._dense(), tid, tname, s._config.storage.fragment_size)
             s._schema.register(table)
             self._registered = table
         return self._session.scan(self._registered.name)
@@ -239,12 +255,67 @@ class HDK:
 
     if_then_else = staticmethod(if_then_else)
 
+    # -- window function constructors (reference: hdk.py:2791-2922) ---------
+    def _window(self, kind: "_ir_expr.WindowKind", typ, arg1=None,
+                name: str = "") -> QueryExpr:
+        wf = _ir_expr.WindowFunction(typ, kind, [], [], [], (), arg1)
+        return QueryExpr(wf, name or kind.value)
+
+    def row_number(self) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.ROW_NUMBER, types.int64(False))
+
+    def rank(self) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.RANK, types.int64(False))
+
+    def dense_rank(self) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.DENSE_RANK, types.int64(False))
+
+    def percent_rank(self) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.PERCENT_RANK, types.fp64(False))
+
+    def cume_dist(self) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.CUME_DIST, types.fp64(False))
+
+    def ntile(self, tile_count: int) -> QueryExpr:
+        return self._window(_ir_expr.WindowKind.NTILE, types.int64(False),
+                            arg1=tile_count)
+
+    # -- SQL ----------------------------------------------------------------
+    def sql(self, query: str, **options) -> "QueryResult":
+        """Execute a SQL query (reference: hdk.py:2456 HDK.sql; parser/
+        binder replace the embedded Calcite JVM, SURVEY.md §2.1)."""
+        from .sql.binder import Binder
+
+        node = Binder(self).bind(query)
+        return self._run(node, **options)
+
     # -- execution ----------------------------------------------------------
+    def explain(self, node_or_sql) -> str:
+        """Plan text (reference: EXPLAIN / just_explain,
+        RelAlgExecutor.cpp:239-267)."""
+        from .exec.explain import explain_dag
+        from .exec.optimizer import optimize_dag
+
+        if isinstance(node_or_sql, str):
+            from .sql.binder import Binder
+
+            node = Binder(self).bind(node_or_sql)
+        elif isinstance(node_or_sql, QueryNode):
+            node = node_or_sql.node
+        else:
+            node = node_or_sql
+        dag = optimize_dag(_ir_node.QueryDag(node), self._config)
+        return explain_dag(dag.root)
+
     def _run(self, node, **options) -> QueryResult:
         from .exec.optimizer import optimize_dag
 
         dag = _ir_node.QueryDag(node)
         dag = optimize_dag(dag, self._config)
+        if options.get("just_explain"):
+            from .exec.explain import explain_dag
+
+            return explain_dag(dag.root)  # type: ignore[return-value]
         table = self._executor.execute(dag)
         return QueryResult(self, table)
 

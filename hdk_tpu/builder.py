@@ -259,6 +259,64 @@ class QueryExpr:
     def single_value(self) -> "QueryExpr":
         return self._agg(ir.AggKind.SINGLE_VALUE, self.type.with_nullable(True))
 
+    # -- window functions (reference: hdk.py:2791-2922 + over :1456) --------
+    def over(self, *partition_keys) -> "QueryExpr":
+        """Attach a PARTITION BY to a window shell or aggregate
+        (reference: QueryExpr.over, hdk.py:1456)."""
+        parts = [_to_expr(k) for k in partition_keys]
+        e = self.expr
+        if isinstance(e, ir.WindowFunction):
+            wf = ir.WindowFunction(e.type, e.kind, e.args, parts,
+                                   e.order_keys, e.order_desc, e.arg1)
+        elif isinstance(e, ir.AggExpr):
+            kind = ir.WindowKind(e.kind.value)  # count/sum/min/max/avg
+            args = [e.operand] if e.operand is not None else []
+            wf = ir.WindowFunction(e.type, kind, args, parts, [])
+        else:
+            raise TypeError("over() applies to window functions/aggregates")
+        return QueryExpr(wf, self._name)
+
+    def order_by(self, *keys) -> "QueryExpr":
+        """ORDER BY for a window expression; keys may be (expr, "desc")."""
+        e = self.expr
+        assert isinstance(e, ir.WindowFunction), "order_by() needs a window fn"
+        order = []
+        descs = []
+        for k in keys:
+            if isinstance(k, tuple):
+                order.append(_to_expr(k[0]))
+                descs.append(str(k[1]).lower() in ("desc", "descending"))
+            else:
+                order.append(_to_expr(k))
+                descs.append(False)
+        wf = ir.WindowFunction(e.type, e.kind, e.args, e.partition_keys,
+                               order, descs, e.arg1)
+        return QueryExpr(wf, self._name)
+
+    def lag(self, n: int = 1) -> "QueryExpr":
+        """reference: hdk.py:399."""
+        wf = ir.WindowFunction(self.type.with_nullable(True),
+                               ir.WindowKind.LAG, [self.expr], [], [], (), n)
+        base = self._name or _expr_base_name(self.expr)
+        return QueryExpr(wf, f"{base}_lag" if base else "lag")
+
+    def lead(self, n: int = 1) -> "QueryExpr":
+        """reference: hdk.py:429."""
+        wf = ir.WindowFunction(self.type.with_nullable(True),
+                               ir.WindowKind.LEAD, [self.expr], [], [], (), n)
+        base = self._name or _expr_base_name(self.expr)
+        return QueryExpr(wf, f"{base}_lead" if base else "lead")
+
+    def first_value(self) -> "QueryExpr":
+        wf = ir.WindowFunction(self.type.with_nullable(True),
+                               ir.WindowKind.FIRST_VALUE, [self.expr], [], [])
+        return QueryExpr(wf, "first_value")
+
+    def last_value(self) -> "QueryExpr":
+        wf = ir.WindowFunction(self.type.with_nullable(True),
+                               ir.WindowKind.LAST_VALUE, [self.expr], [], [])
+        return QueryExpr(wf, "last_value")
+
 
 def _expr_base_name(e: ir.Expr) -> Optional[str]:
     if isinstance(e, ir.ColumnRef):

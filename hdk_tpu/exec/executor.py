@@ -1,24 +1,29 @@
-"""Relational executor: runs a QueryDag node-by-node on the device.
+"""Relational executor: compiles DAG steps into fused XLA programs.
 
 This is the TPU-native replacement for the reference's entire
 orchestration+compile+execute stack (reference: RelAlgExecutor::
 executeRelAlgQuery RelAlgExecutor.cpp:158 -> QueryExecutionSequence topo
-sort -> per-step WorkUnit compile (NativeCodegen.cpp:1403) -> kernel
-launch (Execute.cpp:2753) -> reduction (Execute.cpp:1156)).
+sort -> WorkUnitBuilder collects a node subtree into one
+RelAlgExecutionUnit (WorkUnitBuilder.h:25) -> Executor::compileWorkUnit
+(NativeCodegen.cpp:1403) -> kernel launch -> reduction).
 
-Execution model:
-  * Nodes run in topological order (QueryExecutionSequence.cpp:293).
-  * Each step is traced jnp code over device-resident columns; XLA fuses
-    the expression work into the reduction/sort/scatter kernels — the
-    tracer plays the role of the reference's LLVM row_func codegen.
-  * Data-dependent result sizes (filters, joins, group counts) are
-    resolved with ONE host sync per step, then buffers are compacted on
-    device with static shapes.  This mirrors the reference's two-pass
-    count-then-fill designs (HashJoinRuntime.h:181, shuffle
-    RelAlgExecutor.cpp:748-794) and keeps every traced computation
-    static-shaped for XLA.
-  * Step results stay on device as ExecTable; registering them as
-    temp tables (ResultSetRegistry analog) enables chained queries.
+Execution model (the WorkUnit analog):
+  * A **step** is a maximal Scan/source -> Project/Filter chain capped by
+    a terminal (Aggregate/Sort/Join/materialize).  The whole step is
+    traced into ONE jitted XLA program — projections and filter
+    predicates fuse into the terminal's reduction/sort, exactly like the
+    reference compiles quals+exprs into a single row_func.
+  * Compiled steps are cached by structural plan hash
+    (exec/codecache.py; reference: CodeCacheAccessor.h:25).
+  * Filters don't compact: they accumulate a row validity mask carried
+    on the step result (``ExecTable.row_mask``), consumed for free by
+    aggregation (dead rows route to a discard segment).  Compaction
+    happens only where an op truly needs dense rows (join inputs,
+    union, final materialization) — one host sync for the count, then a
+    device gather (the reference's count-then-fill two-pass shape).
+  * Perfect-hash layout is chosen from *static* expression ranges over
+    fragment stats (exec/ranges.py; reference: ExpressionRange.cpp), so
+    the common group-by compiles with zero data-dependent syncs.
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,19 +42,45 @@ from ..ir import node as nd
 from ..utils.timer import DebugTimer
 from . import groupby as gb
 from . import join as jn
+from . import ranges as rng
 from . import sort as srt
+from .codecache import CodeCache, chain_key
 from .masked import MaskedCol, combine_masks
 from .scalar import ExecError, ScalarCompiler
 
 
 @dataclass
 class ExecTable:
-    """Device-side step result: equal-length masked columns."""
+    """Device-side step result.
+
+    ``nrows`` is the buffer capacity; ``row_mask`` (optional) marks live
+    rows — the lazy-compaction representation (reference: dense group
+    buffers with empty entries skipped at iteration,
+    ResultSetIteration.cpp).  ``live`` is the host-synced live count,
+    cached after first use.
+    """
 
     fields: List[str]
     types: List[t.Type]
     columns: List[MaskedCol]
     nrows: int
+    row_mask: Optional[jnp.ndarray] = None
+    _live: Optional[int] = None
+
+    def live_count(self) -> int:
+        if self.row_mask is None:
+            return self.nrows
+        if self._live is None:
+            self._live = int(self.row_mask.sum())  # host sync
+        return self._live
+
+    def compact(self) -> "ExecTable":
+        """Dense copy with dead rows removed (one sync + gather)."""
+        if self.row_mask is None:
+            return self
+        n = self.live_count()
+        idx = jnp.flatnonzero(self.row_mask, size=n)
+        return self.gather(idx)
 
     def column_by_name(self, name: str) -> MaskedCol:
         return self.columns[self.fields.index(name)]
@@ -70,6 +102,10 @@ class ExecTable:
         return ExecTable(list(fields), list(types), cols, 0)
 
 
+# nodes that are fused into their consumer's step rather than executed
+_CHAIN_NODES = (nd.Project, nd.Filter)
+
+
 class Executor:
     """Per-session engine (reference: Executor singleton, Execute.h:229)."""
 
@@ -78,50 +114,149 @@ class Executor:
         self.dicts = dicts
         self.config = config
         self.scalar = ScalarCompiler(dicts)
+        self.code_cache = CodeCache()
+        # probed perfect-hash layouts keyed by (plan, input buffer ids) —
+        # avoids re-syncing min/max for repeated queries over the same
+        # arrays (reference: col-range cache, Execute.h col-range cache)
+        self._layout_cache: Dict = {}
 
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
+        import time as _time
+
         results: Dict[int, ExecTable] = {}
-        for node in dag.topo_order():
+        order = dag.topo_order()
+        wd = self.config.exec.watchdog
+        deadline = (_time.monotonic() + wd.time_limit_ms / 1e3
+                    if wd.enable and wd.time_limit_ms else None)
+        for node in order:
+            if isinstance(node, _CHAIN_NODES) and node is not dag.root:
+                continue  # fused into the consuming terminal
+            # watchdog: static row budget + step deadline (reference:
+            # DynamicWatchdog cycle budget, Shared/Config.h:20-26)
+            if wd.enable:
+                for inp in node.inputs:
+                    got = results.get(inp.id)
+                    if got is not None and got.nrows > wd.max_rows_per_step:
+                        raise ExecError(
+                            f"watchdog: step input of {got.nrows} rows "
+                            f"exceeds budget {wd.max_rows_per_step}")
+                if deadline is not None and _time.monotonic() > deadline:
+                    raise ExecError("watchdog: query time budget exceeded")
             with DebugTimer(f"step:{type(node).__name__}#{node.id}"):
-                results[node.id] = self._exec_node(node, results)
+                results[node.id] = self._exec_step(node, results)
         return results[dag.root.id]
 
     # ------------------------------------------------------------------
-    def _exec_node(self, node: nd.Node, results: Dict[int, ExecTable]) -> ExecTable:
+    # chain resolution (WorkUnitBuilder analog)
+    # ------------------------------------------------------------------
+    def _resolve_chain(self, node: nd.Node, results) -> Tuple[ExecTable, List[nd.Node], nd.Node]:
+        """Walk back through Project/Filter to the materialized source.
+        Returns (source_table, chain_in_exec_order, source_node)."""
+        chain: List[nd.Node] = []
+        cur = node
+        while isinstance(cur, _CHAIN_NODES) and cur.id not in results:
+            chain.append(cur)
+            cur = cur.inputs[0]
+        chain.reverse()
+        return self._source_table(cur, results), chain, cur
+
+    def _source_table(self, node: nd.Node, results) -> ExecTable:
+        got = results.get(node.id)
+        if got is not None:
+            return got
         if isinstance(node, nd.Scan):
-            return self._exec_scan(node)
-        if isinstance(node, nd.Project):
-            return self._exec_project(node, results)
-        if isinstance(node, nd.Filter):
-            return self._exec_filter(node, results)
+            tbl = self._exec_scan(node)
+            results[node.id] = tbl
+            return tbl
+        raise ExecError(f"source node {node!r} has no result")
+
+    def _dict_generation_sig(self, chain: List[nd.Node],
+                             terminal: Optional[nd.Node]) -> str:
+        """Dictionary content feeds trace-time constants (LIKE code sets,
+        translation maps); include dict sizes in the cache key so a grown
+        dictionary invalidates compiled steps (reference: string dict
+        generations, StringDictionaryGenerations)."""
+        ids = set()
+
+        def scan_expr(e: ir.Expr):
+            typ = e.type
+            if typ.is_dict_encoded_string():
+                ids.add(typ.dict_id)  # type: ignore[attr-defined]
+            for o in e.operands():
+                scan_expr(o)
+
+        for n in list(chain) + ([terminal] if terminal is not None else []):
+            if isinstance(n, nd.Project):
+                for e in n.exprs:
+                    scan_expr(e)
+            elif isinstance(n, nd.Filter):
+                scan_expr(n.condition)
+            elif isinstance(n, nd.Aggregate):
+                for e in list(n.keys) + list(n.aggs):
+                    scan_expr(e)
+            elif isinstance(n, nd.Join):
+                for l, r in n.key_pairs:
+                    scan_expr(l)
+                    scan_expr(r)
+        if not ids:
+            return ""
+        return ";".join(f"d{i}:{len(self.dicts.get(i))}" for i in sorted(ids))
+
+    def _chain_env(self, source_node: nd.Node, source_cols, chain: List[nd.Node],
+                   row_mask):
+        """Trace the Project/Filter chain; returns (env, final_node,
+        row_mask).  Runs inside jit."""
+        env: Dict[int, List[MaskedCol]] = {source_node.id: list(source_cols)}
+        final = source_node
+        nrows = source_cols[0].data.shape[0] if source_cols else 0
+
+        def resolver_for(n: nd.Node):
+            def resolve(ref: ir.ColumnRef) -> MaskedCol:
+                cols = env.get(ref.node.id)
+                if cols is None:
+                    raise ExecError(
+                        f"expression references node {ref.node!r} which is "
+                        f"not an input of this step")
+                return cols[ref.index]
+
+            return resolve
+
+        for n in chain:
+            resolve = resolver_for(n)
+            if isinstance(n, nd.Project):
+                env[n.id] = [
+                    _broadcast(self.scalar.evaluate(e, resolve, row_mask),
+                               nrows)
+                    for e in n.exprs
+                ]
+            else:  # Filter
+                cond = self.scalar.evaluate(n.condition, resolve)
+                m = cond.data.astype(jnp.bool_)
+                if cond.mask is not None:
+                    m = m & cond.mask
+                m = jnp.broadcast_to(m, (nrows,))
+                row_mask = m if row_mask is None else (row_mask & m)
+                env[n.id] = env[n.inputs[0].id]
+        return env, (chain[-1] if chain else source_node), row_mask
+
+    # ------------------------------------------------------------------
+    def _exec_step(self, node: nd.Node, results) -> ExecTable:
+        if isinstance(node, nd.Scan):
+            return self._source_table(node, results)
+        if isinstance(node, _CHAIN_NODES):
+            return self._exec_chain_root(node, results)
         if isinstance(node, nd.Aggregate):
             return self._exec_aggregate(node, results)
-        if isinstance(node, nd.Join):
-            return self._exec_join(node, results)
         if isinstance(node, nd.Sort):
             return self._exec_sort(node, results)
+        if isinstance(node, nd.Join):
+            return self._exec_join(node, results)
         if isinstance(node, nd.LogicalUnion):
             return self._exec_union(node, results)
         if isinstance(node, nd.LogicalValues):
             return self._exec_values(node)
         raise ExecError(f"cannot execute node {node!r}")
-
-    # ------------------------------------------------------------------
-    def _resolver(self, results: Dict[int, ExecTable]) -> Callable:
-        def resolve(ref: ir.ColumnRef) -> MaskedCol:
-            table = results[ref.node.id]
-            return table.columns[ref.index]
-
-        return resolve
-
-    def _broadcast(self, col: MaskedCol, nrows: int) -> MaskedCol:
-        if col.data.ndim == 0:
-            data = jnp.broadcast_to(col.data, (nrows,))
-            mask = (jnp.broadcast_to(col.mask, (nrows,))
-                    if col.mask is not None else None)
-            return MaskedCol(data, mask)
-        return col
 
     # ------------------------------------------------------------------
     def _exec_scan(self, node: nd.Scan) -> ExecTable:
@@ -132,111 +267,299 @@ class Executor:
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          node.table.nrows)
 
-    def _exec_project(self, node: nd.Project, results) -> ExecTable:
-        inp = results[node.inputs[0].id]
-        resolve = self._resolver(results)
-        cols = [
-            self._broadcast(self.scalar.evaluate(e, resolve), inp.nrows)
-            for e in node.exprs
-        ]
-        return ExecTable(list(node.fields), list(node.output_types), cols,
-                         inp.nrows)
+    # ------------------------------------------------------------------
+    def _exec_chain_root(self, node: nd.Node, results) -> ExecTable:
+        """Root of the DAG is a bare Project/Filter chain: materialize it."""
+        source, chain, src_node = self._resolve_chain(node, results)
+        if source.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+        key = chain_key(_schema_sig(source), chain, None,
+                        self._dict_generation_sig(chain, None))
 
-    def _exec_filter(self, node: nd.Filter, results) -> ExecTable:
-        inp = results[node.inputs[0].id]
-        if inp.nrows == 0:
-            return inp
-        resolve = self._resolver(results)
-        cond = self.scalar.evaluate(node.condition, resolve)
-        mask = cond.data.astype(jnp.bool_)
-        if cond.mask is not None:  # NULL condition filters the row out
-            mask = mask & cond.mask
-        mask = jnp.broadcast_to(mask, (inp.nrows,))
-        n = int(mask.sum())  # host sync: result cardinality
-        idx = jnp.flatnonzero(mask, size=n)
-        return inp.gather(idx)
+        def build():
+            def fn(source_cols, row_mask):
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask)
+                return env[final.id], rm
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, rm = fn(source.columns, source.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         source.nrows, rm)
 
     # ------------------------------------------------------------------
     def _exec_aggregate(self, node: nd.Aggregate, results) -> ExecTable:
-        inp = results[node.inputs[0].id]
-        resolve = self._resolver(results)
-        specs: List[gb.AggSpec] = []
+        source, chain, src_node = self._resolve_chain(node.inputs[0], results)
+        specs_meta = [
+            (a.kind, a.type, a.distinct, a.arg1, a.interpolation)
+            for a in node.aggs
+        ]
+
+        if not node.keys:
+            return self._agg_nogroup(node, source, chain, src_node)
+
+        if source.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+
+        # layout choice from static ranges (no device sync); if stats
+        # can't bound a key, probe min/max on device — one tiny kernel +
+        # sync (reference: ExpressionRange falls back to runtime metadata)
+        layout = self._static_perfect_layout(node)
+        if layout is None:
+            layout = self._dynamic_perfect_layout(node, source, chain,
+                                                  src_node)
+        cap = min(source.nrows,
+                  self.config.exec.group_by.default_max_groups)
+        extra = (f"layout={layout.mins}/{layout.sizes}" if layout
+                 else f"sortcap={cap}")
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node) + extra)
+
+        def build():
+            def fn(source_cols, row_mask):
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                nrows = source_cols[0].data.shape[0]
+                keys = [
+                    _broadcast(self.scalar.evaluate(k, resolve), nrows)
+                    for k in node.keys
+                ]
+                specs = self._build_specs(node, resolve, nrows)
+                if layout is not None:
+                    kc, ac, exists = gb.groupby_perfect(keys, layout, specs, rm)
+                    return kc, ac, exists, None
+                kc, ac, exists, n_groups = gb.groupby_sort(
+                    keys, specs, cap, row_valid=rm)
+                return kc, ac, exists, n_groups
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        key_cols, agg_cols, exists, n_groups = fn(source.columns,
+                                                  source.row_mask)
+        cols = list(key_cols) + list(agg_cols)
+        if layout is not None:
+            return ExecTable(list(node.fields), list(node.output_types), cols,
+                             layout.entry_count, exists)
+        n = int(n_groups)  # host sync: group count
+        trim = self.code_cache.get_or_build(
+            key + f"|trim{n}",
+            lambda: jax.jit(lambda cs: [
+                MaskedCol(c.data[:n],
+                          c.mask[:n] if c.mask is not None else None)
+                for c in cs
+            ]))
+        return ExecTable(list(node.fields), list(node.output_types),
+                         trim(cols), n)
+
+    def _agg_nogroup(self, node: nd.Aggregate, source: ExecTable,
+                     chain, src_node) -> ExecTable:
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node) + "nogroup")
+
+        def build():
+            def fn(source_cols, row_mask):
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                nrows = source_cols[0].data.shape[0] if source_cols else 0
+                specs = self._build_specs(node, resolve, nrows)
+                scalars = gb.nogroup_agg(specs, nrows, rm)
+                return [
+                    MaskedCol(jnp.reshape(s.data, (1,)),
+                              jnp.reshape(s.mask, (1,))
+                              if s.mask is not None else None)
+                    for s in scalars
+                ]
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols = fn(source.columns, source.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols, 1)
+
+    def _build_specs(self, node: nd.Aggregate, resolve, nrows) -> List[gb.AggSpec]:
+        specs = []
         for agg in node.aggs:
             operand = None
             if agg.operand is not None:
-                operand = self._broadcast(
-                    self.scalar.evaluate(agg.operand, resolve), inp.nrows)
+                operand = _broadcast(
+                    self.scalar.evaluate(agg.operand, resolve), nrows)
             specs.append(gb.AggSpec(agg.kind, operand, agg.type, agg.distinct,
                                     agg.arg1, agg.interpolation))
+        return specs
 
-        if not node.keys:
-            scalars = gb.nogroup_agg(specs, inp.nrows, None)
-            cols = [MaskedCol(jnp.reshape(s.data, (1,)),
-                              jnp.reshape(s.mask, (1,)) if s.mask is not None else None)
-                    for s in scalars]
-            return ExecTable(list(node.fields), list(node.output_types), cols, 1)
-
-        if inp.nrows == 0:
-            return ExecTable.empty(node.fields, node.output_types)
-
-        keys = [
-            self._broadcast(self.scalar.evaluate(k, resolve), inp.nrows)
-            for k in node.keys
-        ]
-        key_types = [k.type for k in node.keys]
-
-        layout = self._perfect_layout(keys, key_types)
-        if layout is not None:
-            key_cols, agg_cols, exists = gb.groupby_perfect(
-                keys, layout, specs, None)
-            n = int(exists.sum())  # host sync: observed group count
-            idx = jnp.flatnonzero(exists, size=n)
-            cols = [MaskedCol(c.data[idx],
-                              c.mask[idx] if c.mask is not None else None)
-                    for c in key_cols + agg_cols]
-            return ExecTable(list(node.fields), list(node.output_types), cols, n)
-
-        cap = min(inp.nrows, self.config.exec.group_by.default_max_groups)
-        key_cols, agg_cols, exists, n_groups = gb.groupby_sort(keys, specs, cap)
-        n = int(n_groups)  # host sync: group count
-        cols = [MaskedCol(c.data[:n], c.mask[:n] if c.mask is not None else None)
-                for c in key_cols + agg_cols]
-        return ExecTable(list(node.fields), list(node.output_types), cols, n)
-
-    def _perfect_layout(self, keys: Sequence[MaskedCol],
-                        key_types: Sequence[t.Type]):
-        """Key ranges via a cheap device reduction + host sync (the
-        reference derives them from chunk metadata / expression ranges;
-        here post-expression data is the authority)."""
+    def _static_perfect_layout(self, node: nd.Aggregate):
         ranges = []
-        for k, ty in zip(keys, key_types):
-            ok = (ty.is_integer() or ty.is_boolean() or
-                  ty.is_dict_encoded_string() or
-                  (ty.is_date() and ty.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+        for k in node.keys:
+            ok = (k.type.is_integer() or k.type.is_boolean()
+                  or k.type.is_dict_encoded_string()
+                  or (k.type.is_date()
+                      and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
             if not ok:
                 return None
-            if ty.is_boolean():
-                ranges.append((0, 1, k.mask is not None))
-                continue
-            data = k.fill(0)
-            lo = int(jnp.min(data))  # host sync (cheap scalar)
-            hi = int(jnp.max(data))
-            ranges.append((lo, hi, k.mask is not None))
+            r = rng.infer_range(k)
+            if r is None:
+                return None
+            ranges.append(r)
         return gb.choose_perfect_layout(
-            key_types, ranges, self.config.exec.group_by.perfect_hash_entries_limit)
+            [k.type for k in node.keys], ranges,
+            self.config.exec.group_by.perfect_hash_entries_limit)
+
+    def _dynamic_perfect_layout(self, node: nd.Aggregate, source: ExecTable,
+                                chain, src_node):
+        """Probe key min/max with a jitted reduction when fragment stats
+        can't bound the expression (e.g. cast(float as int) keys)."""
+        for k in node.keys:
+            ok = (k.type.is_integer() or k.type.is_boolean()
+                  or k.type.is_dict_encoded_string()
+                  or (k.type.is_date()
+                      and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+            if not ok:
+                return None
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node) + "rangeprobe")
+        cache_id = (key, tuple(id(c.data) for c in source.columns),
+                    id(source.row_mask))
+        if cache_id in self._layout_cache:
+            return self._layout_cache[cache_id]
+
+        def build():
+            def fn(source_cols, row_mask):
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                nrows = source_cols[0].data.shape[0]
+                out = []
+                for kx in node.keys:
+                    v = _broadcast(self.scalar.evaluate(kx, resolve), nrows)
+                    data = v.data.astype(jnp.int64)
+                    live = combine_masks(v.mask, rm)
+                    if live is not None:
+                        big = jnp.iinfo(jnp.int64)
+                        lo = jnp.min(jnp.where(live, data, big.max))
+                        hi = jnp.max(jnp.where(live, data, big.min))
+                    else:
+                        lo = jnp.min(data)
+                        hi = jnp.max(data)
+                    out.append(jnp.stack([lo, hi]))
+                return jnp.stack(out)  # (n_keys, 2): ONE host transfer
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        probed = np.asarray(fn(source.columns, source.row_mask))  # host sync
+        ranges = []
+        for (lo_i, hi_i), k in zip(probed.tolist(), node.keys):
+            if lo_i > hi_i:  # no live rows
+                lo_i, hi_i = 0, 0
+            ranges.append((int(lo_i), int(hi_i), k.type.nullable))
+        layout = gb.choose_perfect_layout(
+            [k.type for k in node.keys], ranges,
+            self.config.exec.group_by.perfect_hash_entries_limit)
+        if len(self._layout_cache) > 1024:
+            self._layout_cache.clear()
+        self._layout_cache[cache_id] = layout
+        return layout
 
     # ------------------------------------------------------------------
+    def _exec_sort(self, node: nd.Sort, results) -> ExecTable:
+        source, chain, src_node = self._resolve_chain(node.inputs[0], results)
+        if source.nrows == 0 or not node.sort_fields:
+            inp = (self._exec_chain_root(node.inputs[0], results)
+                   if chain else source)
+            inp = inp.compact()
+            if node.limit is not None or node.offset:
+                idx = jnp.arange(inp.nrows, dtype=jnp.int32)
+                return inp.gather(srt.apply_limit(idx, node.limit, node.offset))
+            return inp
+        sort_types = [node.inputs[0].output_types[f.field_index]
+                      for f in node.sort_fields]
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node))
+
+        def build():
+            def fn(source_cols, row_mask):
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask)
+                cols = env[final.id]
+                scols = [
+                    self._sortable(cols[f.field_index], ty)
+                    for f, ty in zip(node.sort_fields, sort_types)
+                ]
+                perm = srt.sort_permutation(
+                    scols, [f.desc for f in node.sort_fields],
+                    [f.nulls_first for f in node.sort_fields])
+                if rm is not None:  # dead rows last, stably
+                    perm = perm[jnp.argsort((~rm[perm]).astype(jnp.int32),
+                                            stable=True)]
+                out = [
+                    MaskedCol(c.data[perm],
+                              c.mask[perm] if c.mask is not None else None)
+                    for c in cols
+                ]
+                # LIMIT/OFFSET as an in-jit validity window: no host sync,
+                # no data-dependent shapes
+                nrows = perm.shape[0]
+                live = (jnp.asarray(nrows, jnp.int64) if rm is None
+                        else rm.sum())
+                pos = jnp.arange(nrows, dtype=jnp.int64)
+                end = live if node.limit is None else jnp.minimum(
+                    live, node.offset + node.limit)
+                window = (pos >= node.offset) & (pos < end)
+                return out, window
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, window = fn(source.columns, source.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         source.nrows, window)
+
+    def _sortable(self, col: MaskedCol, typ: t.Type) -> MaskedCol:
+        """Dict-encoded strings order by string value, not code: map codes
+        to lexicographic ranks via a host-built table (the reference sorts
+        dictionary columns through the dictionary too)."""
+        if not typ.is_dict_encoded_string():
+            return col
+        d = self.dicts.get(typ.dict_id)  # type: ignore[attr-defined]
+        strings = d.all_strings()
+        if not strings:
+            return col
+        order = np.argsort(np.asarray(strings, dtype=object))
+        ranks = np.empty(len(strings), np.int32)
+        ranks[order] = np.arange(len(strings), dtype=np.int32)
+        data = jnp.asarray(ranks)[jnp.clip(col.data, 0, len(strings) - 1)]
+        return MaskedCol(data, col.mask)
+
+    # ------------------------------------------------------------------
+    def _materialize_input(self, node: nd.Node, results) -> ExecTable:
+        """Dense ExecTable for a join/union input (compacts lazily)."""
+        source, chain, src_node = self._resolve_chain(node, results)
+        if not chain:
+            return source.compact()
+        return self._exec_chain_root(node, results).compact()
+
     def _exec_join(self, node: nd.Join, results) -> ExecTable:
-        lhs = results[node.inputs[0].id]
-        rhs = results[node.inputs[1].id]
-        resolve = self._resolver(results)
-        lhs_keys = [self._broadcast(self.scalar.evaluate(l, resolve), lhs.nrows)
-                    for l, _ in node.key_pairs]
-        rhs_keys = [self._broadcast(self.scalar.evaluate(r, resolve), rhs.nrows)
-                    for _, r in node.key_pairs]
+        lhs = self._materialize_input(node.inputs[0], results)
+        rhs = self._materialize_input(node.inputs[1], results)
+        resolve_l = lambda ref: lhs.columns[ref.index] if ref.node is node.inputs[0] else _raise_ref(ref)
+        resolve_r = lambda ref: rhs.columns[ref.index] if ref.node is node.inputs[1] else _raise_ref(ref)
+
+        def eval_keys(exprs, table, which):
+            resolve = (lambda ref: table.columns[ref.index])
+            return [
+                _broadcast(self.scalar.evaluate(e, resolve), table.nrows)
+                for e in exprs
+            ]
+
+        lhs_keys = eval_keys([l for l, _ in node.key_pairs], lhs, 0)
+        rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
         # cross-dictionary string keys: translate rhs codes into the lhs
-        # dictionary so code equality means string equality (reference:
-        # StringDictionaryTranslationMgr)
+        # dictionary (reference: StringDictionaryTranslationMgr)
         for i, (le, re_) in enumerate(node.key_pairs):
             lt, rt = le.type, re_.type
             if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
@@ -253,10 +576,9 @@ class Executor:
                 return ExecTable.empty(node.fields, node.output_types)
             if jt == nd.JoinType.ANTI:
                 return lhs
-            # LEFT with empty rhs: all-null right side
             return self._left_pad(node, lhs, rhs,
-                                  jnp.arange(0, dtype=jnp.int32),
-                                  jnp.arange(0, dtype=jnp.int32),
+                                  jnp.zeros((0,), jnp.int32),
+                                  jnp.zeros((0,), jnp.int32),
                                   jnp.arange(lhs.nrows, dtype=jnp.int32))
 
         table = jn.build(rhs_keys)
@@ -308,7 +630,7 @@ class Executor:
         l_all = jnp.concatenate([l_idx, un_idx]) if n_match else un_idx
         lcols = lhs.gather(l_all.astype(jnp.int32)).columns
         rcols = []
-        for c, ty in zip(rhs.columns, rhs.types):
+        for c in rhs.columns:
             matched_part = c.data[r_idx] if n_match else jnp.zeros(
                 (0,), c.data.dtype)
             pad = jnp.zeros((n_un,), c.data.dtype)
@@ -321,7 +643,6 @@ class Executor:
                          lcols + rcols, n_match + n_un)
 
     def _apply_residual(self, node: nd.Join, out: ExecTable) -> ExecTable:
-        # rebind the residual over the join output by index
         resolve_out = lambda ref: out.columns[ref.index]
         cond = self.scalar.evaluate(
             _rebind_to_join_output(node.residual, node), resolve_out)
@@ -332,48 +653,12 @@ class Executor:
         return out.gather(jnp.flatnonzero(mask, size=n))
 
     # ------------------------------------------------------------------
-    def _exec_sort(self, node: nd.Sort, results) -> ExecTable:
-        inp = results[node.inputs[0].id]
-        if inp.nrows == 0 or not node.sort_fields:
-            if node.limit is not None or node.offset:
-                idx = jnp.arange(inp.nrows, dtype=jnp.int32)
-                return inp.gather(srt.apply_limit(idx, node.limit, node.offset))
-            return inp
-        cols = [
-            self._sortable(inp.columns[f.field_index],
-                           inp.types[f.field_index])
-            for f in node.sort_fields
-        ]
-        descs = [f.desc for f in node.sort_fields]
-        nf = [f.nulls_first for f in node.sort_fields]
-        perm = srt.sort_permutation(cols, descs, nf)
-        perm = srt.apply_limit(perm, node.limit, node.offset)
-        return inp.gather(perm)
-
-    def _sortable(self, col: MaskedCol, typ: t.Type) -> MaskedCol:
-        """Dict-encoded strings order by string value, not code: map codes
-        to lexicographic ranks via a host-built table (the reference sorts
-        dictionary columns through the dictionary too)."""
-        if not typ.is_dict_encoded_string():
-            return col
-        d = self.dicts.get(typ.dict_id)  # type: ignore[attr-defined]
-        strings = d.all_strings()
-        if not strings:
-            return col
-        order = np.argsort(np.asarray(strings, dtype=object))
-        ranks = np.empty(len(strings), np.int32)
-        ranks[order] = np.arange(len(strings), dtype=np.int32)
-        data = jnp.asarray(ranks)[jnp.clip(col.data, 0, len(strings) - 1)]
-        return MaskedCol(data, col.mask)
-
-    # ------------------------------------------------------------------
     def _exec_union(self, node: nd.LogicalUnion, results) -> ExecTable:
-        parts = [results[i.id] for i in node.inputs]
+        parts = [self._materialize_input(i, results) for i in node.inputs]
         cols: List[MaskedCol] = []
         for ci, ty in enumerate(node.output_types):
             dt = jnp.dtype(ty.physical_dtype())
-            datas = [p.columns[ci].data.astype(dt) for p in parts]
-            data = jnp.concatenate(datas)
+            data = jnp.concatenate([p.columns[ci].data.astype(dt) for p in parts])
             if any(p.columns[ci].mask is not None for p in parts):
                 mask = jnp.concatenate([p.columns[ci].valid_mask() for p in parts])
             else:
@@ -393,6 +678,24 @@ class Executor:
             cols.append(MaskedCol(jnp.asarray(data), mask))
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          len(node.rows))
+
+
+def _broadcast(col: MaskedCol, nrows: int) -> MaskedCol:
+    if col.data.ndim == 0:
+        data = jnp.broadcast_to(col.data, (nrows,))
+        mask = (jnp.broadcast_to(col.mask, (nrows,))
+                if col.mask is not None else None)
+        return MaskedCol(data, mask)
+    return col
+
+
+def _schema_sig(table: ExecTable) -> str:
+    return ",".join(f"{ty}" for ty in table.types) + (
+        "|masked" if table.row_mask is not None else "")
+
+
+def _raise_ref(ref):
+    raise ExecError(f"unresolvable column ref {ref!r}")
 
 
 def _rebind_to_join_output(expr: ir.Expr, join: nd.Join) -> ir.Expr:

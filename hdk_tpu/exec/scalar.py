@@ -80,8 +80,10 @@ class ScalarCompiler:
     def __init__(self, dicts) -> None:
         self.dicts = dicts  # DictionaryRegistry, for string ops
 
-    def evaluate(self, expr: ir.Expr, resolver: Resolver) -> MaskedCol:
+    def evaluate(self, expr: ir.Expr, resolver: Resolver,
+                 row_mask=None) -> MaskedCol:
         cache: Dict[int, MaskedCol] = {}
+        self._row_mask = row_mask  # consumed by window functions only
 
         def ev(e: ir.Expr) -> MaskedCol:
             got = cache.get(id(e))
@@ -121,7 +123,43 @@ class ScalarCompiler:
         if isinstance(e, ir.KeyForString):
             v = ev(e.operand)
             return MaskedCol(v.data.astype(jnp.int32), v.mask)
+        if isinstance(e, ir.FunctionCall):
+            return self._function(e, ev)
+        if isinstance(e, ir.WindowFunction):
+            return self._window(e, ev)
         raise ExecError(f"cannot evaluate expression: {e.to_str()}")
+
+    # ------------------------------------------------------------------
+    def _window(self, e: ir.WindowFunction, ev) -> MaskedCol:
+        from .window import compute_window
+
+        args = [ev(a) for a in e.args]
+        parts = [ev(p) for p in e.partition_keys]
+        orders = [ev(o) for o in e.order_keys]
+        cols = args + parts + orders
+        nrows = None
+        for c in cols:
+            if c.data.ndim > 0:
+                nrows = c.data.shape[0]
+                break
+        if nrows is None:
+            raise ExecError("window function needs at least one column input")
+        return compute_window(
+            e.kind, args, parts, orders, e.order_desc, e.arg1, nrows,
+            getattr(self, "_row_mask", None),
+            jnp.dtype(e.type.physical_dtype()))
+
+    # ------------------------------------------------------------------
+    def _function(self, e: ir.FunctionCall, ev) -> MaskedCol:
+        """Scalar builtins (reference: ExtensionFunctions.hpp)."""
+        vals = [ev(a) for a in e.args]
+        mask = combine_masks(*[v.mask for v in vals])
+        xs = [v.data for v in vals]
+        out_dt = _np_to_jnp_dtype(e.type)
+        fn = _FUNCTIONS.get(e.name)
+        if fn is None:
+            raise ExecError(f"unknown function {e.name!r}")
+        return MaskedCol(fn(*xs).astype(out_dt), mask)
 
     # ------------------------------------------------------------------
     def _constant(self, e: ir.Constant) -> MaskedCol:
@@ -181,8 +219,15 @@ class ScalarCompiler:
         return out, new_mask
 
     def _compare(self, k: ir.BinOpKind, x, y, tx: t.Type, ty_: t.Type):
+        # datetime compare: align units first (date[day] vs timestamp[us]…)
+        if tx.is_datetime() and ty_.is_datetime():
+            xs, xsub, xup = _to_seconds(x, tx)
+            ys, ysub, yup = _to_seconds(y, ty_)
+            up = max(xup, yup)
+            x = xs * up + (xsub * (up // xup) if xsub is not None else 0)
+            y = ys * up + (ysub * (up // yup) if ysub is not None else 0)
         # decimal compare: rescale to common scale first
-        if tx.is_decimal() or ty_.is_decimal():
+        elif tx.is_decimal() or ty_.is_decimal():
             sx = tx.scale if tx.is_decimal() else 0  # type: ignore[attr-defined]
             sy = ty_.scale if ty_.is_decimal() else 0  # type: ignore[attr-defined]
             s = max(sx, sy)
@@ -462,6 +507,47 @@ class ScalarCompiler:
             return MaskedCol(jnp.zeros(v.data.shape, jnp.bool_), v.mask)
         hits = jnp.isin(v.data, jnp.asarray(matching))
         return MaskedCol(hits, v.mask)
+
+
+def _round_half_away(x):
+    """SQL ROUND: half away from zero (numpy/jnp round is half-to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+_FUNCTIONS = {
+    "abs": jnp.abs,
+    "ceil": jnp.ceil,
+    "ceiling": jnp.ceil,
+    "floor": jnp.floor,
+    "round": lambda x, *d: (_round_half_away(x * 10.0 ** d[0]) / 10.0 ** d[0]
+                            if d else _round_half_away(x)),
+    "truncate": lambda x, *d: (jnp.trunc(x * 10.0 ** d[0]) / 10.0 ** d[0]
+                               if d else jnp.trunc(x)),
+    "sign": jnp.sign,
+    "sqrt": jnp.sqrt,
+    "exp": jnp.exp,
+    "ln": jnp.log,
+    "log": jnp.log,
+    "log10": jnp.log10,
+    "power": jnp.power,
+    "pow": jnp.power,
+    "mod": lambda a, b: a - _trunc_div(a.astype(jnp.int64), b.astype(jnp.int64)) * b
+    if jnp.issubdtype(a.dtype, jnp.integer) else jnp.fmod(a, b),
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "degrees": jnp.degrees,
+    "radians": jnp.radians,
+    "pi": lambda: jnp.asarray(np.pi),
+    "greatest": lambda *xs: jnp.maximum(*xs) if len(xs) == 2 else jnp.max(jnp.stack(xs), 0),
+    "least": lambda *xs: jnp.minimum(*xs) if len(xs) == 2 else jnp.min(jnp.stack(xs), 0),
+    "width_bucket": lambda x, lo, hi, n: jnp.clip(
+        jnp.floor((x - lo) / (hi - lo) * n).astype(jnp.int64) + 1, 0, n + 1),
+}
 
 
 def _like_to_regex(pattern: str, escape: Optional[str]) -> str:

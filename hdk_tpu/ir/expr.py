@@ -410,6 +410,26 @@ class KeyForString(Expr):
         return f"key_for_string({self.operand.to_str()})"
 
 
+class FunctionCall(Expr):
+    """Scalar builtin call (reference: IR/Expr.h FunctionOper /
+    ExtensionFunctionsWhitelist).  Supported names are listed in
+    exec/scalar.py _FUNCTIONS."""
+
+    def __init__(self, typ: t.Type, name: str, args: Sequence[Expr]) -> None:
+        self.type = typ
+        self.name = name
+        self.args = tuple(args)
+
+    def operands(self):
+        return self.args
+
+    def rebuild(self, *ops):
+        return FunctionCall(self.type, self.name, ops)
+
+    def to_str(self):
+        return f"{self.name}({', '.join(a.to_str() for a in self.args)})"
+
+
 class WindowFunction(Expr):
     """reference: IR/Expr.h WindowFunction; WindowContext semantics
     (SURVEY.md A.6)."""

@@ -1,0 +1,882 @@
+"""SQL binder: AST -> hdk_tpu relational IR.
+
+The analog of the reference's Calcite validate/optimize +
+RelAlgDagBuilder (QueryEngine/RelAlgDagBuilder.cpp): resolves names
+against the schema, classifies select items into group keys vs
+aggregates, decomposes JOIN ... ON into equi-key pairs + residual,
+rewrites HAVING/ORDER BY over aggregate outputs, and emits the same
+Node/Expr IR the builder API produces.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import types as t
+from ..ir import expr as ir
+from ..ir import node as nd
+from . import ast as A
+from .lexer import SqlError
+from .parser import parse
+from ..exec.codecache import expr_sig
+
+_AGG_FNS = {
+    "count", "sum", "avg", "mean", "min", "max", "stddev", "stddev_samp",
+    "variance", "var_samp", "approx_count_distinct", "approx_quantile",
+    "quantile", "median", "sample", "single_value", "any_value",
+}
+
+_DT_FNS = {"date_trunc", "date_add", "date_sub", "date_diff", "datediff"}
+
+
+class Scope:
+    """Name resolution over the current node's output positions."""
+
+    def __init__(self, entries: List[Tuple[Optional[str], List[str]]]) -> None:
+        # entries: (alias, field names) in output order
+        self.entries = entries
+
+    @property
+    def all_fields(self) -> List[str]:
+        return [f for _, fields in self.entries for f in fields]
+
+    def resolve(self, name: str, table: Optional[str]) -> int:
+        pos = 0
+        hits = []
+        for alias, fields in self.entries:
+            for i, f in enumerate(fields):
+                if f.lower() == name.lower() and (
+                        table is None or (alias or "").lower() == table.lower()):
+                    hits.append(pos + i)
+            pos += len(fields)
+        if not hits:
+            where = f" in table {table!r}" if table else ""
+            raise SqlError(f"unknown column {name!r}{where}")
+        if len(hits) > 1:
+            raise SqlError(f"ambiguous column {name!r}")
+        return hits[0]
+
+    def table_span(self, table: str) -> Tuple[int, int]:
+        pos = 0
+        for alias, fields in self.entries:
+            if (alias or "").lower() == table.lower():
+                return pos, pos + len(fields)
+            pos += len(fields)
+        raise SqlError(f"unknown table alias {table!r}")
+
+
+class Binder:
+    def __init__(self, session) -> None:
+        self.session = session
+
+    # ------------------------------------------------------------------
+    def bind(self, sql: str) -> nd.Node:
+        q = parse(sql)
+        self.ctes: Dict[str, nd.Node] = {}
+        for name, sub in getattr(q, "ctes", {}).items():
+            self.ctes[name] = self.bind_query(sub)
+        return self.bind_query(q)
+
+    def bind_query(self, q: A.Query) -> nd.Node:
+        nodes = [self.bind_select(s) for s in q.selects]
+        node = nodes[0] if len(nodes) == 1 else nd.LogicalUnion(nodes)
+        if q.order_by or q.limit is not None or q.offset:
+            scope = Scope([(None, list(node.fields))])
+            node = self._apply_order_limit(node, scope, q.order_by, q.limit,
+                                           q.offset)
+        return node
+
+    # ------------------------------------------------------------------
+    def bind_select(self, stmt: A.SelectStmt) -> nd.Node:
+        # FROM + JOINs
+        if stmt.from_table is None:
+            raise SqlError("SELECT without FROM is not supported")
+        node, scope = self._bind_table(stmt.from_table)
+        pending_cross: List[Tuple[nd.Node, Scope, str]] = []
+        for join in stmt.joins:
+            rnode, rscope = self._bind_table(join.table)
+            if join.kind == "cross":
+                pending_cross.append((rnode, rscope, join.table.bind_name))
+                continue
+            node, scope = self._bind_join(node, scope, rnode, rscope,
+                                          join.kind, join.on)
+
+        where = stmt.where
+        if pending_cross:
+            node, scope, where = self._bind_comma_joins(
+                node, scope, pending_cross, where)
+
+        if where is not None:
+            node = nd.Filter(node, self._as_bool(
+                self.bind_expr(where, node, scope)))
+
+        has_aggs = (stmt.group_by or stmt.having is not None
+                    or any(self._contains_agg(i.expr) for i in stmt.items)
+                    or any(self._contains_agg(o.expr) for o in stmt.order_by))
+
+        if has_aggs:
+            node, scope, out_names = self._bind_aggregate(stmt, node, scope)
+        else:
+            node, scope, out_names = self._bind_projection(stmt, node, scope)
+
+        if stmt.distinct:
+            keys = [node.ref(i) for i in range(node.size())]
+            node = nd.Aggregate(node, keys, [], list(node.fields))
+            scope = Scope([(None, list(node.fields))])
+
+        node = self._apply_order_limit(node, scope, stmt.order_by, stmt.limit,
+                                       stmt.offset)
+        return node
+
+    # ------------------------------------------------------------------
+    def _bind_table(self, ref: A.TableRef) -> Tuple[nd.Node, Scope]:
+        if ref.subquery is not None:
+            node = self.bind_query(ref.subquery)
+        elif ref.name and ref.name.lower() in self.ctes:
+            node = self.ctes[ref.name.lower()]
+        else:
+            node = nd.Scan(self.session._schema.get(ref.name))
+        scope = Scope([(ref.bind_name if (ref.alias or ref.name) else None,
+                        list(node.fields))])
+        return node, scope
+
+    def _bind_join(self, lnode, lscope: Scope, rnode, rscope: Scope,
+                   kind: str, on) -> Tuple[nd.Node, Scope]:
+        if on is None:
+            raise SqlError(f"{kind.upper()} JOIN requires an ON condition")
+        pairs, residual = self._split_on(on, lnode, lscope, rnode, rscope)
+        if not pairs:
+            raise SqlError("JOIN ON must contain at least one equality "
+                           "between the two sides")
+        join = nd.Join(lnode, rnode, pairs, nd.JoinType(kind), residual)
+        if kind in ("semi", "anti"):
+            scope = Scope(list(lscope.entries))
+        else:
+            # output fields are lhs ++ suffixed rhs; keep per-alias spans
+            nl = sum(len(f) for _, f in lscope.entries)
+            out = list(join.fields)
+            entries = []
+            pos = 0
+            for alias, fields in lscope.entries:
+                entries.append((alias, out[pos:pos + len(fields)]))
+                pos += len(fields)
+            for alias, fields in rscope.entries:
+                entries.append((alias, out[pos:pos + len(fields)]))
+                pos += len(fields)
+            scope = Scope(entries)
+        return join, scope
+
+    def _split_on(self, on, lnode, lscope, rnode, rscope):
+        """Decompose ON into equi-key pairs + residual (reference:
+        WorkUnitBuilder join-qual split / EquiJoinCondition.cpp)."""
+        conjuncts = self._conjuncts(on)
+        pairs = []
+        residual_parts = []
+        for c in conjuncts:
+            pair = self._try_equi(c, lnode, lscope, rnode, rscope)
+            if pair is not None:
+                pairs.append(pair)
+            else:
+                residual_parts.append(c)
+        residual = None
+        if residual_parts:
+            bound = [
+                self._bind_two_sided(c, lnode, lscope, rnode, rscope)
+                for c in residual_parts
+            ]
+            residual = bound[0]
+            for b in bound[1:]:
+                residual = ir.BinOp(t.boolean(True), ir.BinOpKind.AND,
+                                    residual, b)
+        return pairs, residual
+
+    def _conjuncts(self, e) -> List:
+        if isinstance(e, A.Bin) and e.op == "and":
+            return self._conjuncts(e.lhs) + self._conjuncts(e.rhs)
+        return [e]
+
+    def _side_of(self, e, lscope: Scope, rscope: Scope) -> Optional[int]:
+        """0 = only lhs columns, 1 = only rhs, None = mixed/none."""
+        sides = set()
+
+        def walk(x):
+            if isinstance(x, A.Col):
+                try:
+                    lscope.resolve(x.name, x.table)
+                    sides.add(0)
+                    return
+                except SqlError:
+                    pass
+                rscope.resolve(x.name, x.table)
+                sides.add(1)
+                return
+            for f in getattr(x, "__dict__", {}).values():
+                if isinstance(f, (A.Bin, A.Un, A.Col, A.Fn, A.Case, A.CastE,
+                                  A.ExtractE, A.LikeE, A.InE, A.IsNullE,
+                                  A.BetweenE)):
+                    walk(f)
+                elif isinstance(f, list):
+                    for item in f:
+                        if isinstance(item, tuple):
+                            for sub in item:
+                                walk(sub) if not isinstance(sub, (str, int, float, bool, type(None))) else None
+                        elif not isinstance(item, (str, int, float, bool, type(None))):
+                            walk(item)
+
+        walk(e)
+        if sides == {0}:
+            return 0
+        if sides == {1}:
+            return 1
+        return None
+
+    def _try_equi(self, c, lnode, lscope, rnode, rscope):
+        if not (isinstance(c, A.Bin) and c.op == "=="):
+            return None
+        sl = self._side_of(c.lhs, lscope, rscope)
+        sr = self._side_of(c.rhs, lscope, rscope)
+        if sl == 0 and sr == 1:
+            le = self.bind_expr(c.lhs, lnode, lscope)
+            re_ = self.bind_expr(c.rhs, rnode, rscope)
+            return le, re_
+        if sl == 1 and sr == 0:
+            le = self.bind_expr(c.rhs, lnode, lscope)
+            re_ = self.bind_expr(c.lhs, rnode, rscope)
+            return le, re_
+        return None
+
+    def _bind_two_sided(self, c, lnode, lscope, rnode, rscope) -> ir.Expr:
+        """Bind a residual ON conjunct: lhs cols ref lnode, rhs cols ref
+        rnode (executor rebinds to the join output)."""
+        merged = Scope(list(lscope.entries) + list(rscope.entries))
+        nl = sum(len(f) for _, f in lscope.entries)
+
+        binder = self
+
+        class TwoSided:
+            def resolve_col(self, name, table):
+                pos = merged.resolve(name, table)
+                if pos < nl:
+                    return lnode.ref(pos)
+                return rnode.ref(pos - nl)
+
+        return self.bind_expr(c, None, merged,
+                              col_resolver=TwoSided().resolve_col)
+
+    def _bind_comma_joins(self, node, scope, pending, where):
+        """Comma-separated FROM: consume WHERE equi conjuncts as join keys
+        (the classic implicit-join rewrite Calcite performs)."""
+        remaining = self._conjuncts(where) if where is not None else []
+        for rnode, rscope, alias in pending:
+            pairs = []
+            rest = []
+            for c in remaining:
+                pair = self._try_equi(c, node, scope, rnode, rscope)
+                if pair is not None:
+                    pairs.append(pair)
+                else:
+                    rest.append(c)
+            remaining = rest
+            if not pairs:
+                raise SqlError(
+                    f"no join condition found in WHERE for table {alias!r} "
+                    "(cross products are not supported)")
+            node, scope = self._bind_join_built(node, scope, rnode, rscope,
+                                                pairs)
+        new_where = None
+        for c in remaining:
+            new_where = c if new_where is None else A.Bin("and", new_where, c)
+        return node, scope, new_where
+
+    def _bind_join_built(self, lnode, lscope, rnode, rscope, pairs):
+        join = nd.Join(lnode, rnode, pairs, nd.JoinType.INNER, None)
+        out = list(join.fields)
+        entries = []
+        pos = 0
+        for alias, fields in list(lscope.entries) + list(rscope.entries):
+            entries.append((alias, out[pos:pos + len(fields)]))
+            pos += len(fields)
+        return join, Scope(entries)
+
+    # ------------------------------------------------------------------
+    def _expand_items(self, stmt: A.SelectStmt, node, scope: Scope
+                      ) -> List[Tuple[object, str]]:
+        items = []
+        for item in stmt.items:
+            if isinstance(item.expr, A.Star):
+                if item.expr.table is None:
+                    for i, f in enumerate(scope.all_fields):
+                        items.append((A.Col(f), f))
+                else:
+                    lo, hi = scope.table_span(item.expr.table)
+                    fields = scope.all_fields
+                    for i in range(lo, hi):
+                        items.append((A.Col(fields[i],
+                                            table=item.expr.table),
+                                      fields[i]))
+            else:
+                name = item.alias or self._default_name(item.expr)
+                items.append((item.expr, name))
+        return items
+
+    def _default_name(self, e) -> str:
+        if isinstance(e, A.Col):
+            return e.name
+        if isinstance(e, A.Fn):
+            return e.name
+        if isinstance(e, A.ExtractE):
+            return e.field
+        return "expr"
+
+    def _bind_projection(self, stmt, node, scope):
+        items = self._expand_items(stmt, node, scope)
+        exprs = [self.bind_expr(e, node, scope) for e, _ in items]
+        names = _dedup([n for _, n in items])
+        proj = nd.Project(node, exprs, names)
+        return proj, Scope([(None, names)]), names
+
+    # ------------------------------------------------------------------
+    def _bind_aggregate(self, stmt, node, scope):
+        items = self._expand_items(stmt, node, scope)
+        item_names = [n for _, n in items]
+
+        # resolve GROUP BY entries: position | alias | expr
+        key_asts = []
+        for g in stmt.group_by:
+            if isinstance(g, A.Lit) and isinstance(g.value, int):
+                idx = g.value - 1
+                if not (0 <= idx < len(items)):
+                    raise SqlError(f"GROUP BY position {g.value} out of range")
+                key_asts.append(items[idx][0])
+            elif isinstance(g, A.Col) and g.table is None and \
+                    g.name.lower() in [n.lower() for n in item_names] and \
+                    not self._resolvable(g, scope):
+                idx = [n.lower() for n in item_names].index(g.name.lower())
+                key_asts.append(items[idx][0])
+            else:
+                key_asts.append(g)
+
+        key_exprs = [self.bind_expr(k, node, scope) for k in key_asts]
+        key_sigs = {expr_sig(k, {}): i for i, k in enumerate(key_exprs)}
+
+        # collect aggregates from select items, having, order by
+        agg_exprs: List[ir.AggExpr] = []
+        agg_sigs: Dict[str, int] = {}
+
+        def bind_agg_fn(e: A.Fn) -> int:
+            bound = self._bind_agg(e, node, scope)
+            sig = expr_sig(bound, {})
+            if sig not in agg_sigs:
+                agg_sigs[sig] = len(agg_exprs)
+                agg_exprs.append(bound)
+            return agg_sigs[sig]
+
+        n_keys = len(key_exprs)
+        key_names = [f"k{i}" for i in range(n_keys)]
+
+        # first pass: find every aggregate call (so Aggregate node is complete)
+        def collect(e):
+            if isinstance(e, A.Fn) and e.name in _AGG_FNS:
+                bind_agg_fn(e)
+                return
+            for child in _ast_children(e):
+                collect(child)
+
+        for e, _ in items:
+            collect(e)
+        if stmt.having is not None:
+            collect(stmt.having)
+        for o in stmt.order_by:
+            collect(o.expr)
+
+        agg_names = [f"a{i}" for i in range(len(agg_exprs))]
+        agg_node = nd.Aggregate(node, key_exprs, agg_exprs,
+                                key_names + agg_names)
+
+        # rewrite an item expr over the aggregate's output
+        def rewrite(e) -> ir.Expr:
+            if isinstance(e, A.Fn) and e.name in _AGG_FNS:
+                idx = bind_agg_fn(e)
+                return agg_node.ref(n_keys + idx)
+            # whole expr matches a group key?
+            try:
+                bound = self.bind_expr(e, node, scope)
+                sig = expr_sig(bound, {})
+                if sig in key_sigs:
+                    return agg_node.ref(key_sigs[sig])
+            except SqlError:
+                pass
+            # recurse: rebuild expr with children rewritten, binding
+            # against the aggregate output
+            return self.bind_expr(e, agg_node, Scope([(None, [])]),
+                                  col_resolver=lambda name, table:
+                                  self._agg_col_resolver(name, table, node,
+                                                         scope, key_sigs,
+                                                         agg_node),
+                                  agg_rewriter=lambda fe: agg_node.ref(
+                                      n_keys + bind_agg_fn(fe)))
+
+        out_exprs = [rewrite(e) for e, _ in items]
+        out_names = _dedup(item_names)
+
+        if stmt.having is not None:
+            having = self._as_bool(rewrite(stmt.having))
+            agg_for_proj = nd.Filter(agg_node, having)
+            # refs in out_exprs point at agg_node; Filter passes through
+            out_exprs = [_retarget(e, agg_node, agg_for_proj)
+                         for e in out_exprs]
+        else:
+            agg_for_proj = agg_node
+
+        proj = nd.Project(agg_for_proj, out_exprs, out_names)
+        return proj, Scope([(None, out_names)]), out_names
+
+    def _agg_col_resolver(self, name, table, node, scope, key_sigs, agg_node):
+        pos = scope.resolve(name, table)
+        bound = node.ref(pos)
+        sig = expr_sig(bound, {})
+        if sig in key_sigs:
+            return agg_node.ref(key_sigs[sig])
+        raise SqlError(f"column {name!r} must appear in GROUP BY or inside "
+                       "an aggregate")
+
+    def _resolvable(self, col: A.Col, scope: Scope) -> bool:
+        try:
+            scope.resolve(col.name, col.table)
+            return True
+        except SqlError:
+            return False
+
+    # ------------------------------------------------------------------
+    def _apply_order_limit(self, node, scope, order_by, limit, offset):
+        if not order_by and limit is None and not offset:
+            return node
+        sort_fields = []
+        hidden: List[ir.Expr] = []
+        for o in order_by:
+            idx = None
+            if isinstance(o.expr, A.Lit) and isinstance(o.expr.value, int):
+                idx = o.expr.value - 1
+                if not (0 <= idx < node.size()):
+                    raise SqlError(f"ORDER BY position {o.expr.value} out of range")
+            elif isinstance(o.expr, A.Col) and o.expr.table is None:
+                names = [f.lower() for f in node.fields]
+                if o.expr.name.lower() in names:
+                    idx = names.index(o.expr.name.lower())
+            if idx is None:
+                bound = self.bind_expr(o.expr, node,
+                                       Scope([(None, list(node.fields))]))
+                hidden.append(bound)
+                idx = node.size() + len(hidden) - 1
+            sort_fields.append(nd.SortField(idx, o.desc, o.nulls_first))
+        base = node
+        if hidden:
+            exprs = [node.ref(i) for i in range(node.size())] + hidden
+            names = list(node.fields) + [f"__sort_{i}" for i in range(len(hidden))]
+            base = nd.Project(node, exprs, names)
+        out = nd.Sort(base, sort_fields, limit, offset)
+        if hidden:  # drop hidden sort columns
+            exprs = [out.ref(i) for i in range(node.size())]
+            out = nd.Project(out, exprs, list(node.fields))
+        return out
+
+    # ------------------------------------------------------------------
+    # expression binding
+    # ------------------------------------------------------------------
+    def bind_expr(self, e, node, scope: Scope, col_resolver=None,
+                  agg_rewriter=None) -> ir.Expr:
+        b = lambda x: self.bind_expr(x, node, scope, col_resolver, agg_rewriter)
+        from ..builder import QueryExpr, _to_expr
+
+        if isinstance(e, ir.Expr):
+            return e
+        if isinstance(e, A.Lit):
+            return self._bind_literal(e)
+        if isinstance(e, A.Col):
+            if col_resolver is not None:
+                return col_resolver(e.name, e.table)
+            pos = scope.resolve(e.name, e.table)
+            return node.ref(pos)
+        if isinstance(e, A.Bin):
+            if e.op in ("and", "or"):
+                kind = ir.BinOpKind.AND if e.op == "and" else ir.BinOpKind.OR
+                l, r = b(e.lhs), b(e.rhs)
+                return ir.BinOp(t.boolean(l.type.nullable or r.type.nullable),
+                                kind, self._as_bool(l), self._as_bool(r))
+            qe = QueryExpr(b(e.lhs))._bin(ir.BinOpKind(e.op),
+                                          QueryExpr(b(e.rhs)))
+            return qe.expr
+        if isinstance(e, A.Un):
+            operand = b(e.operand)
+            if e.op == "not":
+                return ir.UnOp(t.boolean(operand.type.nullable), "not",
+                               self._as_bool(operand))
+            return ir.UnOp(operand.type, "neg", operand)
+        if isinstance(e, A.IsNullE):
+            kind = "isnotnull" if e.negated else "isnull"
+            return ir.UnOp(t.boolean(False), kind, b(e.operand))
+        if isinstance(e, A.BetweenE):
+            operand = b(e.operand)
+            lo = QueryExpr(operand)._bin(ir.BinOpKind.GE, QueryExpr(b(e.lo)))
+            hi = QueryExpr(operand)._bin(ir.BinOpKind.LE, QueryExpr(b(e.hi)))
+            both = (lo & hi).expr
+            if e.negated:
+                return ir.UnOp(t.boolean(both.type.nullable), "not", both)
+            return both
+        if isinstance(e, A.InE):
+            operand = b(e.operand)
+            vals = []
+            for v in e.values:
+                bv = b(v)
+                if not isinstance(bv, ir.Constant):
+                    raise SqlError("IN list must contain literals")
+                vals.append(self._literal_python(bv))
+            out = ir.InValues(operand, vals)
+            if e.negated:
+                return ir.UnOp(t.boolean(out.type.nullable), "not", out)
+            return out
+        if isinstance(e, A.LikeE):
+            operand = b(e.operand)
+            pat = b(e.pattern)
+            if not isinstance(pat, ir.Constant) or not isinstance(pat.value, str):
+                raise SqlError("LIKE pattern must be a string literal")
+            out = ir.LikeExpr(operand, pat.value, e.escape,
+                              e.case_insensitive, e.is_regexp)
+            if e.negated:
+                return ir.UnOp(t.boolean(out.type.nullable), "not", out)
+            return out
+        if isinstance(e, A.Case):
+            return self._bind_case(e, b)
+        if isinstance(e, A.CastE):
+            return ir.Cast(t.parse_type(e.type_name), b(e.operand))
+        if isinstance(e, A.ExtractE):
+            field = ir.DateTimeField(_extract_alias(e.field))
+            operand = b(e.operand)
+            return ir.ExtractExpr(t.int64(operand.type.nullable), field, operand)
+        if isinstance(e, A.Fn):
+            return self._bind_fn(e, b, agg_rewriter, node, scope)
+        if isinstance(e, A.Over):
+            return self._bind_over(e, b)
+        raise SqlError(f"cannot bind expression {e!r}")
+
+    _WINDOW_KINDS = {
+        "row_number": ir.WindowKind.ROW_NUMBER,
+        "rank": ir.WindowKind.RANK,
+        "dense_rank": ir.WindowKind.DENSE_RANK,
+        "percent_rank": ir.WindowKind.PERCENT_RANK,
+        "cume_dist": ir.WindowKind.CUME_DIST,
+        "ntile": ir.WindowKind.NTILE,
+        "lag": ir.WindowKind.LAG,
+        "lead": ir.WindowKind.LEAD,
+        "first_value": ir.WindowKind.FIRST_VALUE,
+        "last_value": ir.WindowKind.LAST_VALUE,
+        "count": ir.WindowKind.COUNT,
+        "sum": ir.WindowKind.SUM,
+        "avg": ir.WindowKind.AVG,
+        "min": ir.WindowKind.MIN,
+        "max": ir.WindowKind.MAX,
+    }
+
+    def _bind_over(self, e: A.Over, b) -> ir.Expr:
+        kind = self._WINDOW_KINDS.get(e.fn.name)
+        if kind is None:
+            raise SqlError(f"unknown window function {e.fn.name!r}")
+        raw_args = [a for a in e.fn.args if not isinstance(a, A.Star)]
+        arg1 = None
+        if kind == ir.WindowKind.NTILE:
+            lit = raw_args.pop(0)
+            if not (isinstance(lit, A.Lit) and isinstance(lit.value, int)):
+                raise SqlError("NTILE needs an integer literal")
+            arg1 = lit.value
+        if kind in (ir.WindowKind.LAG, ir.WindowKind.LEAD) and len(raw_args) > 1:
+            lit = raw_args.pop(1)
+            if not (isinstance(lit, A.Lit) and isinstance(lit.value, int)):
+                raise SqlError("LAG/LEAD offset must be an integer literal")
+            arg1 = lit.value
+        args = [b(a) for a in raw_args]
+        parts = [b(p) for p in e.partition_by]
+        orders = [b(o.expr) for o in e.order_by]
+        descs = [o.desc for o in e.order_by]
+        at = args[0].type if args else None
+        if kind in (ir.WindowKind.ROW_NUMBER, ir.WindowKind.RANK,
+                    ir.WindowKind.DENSE_RANK, ir.WindowKind.NTILE):
+            out_t = t.int64(False)
+        elif kind in (ir.WindowKind.PERCENT_RANK, ir.WindowKind.CUME_DIST,
+                      ir.WindowKind.AVG):
+            out_t = t.fp64(kind == ir.WindowKind.AVG)
+        elif kind == ir.WindowKind.COUNT:
+            out_t = t.int64(False)
+        elif kind == ir.WindowKind.SUM:
+            out_t = (t.int64() if at.is_integer() or at.is_boolean()
+                     else at.with_nullable(True))
+        else:
+            out_t = at.with_nullable(True)
+        return ir.WindowFunction(out_t, kind, args, parts, orders, descs, arg1)
+
+    def _bind_case(self, e: A.Case, b) -> ir.Expr:
+        branches = []
+        if e.operand is not None:
+            operand = b(e.operand)
+            from ..builder import QueryExpr
+
+            for cond, val in e.branches:
+                c = QueryExpr(operand)._bin(ir.BinOpKind.EQ,
+                                            QueryExpr(b(cond))).expr
+                branches.append((c, b(val)))
+        else:
+            branches = [(self._as_bool(b(c)), b(v)) for c, v in e.branches]
+        else_e = b(e.else_value) if e.else_value is not None else None
+        vals = [v for _, v in branches] + ([else_e] if else_e is not None else [])
+        out_t = vals[0].type
+        for v in vals[1:]:
+            out_t = t.common_type(out_t, v.type)
+        if out_t.is_string():
+            # string-valued CASE: values must share one dictionary's code
+            # space (reference: transient string-dict proxy ids)
+            out_t, vals2 = self._unify_string_values(vals, out_t.nullable)
+            branches = [(c, v) for (c, _), v in zip(branches, vals2[:len(branches)])]
+            else_e = vals2[len(branches)] if else_e is not None else None
+        if else_e is None:
+            else_e = ir.Constant(out_t.with_nullable(True), None)
+            out_t = out_t.with_nullable(True)
+        branches = [(c, _coerce(v, out_t)) for c, v in branches]
+        return ir.CaseExpr(out_t, branches, _coerce(else_e, out_t))
+
+    def _unify_string_values(self, vals: List[ir.Expr], nullable: bool):
+        """Bring string-valued exprs into one dictionary code space."""
+        target = None
+        for v in vals:
+            if v.type.is_dict_encoded_string():
+                target = v.type  # type: ignore[assignment]
+                break
+        if target is None:
+            d = self.session._dicts.create()
+            target = t.dict_text(d.dict_id, nullable)
+        dct = self.session._dicts.get(target.dict_id)  # type: ignore[attr-defined]
+        out = []
+        for v in vals:
+            if isinstance(v, ir.Constant) and v.type.is_string():
+                if v.value is not None:
+                    dct.get_or_add(str(v.value))
+                out.append(ir.Constant(target.with_nullable(v.value is None),
+                                       v.value))
+            elif v.type.is_dict_encoded_string():
+                out.append(v if v.type.dict_id == target.dict_id  # type: ignore[attr-defined]
+                           else ir.Cast(target, v))
+            else:
+                raise SqlError("cannot mix strings with non-strings in CASE")
+        return target.with_nullable(nullable), out
+
+    def _bind_fn(self, e: A.Fn, b, agg_rewriter, node, scope) -> ir.Expr:
+        name = e.name
+        if name in _AGG_FNS:
+            if agg_rewriter is not None:
+                return agg_rewriter(e)
+            raise SqlError(f"aggregate {name}() not allowed here")
+        if name == "coalesce":
+            args = [b(a) for a in e.args]
+            out_t = args[0].type
+            for a in args[1:]:
+                out_t = t.common_type(out_t, a.type)
+            result = _coerce(args[-1], out_t)
+            for a in reversed(args[:-1]):
+                cond = ir.UnOp(t.boolean(False), "isnotnull", a)
+                result = ir.CaseExpr(out_t, [(cond, _coerce(a, out_t))], result)
+            return result
+        if name == "nullif":
+            a, c = b(e.args[0]), b(e.args[1])
+            from ..builder import QueryExpr
+
+            eq = QueryExpr(a)._bin(ir.BinOpKind.EQ, QueryExpr(c)).expr
+            null_c = ir.Constant(a.type.with_nullable(True), None)
+            return ir.CaseExpr(a.type.with_nullable(True), [(eq, null_c)], a)
+        if name in ("date_trunc", "datetrunc"):
+            fld = self._field_arg(e.args[0])
+            operand = b(e.args[1])
+            return ir.DateTruncExpr(operand.type, fld, operand)
+        if name in ("date_add", "timestampadd", "dateadd"):
+            fld = self._field_arg(e.args[0])
+            n = b(e.args[1])
+            d = b(e.args[2])
+            return ir.DateAddExpr(d.type, fld, n, d)
+        if name in ("date_diff", "datediff", "timestampdiff"):
+            fld = self._field_arg(e.args[0])
+            a = b(e.args[1])
+            c = b(e.args[2])
+            return ir.DateDiffExpr(
+                t.int64(a.type.nullable or c.type.nullable), fld, a, c)
+        if name == "key_for_string":
+            return ir.KeyForString(b(e.args[0]))
+        if name == "length" or name == "char_length":
+            raise SqlError("string LENGTH is not supported on device columns")
+        # generic scalar builtin
+        args = [b(a) for a in e.args]
+        out_t = self._fn_type(name, args)
+        return ir.FunctionCall(out_t, name, args)
+
+    def _fn_type(self, name: str, args: List[ir.Expr]) -> t.Type:
+        nullable = any(a.type.nullable for a in args)
+        if name in ("sign",):
+            return t.int32(nullable)
+        if name in ("abs", "greatest", "least"):
+            return args[0].type
+        if name in ("ceil", "ceiling", "floor", "round", "truncate"):
+            return args[0].type if args[0].type.is_fp() else t.fp64(nullable)
+        if name in ("width_bucket",):
+            return t.int32(nullable)
+        return t.fp64(nullable)
+
+    def _field_arg(self, a) -> ir.DateTimeField:
+        if isinstance(a, A.Lit) and isinstance(a.value, str):
+            return ir.DateTimeField(_extract_alias(a.value.lower()))
+        if isinstance(a, A.Col):
+            return ir.DateTimeField(_extract_alias(a.name.lower()))
+        raise SqlError("datetime field must be a name or string literal")
+
+    # ------------------------------------------------------------------
+    def _bind_literal(self, e: A.Lit) -> ir.Expr:
+        if e.kind == "date":
+            days = int(np.datetime64(e.value, "D").astype(np.int64))
+            return ir.Constant(t.date32(False), days)
+        if e.kind == "timestamp":
+            us = int(np.datetime64(e.value).astype("datetime64[us]")
+                     .astype(np.int64))
+            return ir.Constant(t.timestamp(t.TimeUnit.MICRO, False), us)
+        if e.kind == "time":
+            h, m, *rest = str(e.value).split(":")
+            s = int(rest[0]) if rest else 0
+            return ir.Constant(t.time64(t.TimeUnit.SECOND, False),
+                               int(h) * 3600 + int(m) * 60 + s)
+        from ..builder import _to_expr
+
+        return _to_expr(e.value)
+
+    def _literal_python(self, c: ir.Constant):
+        return c.value
+
+    def _as_bool(self, e: ir.Expr) -> ir.Expr:
+        if e.type.is_boolean():
+            return e
+        raise SqlError(f"expected boolean expression, got {e.type}")
+
+    def _contains_agg(self, e) -> bool:
+        if isinstance(e, A.Fn) and e.name in _AGG_FNS:
+            return True
+        return any(self._contains_agg(c) for c in _ast_children(e))
+
+    def _bind_agg(self, e: A.Fn, node, scope: Scope) -> ir.AggExpr:
+        from ..builder import QueryExpr
+
+        name = e.name
+        if name == "count" and (not e.args or isinstance(e.args[0], A.Star)):
+            if e.distinct:
+                raise SqlError("COUNT(DISTINCT *) is not valid")
+            return ir.AggExpr(t.int64(False), ir.AggKind.COUNT, None)
+        args = [self.bind_expr(a, node, scope) for a in e.args
+                if not isinstance(a, A.Star)]
+        col = QueryExpr(args[0])
+        extra = None
+        if len(args) > 1:
+            c = args[1]
+            if not isinstance(c, ir.Constant):
+                raise SqlError(f"{name} parameter must be a literal")
+            extra = float(c.value)
+        dispatch = {
+            "count": lambda: col.count(distinct=e.distinct),
+            "sum": lambda: col.sum(),
+            "avg": lambda: col.avg(),
+            "mean": lambda: col.avg(),
+            "min": lambda: col.min(),
+            "max": lambda: col.max(),
+            "stddev": lambda: col.stddev(),
+            "stddev_samp": lambda: col.stddev(),
+            "variance": lambda: col.var(),
+            "var_samp": lambda: col.var(),
+            "approx_count_distinct": lambda: col.approx_count_distinct(),
+            "approx_quantile": lambda: col.approx_quantile(
+                extra if extra is not None else 0.5),
+            "quantile": lambda: col.quantile(extra if extra is not None else 0.5),
+            "median": lambda: col.quantile(0.5),
+            "sample": lambda: col.sample(),
+            "any_value": lambda: col.sample(),
+            "single_value": lambda: col.single_value(),
+        }
+        out = dispatch[name]().expr
+        assert isinstance(out, ir.AggExpr)
+        return out
+
+
+def _coerce(e: ir.Expr, typ: t.Type) -> ir.Expr:
+    if e.type.with_nullable(typ.nullable) == typ or e.type == typ:
+        return e
+    return ir.Cast(typ, e)
+
+
+def _retarget(e: ir.Expr, from_node, to_node) -> ir.Expr:
+    if isinstance(e, ir.ColumnRef):
+        if e.node is from_node:
+            return ir.ColumnRef(e.type, to_node, e.index)
+        return e
+    ops = [_retarget(o, from_node, to_node) for o in e.operands()]
+    return e.rebuild(*ops) if ops else e
+
+
+def _ast_children(e):
+    if isinstance(e, A.Bin):
+        return [e.lhs, e.rhs]
+    if isinstance(e, A.Un):
+        return [e.operand]
+    if isinstance(e, A.Fn):
+        return [a for a in e.args if not isinstance(a, A.Star)]
+    if isinstance(e, A.Case):
+        out = []
+        if e.operand is not None:
+            out.append(e.operand)
+        for c, v in e.branches:
+            out += [c, v]
+        if e.else_value is not None:
+            out.append(e.else_value)
+        return out
+    if isinstance(e, A.CastE):
+        return [e.operand]
+    if isinstance(e, A.ExtractE):
+        return [e.operand]
+    if isinstance(e, A.LikeE):
+        return [e.operand]
+    if isinstance(e, A.InE):
+        return [e.operand] + list(e.values)
+    if isinstance(e, A.IsNullE):
+        return [e.operand]
+    if isinstance(e, A.BetweenE):
+        return [e.operand, e.lo, e.hi]
+    return []
+
+
+_EXTRACT_ALIASES = {
+    "dayofweek": "dow", "dayofyear": "doy", "weekday": "dow",
+    "yr": "year", "mon": "month", "d": "day", "h": "hour",
+    "min": "minute", "sec": "second", "milliseconds": "millisecond",
+    "microseconds": "microsecond", "nanoseconds": "nanosecond",
+    "years": "year", "months": "month", "days": "day", "hours": "hour",
+    "minutes": "minute", "seconds": "second", "weeks": "week",
+    "quarters": "quarter",
+}
+
+
+def _extract_alias(f: str) -> str:
+    return _EXTRACT_ALIASES.get(f.lower(), f.lower())
+
+
+def _dedup(names: List[str]) -> List[str]:
+    seen: Dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}_{seen[n]}")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out

@@ -171,10 +171,40 @@ def _arrow_column(
             d = dicts.get(declared.dict_id)  # type: ignore[attr-defined]
         else:
             d = dicts.create()
-        pylist = arr.to_pylist()
-        codes, validity = _encode_strings(pylist, d)
+        codes, validity = _encode_arrow_strings(arr, d)
         return t.dict_text(d.dict_id, nullable=validity is not None), codes, validity
     raise TypeError(f"unsupported arrow type for column {name!r}: {at}")
+
+
+def _encode_arrow_strings(arr: "pa.ChunkedArray", d
+                          ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Bulk encode via Arrow's C++ dictionary_encode: only the *unique*
+    strings round-trip through Python (reference hot path:
+    StringDictionary::getOrAddBulk, parallel in C++ there — here Arrow's
+    native kernel does the heavy dedup)."""
+    from .dictionary import NULL_CODE
+
+    comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if isinstance(comb, pa.ChunkedArray):  # zero-chunk edge
+        comb = pa.concat_arrays([c for c in comb.chunks]) if comb.num_chunks \
+            else pa.array([], type=comb.type)
+    if pa.types.is_dictionary(comb.type):
+        denc = comb
+    else:
+        denc = comb.dictionary_encode()
+    uniq = denc.dictionary.to_pylist()
+    mapping = d.bulk_get_or_add(uniq)
+    idx = denc.indices
+    if idx.null_count:
+        valid = np.asarray(pc.is_valid(idx))
+        idx_np = np.asarray(idx.fill_null(0), dtype=np.int64)
+        codes = mapping[idx_np].astype(np.int32)
+        codes[~valid] = NULL_CODE
+        return codes, valid
+    if len(uniq) == 0:
+        return np.zeros(0, np.int32), None
+    codes = mapping[np.asarray(idx, dtype=np.int64)].astype(np.int32)
+    return codes, None
 
 
 def columns_from_arrow(

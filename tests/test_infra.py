@@ -1,0 +1,70 @@
+"""Infra: explain, watchdog, config, code cache
+(reference: EXPLAIN Execute.h:459; DynamicWatchdog; Config tree)."""
+
+import pytest
+
+import hdk_tpu
+from hdk_tpu.config import build_config
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture(scope="module")
+def ht(hdk):
+    return hdk.import_pydict({"k": [1, 2, 1, 3], "v": [1., 2., 3., 4.]},
+                             name="infra_t")
+
+
+def test_explain_builder(hdk, ht):
+    plan = hdk.explain(ht.filter(ht["v"] > 1).agg("k", "sum(v)").sort("k"))
+    assert "Sort" in plan and "Aggregate" in plan and "Filter" in plan
+    assert "Scan(infra_t" in plan
+
+
+def test_explain_sql(hdk, ht):
+    plan = hdk.explain("SELECT k, COUNT(*) FROM infra_t GROUP BY k")
+    assert "Aggregate" in plan and "Scan" in plan
+
+
+def test_just_explain_option(hdk, ht):
+    out = ht.agg("k", "count").run(just_explain=True)
+    assert isinstance(out, str) and "Aggregate" in out
+
+
+def test_watchdog_row_budget():
+    session = hdk_tpu.HDK(**{"exec.watchdog.enable": True,
+                             "exec.watchdog.max_rows_per_step": 2})
+    ht = session.import_pydict({"a": [1, 2, 3, 4, 5]}, name="wd_t")
+    with pytest.raises(Exception, match="watchdog"):
+        ht.agg("a", "count").run()
+
+
+def test_config_tree():
+    cfg = build_config(fragment_size=123, bigint_count=True,
+                       **{"exec.watchdog.enable": True})
+    assert cfg.storage.fragment_size == 123
+    assert cfg.exec.group_by.bigint_count is True
+    assert cfg.exec.watchdog.enable is True
+    with pytest.raises(ValueError):
+        build_config(bogus_option=1)
+
+
+def test_code_cache_hits(hdk, ht):
+    ex = hdk._executor
+    before = ex.code_cache.hits
+    ht.agg("k", "count").run()
+    ht.agg("k", "count").run()  # same plan: cached step callable
+    assert ex.code_cache.hits > before
+
+
+def test_timer_tree(hdk, ht):
+    hdk_tpu.enable_debug_timer(True)
+    try:
+        ht.agg("k", "count").run()
+        rep = hdk_tpu.timer_report()
+        assert rep and "ms" in rep
+    finally:
+        hdk_tpu.enable_debug_timer(False)

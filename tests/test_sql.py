@@ -1,0 +1,263 @@
+"""SQL frontend tests, differential vs sqlite3.
+
+Direct analog of the reference's SQLiteComparator
+(Tests/ArrowSQLRunner/SQLiteComparator.h:45): every query runs on both
+engines over identical data; results must match.
+"""
+
+import sqlite3
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "g": rng.integers(0, 1000, n),
+        "v": np.round(rng.normal(50, 20, n), 6),
+        "w": rng.integers(-50, 50, n),
+        "s": rng.choice(["red", "green", "blue", "cyan"], n),
+    })
+    vn = df["v"].copy()
+    vn[rng.random(n) < 0.1] = np.nan
+    df["vn"] = vn
+    return df
+
+
+@pytest.fixture(scope="module")
+def dim(rng):
+    return pd.DataFrame({
+        "k": np.arange(6),
+        "label": ["a", "b", "c", "d", "e", "f"],
+        "mult": [1, 2, 3, 4, 5, 6],
+    })
+
+
+@pytest.fixture(scope="module")
+def env(hdk, data, dim):
+    hdk.import_pandas(data, name="t")
+    hdk.import_pandas(dim, name="dim")
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA case_sensitive_like=ON")
+    data.to_sql("t", con, index=False)
+    dim.to_sql("dim", con, index=False)
+    return hdk, con
+
+
+def check(env, sql, ordered=False, sqlite_sql=None):
+    hdk, con = env
+    got = hdk.sql(sql).to_pandas()
+    exp = pd.read_sql_query(sqlite_sql or sql, con)
+    exp.columns = list(got.columns)[: len(exp.columns)]
+    assert_frames_match(got, exp, ordered=ordered)
+
+
+def test_select_star(env):
+    check(env, "SELECT * FROM t")
+
+
+def test_projection_arith(env):
+    check(env, "SELECT k, v * 2 + 1 AS x, w - k AS y FROM t")
+
+
+def test_where(env):
+    check(env, "SELECT k, v FROM t WHERE v > 50 AND k < 5")
+
+
+def test_where_or_not(env):
+    check(env, "SELECT w FROM t WHERE NOT (w > 0 OR k = 3)")
+
+
+def test_in_between_like(env):
+    check(env, "SELECT s, w FROM t WHERE s IN ('red', 'blue') "
+               "AND w BETWEEN -10 AND 10")
+    check(env, "SELECT s FROM t WHERE s LIKE 'gr%'")
+    check(env, "SELECT s FROM t WHERE s NOT LIKE '%e%'")
+
+
+def test_is_null(env):
+    check(env, "SELECT k FROM t WHERE vn IS NULL")
+    check(env, "SELECT k FROM t WHERE vn IS NOT NULL AND vn < 40")
+
+
+def test_case(env):
+    check(env, "SELECT k, CASE WHEN v > 60 THEN 'hi' WHEN v > 40 THEN 'mid' "
+               "ELSE 'lo' END AS bucket FROM t")
+
+
+def test_simple_case(env):
+    check(env, "SELECT CASE k WHEN 0 THEN 'zero' WHEN 1 THEN 'one' "
+               "ELSE 'many' END AS c FROM t")
+
+
+def test_cast(env):
+    check(env, "SELECT CAST(v AS int) AS vi, CAST(k AS double) AS kf FROM t")
+
+
+def test_group_by(env):
+    check(env, "SELECT k, COUNT(*) AS c, SUM(w) AS sw, AVG(v) AS av, "
+               "MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k")
+
+
+def test_group_by_alias_and_position(env):
+    check(env, "SELECT k AS grp, COUNT(*) AS c FROM t GROUP BY grp")
+    check(env, "SELECT k, COUNT(*) AS c FROM t GROUP BY 1")
+
+
+def test_group_by_expression(env):
+    check(env, "SELECT w % 5 AS m, COUNT(*) AS c FROM t GROUP BY w % 5")
+
+
+def test_group_by_null_skipping(env):
+    check(env, "SELECT k, COUNT(vn) AS c, SUM(vn) AS s FROM t GROUP BY k")
+
+
+def test_count_distinct(env):
+    check(env, "SELECT k, COUNT(DISTINCT s) AS nd FROM t GROUP BY k")
+
+
+def test_global_agg(env):
+    check(env, "SELECT COUNT(*) AS c, SUM(v) AS s, AVG(w) AS a FROM t")
+
+
+def test_agg_arithmetic(env):
+    check(env, "SELECT k, SUM(v) / COUNT(*) AS manual_avg FROM t GROUP BY k")
+
+
+def test_having(env):
+    check(env, "SELECT g, COUNT(*) AS c FROM t GROUP BY g HAVING COUNT(*) > 2")
+
+
+def test_order_by_limit(env):
+    check(env, "SELECT k, COUNT(*) AS c FROM t GROUP BY k "
+               "ORDER BY c DESC, k LIMIT 5", ordered=True)
+
+
+def test_order_by_position_offset(env):
+    check(env, "SELECT k, w FROM t ORDER BY 2 DESC, 1 LIMIT 10 OFFSET 3",
+          ordered=True)
+
+
+def test_order_by_expression(env):
+    check(env, "SELECT k, w FROM t ORDER BY w % 7, k, w LIMIT 20",
+          ordered=True)
+
+
+def test_distinct(env):
+    check(env, "SELECT DISTINCT k, s FROM t")
+
+
+def test_inner_join(env):
+    check(env, "SELECT t.k, t.v, dim.label FROM t "
+               "JOIN dim ON t.k = dim.k WHERE t.v > 60")
+
+
+def test_left_join(env):
+    check(env, "SELECT t.k, dim.label FROM t LEFT JOIN dim ON t.k = dim.k")
+
+
+def test_join_aliases(env):
+    check(env, "SELECT a.k, b.mult FROM t a JOIN dim b ON a.k = b.k "
+               "WHERE a.w > 25")
+
+
+def test_implicit_join(env):
+    check(env, "SELECT t.k, dim.label FROM t, dim "
+               "WHERE t.k = dim.k AND t.v > 70")
+
+
+def test_join_group(env):
+    check(env, "SELECT dim.label, COUNT(*) AS c, SUM(t.v) AS s FROM t "
+               "JOIN dim ON t.k = dim.k GROUP BY dim.label")
+
+
+def test_subquery_from(env):
+    check(env, "SELECT q.k, q.c FROM (SELECT k, COUNT(*) AS c FROM t "
+               "GROUP BY k) q WHERE q.c > 200")
+
+
+def test_nested_subquery_agg(env):
+    check(env, "SELECT AVG(c) AS ac FROM "
+               "(SELECT g, COUNT(*) AS c FROM t GROUP BY g)")
+
+
+def test_union_all(env):
+    check(env, "SELECT k FROM t WHERE k < 2 UNION ALL "
+               "SELECT k FROM t WHERE k > 6")
+
+
+def test_union_all_order(env):
+    check(env, "SELECT k, w FROM t WHERE k = 0 UNION ALL "
+               "SELECT k, w FROM t WHERE k = 7 ORDER BY w LIMIT 9",
+          ordered=True)
+
+
+def test_with_cte(env):
+    check(env, "WITH big AS (SELECT k, v FROM t WHERE v > 55) "
+               "SELECT k, COUNT(*) AS c FROM big GROUP BY k")
+
+
+def test_coalesce_nullif(env):
+    check(env, "SELECT COALESCE(vn, 0.0) AS cv FROM t")
+    check(env, "SELECT NULLIF(k, 3) AS nk FROM t")
+
+
+def test_scalar_functions(env):
+    check(env, "SELECT ABS(w) AS aw, ROUND(v) AS rv FROM t")
+
+
+def test_semi_anti_join(env, data, dim):
+    hdk, _ = env
+    got = hdk.sql("SELECT k FROM t SEMI JOIN dim ON t.k = dim.k").to_pandas()
+    exp = data[data["k"].isin(dim["k"])][["k"]]
+    assert_frames_match(got, exp)
+    got = hdk.sql("SELECT k FROM t ANTI JOIN dim ON t.k = dim.k").to_pandas()
+    exp = data[~data["k"].isin(dim["k"])][["k"]]
+    assert_frames_match(got, exp)
+
+
+def test_date_functions(hdk):
+    ht = hdk.import_pydict(
+        {"d": np.asarray(["2021-03-14T10:30:00", "1999-12-31T23:59:59",
+                          "2020-02-29T00:00:00"], dtype="datetime64[s]")},
+        name="sql_dates")
+    got = hdk.sql(
+        "SELECT EXTRACT(year FROM d) AS y, EXTRACT(month FROM d) AS m, "
+        "EXTRACT(dow FROM d) AS dw, DATE_TRUNC('month', d) AS tm "
+        "FROM sql_dates").to_pandas()
+    assert list(got["y"]) == [2021, 1999, 2020]
+    assert list(got["m"]) == [3, 12, 2]
+    assert list(got["dw"]) == [0, 5, 6]
+    assert str(got["tm"][0])[:10] == "2021-03-01"
+
+
+def test_timestamp_literal(hdk):
+    got = hdk.sql("SELECT COUNT(*) AS c FROM sql_dates "
+                  "WHERE d >= TIMESTAMP '2020-01-01 00:00:00'").to_pandas()
+    assert got["c"][0] == 2
+
+
+def test_sql_errors(env):
+    hdk, _ = env
+    from hdk_tpu.sql.lexer import SqlError
+
+    with pytest.raises(SqlError):
+        hdk.sql("SELECT nope FROM t")
+    with pytest.raises(SqlError):
+        hdk.sql("SELECT v FROM t GROUP BY k")
+    with pytest.raises(SqlError):
+        hdk.sql("SELECT FROM t")
+    with pytest.raises((SqlError, KeyError)):
+        hdk.sql("SELECT * FROM no_such_table")
