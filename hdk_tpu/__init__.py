@@ -280,6 +280,15 @@ class HDK:
         return self._window(_ir_expr.WindowKind.NTILE, types.int64(False),
                             arg1=tile_count)
 
+    # -- streaming (reference: Execute.h:212-226 streaming API) -------------
+    def create_stream(self, schema: Dict[str, object], keys, aggs):
+        """Incremental GROUP BY over arriving batches
+        (reference: prepareStreamingExecution/runOnBatch/finish,
+        Execute.cpp:1800-1889)."""
+        from .streaming import StreamingAggregation
+
+        return StreamingAggregation(self, schema, list(keys), list(aggs))
+
     # -- SQL ----------------------------------------------------------------
     def sql(self, query: str, **options) -> "QueryResult":
         """Execute a SQL query (reference: hdk.py:2456 HDK.sql; parser/

@@ -253,6 +253,13 @@ class QueryExpr:
     def var(self) -> "QueryExpr":
         return self._agg(ir.AggKind.VAR_SAMP, t.fp64())
 
+    def corr(self, other: "QueryExpr") -> "QueryExpr":
+        oe = _to_expr(other, like=self.expr)
+        agg = ir.AggExpr(t.fp64(), ir.AggKind.CORR, self.expr,
+                         operand2=oe)
+        base = self._name or _expr_base_name(self.expr)
+        return QueryExpr(agg, f"{base}_corr" if base else "corr")
+
     def sample(self) -> "QueryExpr":
         return self._agg(ir.AggKind.SAMPLE, self.type.with_nullable(True))
 
@@ -525,6 +532,7 @@ class QueryNode:
             "var": lambda: col.var(),
             "sample": lambda: col.sample(),
             "single_value": lambda: col.single_value(),
+            "corr": lambda: col.corr(self.ref(args[1])),
         }
         if fn not in dispatch:
             raise ValueError(f"unknown aggregate function: {fn!r}")

@@ -102,6 +102,28 @@ class ExecTable:
         return ExecTable(list(fields), list(types), cols, 0)
 
 
+class _LazyScanColumns(list):
+    """Scan columns materialized to device on first access — unused
+    columns never transfer (reference: lazy fetch, rs.enable_lazy_fetch
+    Config.h:140; dead-column elimination RelAlgOptimizer.cpp)."""
+
+    def __init__(self, table, fields):
+        super().__init__([None] * len(fields))
+        self._table = table
+        self._fields = fields
+
+    def __getitem__(self, i):
+        got = super().__getitem__(i)
+        if got is None and isinstance(i, int):
+            data, mask = self._table.column(self._fields[i]).device_arrays()
+            got = MaskedCol(data, mask)
+            self[i] = got
+        return got
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 
@@ -119,6 +141,9 @@ class Executor:
         # avoids re-syncing min/max for repeated queries over the same
         # arrays (reference: col-range cache, Execute.h col-range cache)
         self._layout_cache: Dict = {}
+        # join build tables keyed by (key expr plan, build buffer ids) —
+        # reference: HashtableRecycler (DataRecycler/HashtableRecycler.h:32)
+        self._hashtable_cache: Dict = {}
 
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
@@ -203,13 +228,49 @@ class Executor:
             return ""
         return ";".join(f"d{i}:{len(self.dicts.get(i))}" for i in sorted(ids))
 
+    def _used_columns(self, src_node: nd.Node, chain: List[nd.Node],
+                      terminal_exprs: List[ir.Expr]) -> List[int]:
+        """Source column indices actually referenced by the step.  Refs
+        reach the source directly or through Filter pass-through aliases
+        (dead-column elimination, RelAlgOptimizer.cpp)."""
+        aliases = {src_node.id}
+        used = set()
+
+        def collect(e: ir.Expr):
+            if isinstance(e, ir.ColumnRef) and e.node.id in aliases:
+                used.add(e.index)
+            for o in e.operands():
+                collect(o)
+
+        for n in chain:
+            if isinstance(n, nd.Project):
+                for e in n.exprs:
+                    collect(e)
+                aliases.clear()  # projection rebinds the namespace
+                aliases.add(-1)
+            else:
+                collect(n.condition)
+                aliases.add(n.id)
+        for e in terminal_exprs:
+            collect(e)
+        return sorted(used)
+
+    @staticmethod
+    def _expand_cols(sub_cols, used: List[int], size: int):
+        full = [None] * size
+        for pos, i in enumerate(used):
+            full[i] = sub_cols[pos]
+        return full
+
     def _chain_env(self, source_node: nd.Node, source_cols, chain: List[nd.Node],
-                   row_mask):
+                   row_mask, nrows: Optional[int] = None):
         """Trace the Project/Filter chain; returns (env, final_node,
         row_mask).  Runs inside jit."""
         env: Dict[int, List[MaskedCol]] = {source_node.id: list(source_cols)}
         final = source_node
-        nrows = source_cols[0].data.shape[0] if source_cols else 0
+        if nrows is None:
+            first = next((c for c in source_cols if c is not None), None)
+            nrows = first.data.shape[0] if first is not None else 0
 
         def resolver_for(n: nd.Node):
             def resolve(ref: ir.ColumnRef) -> MaskedCol:
@@ -260,10 +321,7 @@ class Executor:
 
     # ------------------------------------------------------------------
     def _exec_scan(self, node: nd.Scan) -> ExecTable:
-        cols = []
-        for name in node.fields:
-            data, mask = node.table.column(name).device_arrays()
-            cols.append(MaskedCol(data, mask))
+        cols = _LazyScanColumns(node.table, list(node.fields))
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          node.table.nrows)
 
@@ -273,19 +331,26 @@ class Executor:
         source, chain, src_node = self._resolve_chain(node, results)
         if source.nrows == 0:
             return ExecTable.empty(node.fields, node.output_types)
+        has_proj = any(isinstance(n, nd.Project) for n in chain)
+        used = (list(range(len(source.fields))) if not has_proj
+                else self._used_columns(src_node, chain, []))
         key = chain_key(_schema_sig(source), chain, None,
-                        self._dict_generation_sig(chain, None))
+                        self._dict_generation_sig(chain, None)
+                        + f"u{used}/n{source.nrows}")
+        nrows = source.nrows
+        size = len(source.fields)
 
         def build():
-            def fn(source_cols, row_mask):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
-                                                row_mask)
+                                                row_mask, nrows=nrows)
                 return env[final.id], rm
 
             return jax.jit(fn)
 
         fn = self.code_cache.get_or_build(key, build)
-        cols, rm = fn(source.columns, source.row_mask)
+        cols, rm = fn([source.columns[i] for i in used], source.row_mask)
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          source.nrows, rm)
 
@@ -307,39 +372,48 @@ class Executor:
         # can't bound a key, probe min/max on device — one tiny kernel +
         # sync (reference: ExpressionRange falls back to runtime metadata)
         layout = self._static_perfect_layout(node)
+        key_ranges = None
         if layout is None:
-            layout = self._dynamic_perfect_layout(node, source, chain,
-                                                  src_node)
+            layout, key_ranges = self._dynamic_perfect_layout(
+                node, source, chain, src_node)
         cap = min(source.nrows,
                   self.config.exec.group_by.default_max_groups)
+        terminal_exprs = list(node.keys) + [
+            a.operand for a in node.aggs if a.operand is not None] + [
+            a.operand2 for a in node.aggs
+            if getattr(a, "operand2", None) is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
         extra = (f"layout={layout.mins}/{layout.sizes}" if layout
-                 else f"sortcap={cap}")
+                 else f"sortcap={cap}/rng={key_ranges}") + f"u{used}"
         key = chain_key(_schema_sig(source), chain, node,
-                        self._dict_generation_sig(chain, node) + extra)
+                        self._dict_generation_sig(chain, node) + extra
+                        + f"/n{source.nrows}")
+        nrows0 = source.nrows
+        size = len(source.fields)
 
         def build():
-            def fn(source_cols, row_mask):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
-                                                row_mask)
+                                                row_mask, nrows=nrows0)
                 resolve = lambda ref: env[ref.node.id][ref.index]
-                nrows = source_cols[0].data.shape[0]
                 keys = [
-                    _broadcast(self.scalar.evaluate(k, resolve), nrows)
+                    _broadcast(self.scalar.evaluate(k, resolve), nrows0)
                     for k in node.keys
                 ]
-                specs = self._build_specs(node, resolve, nrows)
+                specs = self._build_specs(node, resolve, nrows0)
                 if layout is not None:
                     kc, ac, exists = gb.groupby_perfect(keys, layout, specs, rm)
                     return kc, ac, exists, None
                 kc, ac, exists, n_groups = gb.groupby_sort(
-                    keys, specs, cap, row_valid=rm)
+                    keys, specs, cap, row_valid=rm, key_ranges=key_ranges)
                 return kc, ac, exists, n_groups
 
             return jax.jit(fn)
 
         fn = self.code_cache.get_or_build(key, build)
-        key_cols, agg_cols, exists, n_groups = fn(source.columns,
-                                                  source.row_mask)
+        key_cols, agg_cols, exists, n_groups = fn(
+            [source.columns[i] for i in used], source.row_mask)
         cols = list(key_cols) + list(agg_cols)
         if layout is not None:
             return ExecTable(list(node.fields), list(node.output_types), cols,
@@ -357,17 +431,23 @@ class Executor:
 
     def _agg_nogroup(self, node: nd.Aggregate, source: ExecTable,
                      chain, src_node) -> ExecTable:
+        terminal_exprs = [a.operand for a in node.aggs
+                          if a.operand is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
         key = chain_key(_schema_sig(source), chain, node,
-                        self._dict_generation_sig(chain, node) + "nogroup")
+                        self._dict_generation_sig(chain, node)
+                        + f"nogroup/u{used}/n{source.nrows}")
+        nrows0 = source.nrows
+        size = len(source.fields)
 
         def build():
-            def fn(source_cols, row_mask):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
-                                                row_mask)
+                                                row_mask, nrows=nrows0)
                 resolve = lambda ref: env[ref.node.id][ref.index]
-                nrows = source_cols[0].data.shape[0] if source_cols else 0
-                specs = self._build_specs(node, resolve, nrows)
-                scalars = gb.nogroup_agg(specs, nrows, rm)
+                specs = self._build_specs(node, resolve, nrows0)
+                scalars = gb.nogroup_agg(specs, nrows0, rm)
                 return [
                     MaskedCol(jnp.reshape(s.data, (1,)),
                               jnp.reshape(s.mask, (1,))
@@ -378,7 +458,7 @@ class Executor:
             return jax.jit(fn)
 
         fn = self.code_cache.get_or_build(key, build)
-        cols = fn(source.columns, source.row_mask)
+        cols = fn([source.columns[i] for i in used], source.row_mask)
         return ExecTable(list(node.fields), list(node.output_types), cols, 1)
 
     def _build_specs(self, node: nd.Aggregate, resolve, nrows) -> List[gb.AggSpec]:
@@ -388,8 +468,12 @@ class Executor:
             if agg.operand is not None:
                 operand = _broadcast(
                     self.scalar.evaluate(agg.operand, resolve), nrows)
+            operand2 = None
+            if getattr(agg, "operand2", None) is not None:
+                operand2 = _broadcast(
+                    self.scalar.evaluate(agg.operand2, resolve), nrows)
             specs.append(gb.AggSpec(agg.kind, operand, agg.type, agg.distinct,
-                                    agg.arg1, agg.interpolation))
+                                    agg.arg1, agg.interpolation, operand2))
         return specs
 
     def _static_perfect_layout(self, node: nd.Aggregate):
@@ -419,23 +503,28 @@ class Executor:
                   or (k.type.is_date()
                       and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
             if not ok:
-                return None
+                return None, None
         key = chain_key(_schema_sig(source), chain, node,
-                        self._dict_generation_sig(chain, node) + "rangeprobe")
+                        self._dict_generation_sig(chain, node)
+                        + f"rangeprobe/n{source.nrows}")
         cache_id = (key, tuple(id(c.data) for c in source.columns),
                     id(source.row_mask))
         if cache_id in self._layout_cache:
             return self._layout_cache[cache_id]
 
+        used = self._used_columns(src_node, chain, list(node.keys))
+        nrows0 = source.nrows
+        size = len(source.fields)
+
         def build():
-            def fn(source_cols, row_mask):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
-                                                row_mask)
+                                                row_mask, nrows=nrows0)
                 resolve = lambda ref: env[ref.node.id][ref.index]
-                nrows = source_cols[0].data.shape[0]
                 out = []
                 for kx in node.keys:
-                    v = _broadcast(self.scalar.evaluate(kx, resolve), nrows)
+                    v = _broadcast(self.scalar.evaluate(kx, resolve), nrows0)
                     data = v.data.astype(jnp.int64)
                     live = combine_masks(v.mask, rm)
                     if live is not None:
@@ -451,7 +540,8 @@ class Executor:
             return jax.jit(fn)
 
         fn = self.code_cache.get_or_build(key, build)
-        probed = np.asarray(fn(source.columns, source.row_mask))  # host sync
+        probed = np.asarray(fn([source.columns[i] for i in used],
+                               source.row_mask))  # host sync
         ranges = []
         for (lo_i, hi_i), k in zip(probed.tolist(), node.keys):
             if lo_i > hi_i:  # no live rows
@@ -460,10 +550,11 @@ class Executor:
         layout = gb.choose_perfect_layout(
             [k.type for k in node.keys], ranges,
             self.config.exec.group_by.perfect_hash_entries_limit)
+        result = (layout, tuple(ranges))
         if len(self._layout_cache) > 1024:
             self._layout_cache.clear()
-        self._layout_cache[cache_id] = layout
-        return layout
+        self._layout_cache[cache_id] = result
+        return result
 
     # ------------------------------------------------------------------
     def _exec_sort(self, node: nd.Sort, results) -> ExecTable:
@@ -478,13 +569,20 @@ class Executor:
             return inp
         sort_types = [node.inputs[0].output_types[f.field_index]
                       for f in node.sort_fields]
+        has_proj = any(isinstance(n, nd.Project) for n in chain)
+        used = (list(range(len(source.fields))) if not has_proj
+                else self._used_columns(src_node, chain, []))
         key = chain_key(_schema_sig(source), chain, node,
-                        self._dict_generation_sig(chain, node))
+                        self._dict_generation_sig(chain, node)
+                        + f"u{used}/n{source.nrows}")
+        nrows0 = source.nrows
+        size = len(source.fields)
 
         def build():
-            def fn(source_cols, row_mask):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
-                                                row_mask)
+                                                row_mask, nrows=nrows0)
                 cols = env[final.id]
                 scols = [
                     self._sortable(cols[f.field_index], ty)
@@ -515,7 +613,7 @@ class Executor:
             return jax.jit(fn)
 
         fn = self.code_cache.get_or_build(key, build)
-        cols, window = fn(source.columns, source.row_mask)
+        cols, window = fn([source.columns[i] for i in used], source.row_mask)
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          source.nrows, window)
 
@@ -581,7 +679,21 @@ class Executor:
                                   jnp.zeros((0,), jnp.int32),
                                   jnp.arange(lhs.nrows, dtype=jnp.int32))
 
-        table = jn.build(rhs_keys)
+        from ..ir.expr import collect_column_refs
+        from .codecache import expr_sig
+
+        rhs_ref_idx = sorted({
+            ref.index for _, r in node.key_pairs
+            for ref in collect_column_refs(r)
+        })
+        ht_key = (tuple(expr_sig(r, {}) for _, r in node.key_pairs),
+                  tuple(id(rhs.columns[i].data) for i in rhs_ref_idx))
+        table = self._hashtable_cache.get(ht_key)
+        if table is None:
+            table = jn.build(rhs_keys)
+            if len(self._hashtable_cache) > 256:
+                self._hashtable_cache.clear()
+            self._hashtable_cache[ht_key] = table
         lo, hi = jn.probe_ranges(table, lhs_keys)
         total = int(jnp.sum(hi - lo))  # host sync: candidate count
         if total == 0:

@@ -85,8 +85,10 @@ def probe_ranges(table: BuildTable, probe_keys: Sequence[MaskedCol]
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lo, hi) candidate positions in the sorted build table per probe row."""
     ph = hash_keys(probe_keys, _PROBE_NULL)
-    lo = jnp.searchsorted(table.sorted_hash, ph, side="left")
-    hi = jnp.searchsorted(table.sorted_hash, ph, side="right")
+    # method="sort": the default scan method is catastrophically slow on
+    # TPU (measured 2.4 Mrows/s vs >1 Grows/s for the sort-based probe)
+    lo = jnp.searchsorted(table.sorted_hash, ph, side="left", method="sort")
+    hi = jnp.searchsorted(table.sorted_hash, ph, side="right", method="sort")
     return lo.astype(jnp.int64), hi.astype(jnp.int64)
 
 

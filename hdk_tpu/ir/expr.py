@@ -253,21 +253,28 @@ class AggExpr(Expr):
     scalar parameters."""
 
     def __init__(self, typ: t.Type, kind: AggKind, operand: Optional[Expr],
-                 distinct: bool = False, arg1=None, interpolation: str = "linear") -> None:
+                 distinct: bool = False, arg1=None,
+                 interpolation: str = "linear",
+                 operand2: Optional[Expr] = None) -> None:
         self.type = typ
         self.kind = kind
         self.operand = operand
         self.distinct = distinct
         self.arg1 = arg1
         self.interpolation = interpolation
+        self.operand2 = operand2  # CORR's second argument
 
     def operands(self):
-        return (self.operand,) if self.operand is not None else ()
+        out = () if self.operand is None else (self.operand,)
+        if self.operand2 is not None:
+            out = out + (self.operand2,)
+        return out
 
     def rebuild(self, *ops):
         operand = ops[0] if ops else None
+        operand2 = ops[1] if len(ops) > 1 else None
         return AggExpr(self.type, self.kind, operand, self.distinct, self.arg1,
-                       self.interpolation)
+                       self.interpolation, operand2)
 
     def to_str(self):
         inner = self.operand.to_str() if self.operand is not None else "*"

@@ -55,10 +55,13 @@ def _kernel(gid_ref, vals_ref, out_ref, acc_ref, *, n_entries_padded: int,
     # one-hot on the fly: (block_rows, n_entries_padded)
     entries = jax.lax.broadcasted_iota(jnp.int32, (block_rows, n_entries_padded), 1)
     oh = (gid == entries).astype(jnp.float32)
-    # MXU: (entries, rows) @ (rows, slots) -> (entries, slots)
+    # MXU: (entries, rows) @ (rows, slots) -> (entries, slots).
+    # HIGHEST precision: default TPU f32 matmul rounds through bf16,
+    # which corrupts aggregate sums (observed ~1% error).
     acc_ref[...] += jax.lax.dot_general(
         oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(step == n_steps - 1)
     def _flush():
@@ -94,12 +97,15 @@ def groupby_sums(gid: jnp.ndarray, vals: jnp.ndarray, n_entries: int,
         functools.partial(_kernel, n_entries_padded=ep, block_rows=block_rows),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+            # NOTE: index maps must return uniformly-typed indices — a
+            # literal 0 becomes i64 under jax_enable_x64 and Mosaic
+            # rejects the (i32, i64) tuple; i*0 keeps i32.
+            pl.BlockSpec((block_rows, 1), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, sp), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, sp), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ep, sp), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((ep, sp), lambda i: (i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ep, sp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ep, sp), jnp.float32)],

@@ -25,7 +25,7 @@ from ..exec.codecache import expr_sig
 _AGG_FNS = {
     "count", "sum", "avg", "mean", "min", "max", "stddev", "stddev_samp",
     "variance", "var_samp", "approx_count_distinct", "approx_quantile",
-    "quantile", "median", "sample", "single_value", "any_value",
+    "quantile", "median", "sample", "single_value", "any_value", "corr",
 }
 
 _DT_FNS = {"date_trunc", "date_add", "date_sub", "date_diff", "datediff"}
@@ -777,6 +777,10 @@ class Binder:
         args = [self.bind_expr(a, node, scope) for a in e.args
                 if not isinstance(a, A.Star)]
         col = QueryExpr(args[0])
+        if name == "corr":
+            out = col.corr(QueryExpr(args[1])).expr
+            assert isinstance(out, ir.AggExpr)
+            return out
         extra = None
         if len(args) > 1:
             c = args[1]

@@ -8,10 +8,11 @@ translation) or on the host (LIKE on the dictionary, then code-space
 membership on device).  This is the same split the reference uses for
 dict-encoded text on GPU.
 
-The reference uses a custom open-addressing map with cached hashes and a
-TBB-parallel ``getOrAddBulk``; in Python the interning map is a dict and
-bulk paths are vectorized with numpy/pandas factorization.  A C++
-extension can replace `bulk_get_or_add` transparently later.
+Two backends:
+  * native (default when buildable): C++ interning map compiled from
+    native/strdict.cpp — the analog of the reference's C++
+    open-addressing map with bulk encode (getOrAddBulk).
+  * pure Python fallback: dict + list.
 """
 
 from __future__ import annotations
@@ -21,7 +22,82 @@ from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
+from .native import load_native
+
 NULL_CODE = np.int32(np.iinfo(np.int32).min)  # matches inline int32 null
+
+
+class _PyBackend:
+    __slots__ = ("strings", "codes")
+
+    def __init__(self) -> None:
+        self.strings: List[str] = []
+        self.codes: Dict[str, int] = {}
+
+    def __len__(self) -> int:
+        return len(self.strings)
+
+    def get_or_add(self, s: str) -> int:
+        code = self.codes.get(s)
+        if code is None:
+            code = len(self.strings)
+            self.strings.append(s)
+            self.codes[s] = code
+        return code
+
+    def get_code(self, s: str) -> int:
+        return self.codes.get(s, -1)
+
+    def get_string(self, code: int) -> str:
+        return self.strings[code]
+
+    def bulk_get_or_add(self, values) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.int32)
+        for i, s in enumerate(values):
+            out[i] = NULL_CODE if s is None else self.get_or_add(s)
+        return out
+
+    def bulk_decode(self, codes: np.ndarray) -> List[Optional[str]]:
+        return [None if c == NULL_CODE else self.strings[c] for c in codes]
+
+    def all_strings(self) -> List[str]:
+        return list(self.strings)
+
+
+class _NativeBackend:
+    __slots__ = ("mod", "handle")
+
+    def __init__(self, mod) -> None:
+        self.mod = mod
+        self.handle = mod.dict_new()
+
+    def __len__(self) -> int:
+        return self.mod.dict_len(self.handle)
+
+    def get_or_add(self, s: str) -> int:
+        return self.mod.dict_get_or_add(self.handle, s)
+
+    def get_code(self, s: str) -> int:
+        return self.mod.dict_get_code(self.handle, s)
+
+    def get_string(self, code: int) -> str:
+        return self.mod.dict_get_string(self.handle, code)
+
+    def bulk_get_or_add(self, values) -> np.ndarray:
+        raw = self.mod.dict_bulk_get_or_add(self.handle, values)
+        return np.frombuffer(raw, dtype=np.int32).copy()
+
+    def bulk_decode(self, codes: np.ndarray) -> List[Optional[str]]:
+        return self.mod.dict_bulk_decode(
+            self.handle, np.ascontiguousarray(codes, dtype=np.int32).tobytes())
+
+    def all_strings(self) -> List[str]:
+        return self.mod.dict_all_strings(self.handle)
+
+
+def _make_backend():
+    mod = load_native()
+    return _NativeBackend(mod) if mod is not None else _PyBackend()
 
 
 class StringDictionary:
@@ -29,83 +105,61 @@ class StringDictionary:
 
     def __init__(self, dict_id: int) -> None:
         self.dict_id = dict_id
-        self._strings: List[str] = []
-        self._codes: Dict[str, int] = {}
+        self._b = _make_backend()
         self._lock = threading.Lock()
 
     def __len__(self) -> int:
-        return len(self._strings)
+        return len(self._b)
 
     # -- write path (reference: StringDictionary::getOrAdd / getOrAddBulk) --
     def get_or_add(self, s: Optional[str]) -> int:
         if s is None:
             return int(NULL_CODE)
-        code = self._codes.get(s)
-        if code is None:
-            with self._lock:
-                code = self._codes.get(s)
-                if code is None:
-                    code = len(self._strings)
-                    self._strings.append(s)
-                    self._codes[s] = code
-        return code
+        with self._lock:
+            return self._b.get_or_add(s)
 
     def bulk_get_or_add(self, values: Iterable[Optional[str]]) -> np.ndarray:
         """Vectorized encode; returns int32 codes with NULL_CODE for None."""
-        vals = list(values)
-        out = np.empty(len(vals), dtype=np.int32)
-        codes = self._codes
-        strings = self._strings
+        vals = values if isinstance(values, list) else list(values)
         with self._lock:
-            for i, s in enumerate(vals):
-                if s is None:
-                    out[i] = NULL_CODE
-                    continue
-                c = codes.get(s)
-                if c is None:
-                    c = len(strings)
-                    strings.append(s)
-                    codes[s] = c
-                out[i] = c
-        return out
+            return self._b.bulk_get_or_add(vals)
 
     # -- read path (reference: StringDictionary::getString / getBulk) -------
     def get_string(self, code: int) -> Optional[str]:
         if code == NULL_CODE:
             return None
-        return self._strings[code]
+        return self._b.get_string(int(code))
 
     def get_code(self, s: str) -> int:
         """Existing code or -1 (reference: StringDictionary::getIdOfString)."""
-        return self._codes.get(s, -1)
+        return self._b.get_code(s)
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """int32 codes -> object array of str/None."""
-        arr = np.asarray(self._strings, dtype=object)
         codes = np.asarray(codes)
         out = np.empty(codes.shape, dtype=object)
-        valid = codes != NULL_CODE
-        out[valid] = arr[codes[valid]]
-        out[~valid] = None
+        out[:] = self._b.bulk_decode(codes.ravel())
         return out
 
     def all_strings(self) -> List[str]:
-        return list(self._strings)
+        return self._b.all_strings()
 
     # -- code-space predicates (reference: StringDictionary::getLike /
     #    getRegexpLike run on the dictionary, result used as an IN-set) -----
     def codes_matching(self, pred) -> np.ndarray:
         """Codes whose string satisfies a host predicate (LIKE/REGEXP)."""
         return np.asarray(
-            [c for c, s in enumerate(self._strings) if pred(s)], dtype=np.int32
-        )
+            [c for c, s in enumerate(self.all_strings()) if pred(s)],
+            dtype=np.int32)
 
-    def translate_to(self, other: "StringDictionary", add_missing: bool = False) -> np.ndarray:
+    def translate_to(self, other: "StringDictionary",
+                     add_missing: bool = False) -> np.ndarray:
         """Per-code translation map into ``other`` (reference:
         StringDictionaryProxy translation maps, Execute.h:305-315).
         Missing strings map to NULL_CODE unless ``add_missing``."""
-        out = np.empty(len(self._strings), dtype=np.int32)
-        for c, s in enumerate(self._strings):
+        strings = self.all_strings()
+        out = np.empty(len(strings), dtype=np.int32)
+        for c, s in enumerate(strings):
             if add_missing:
                 out[c] = other.get_or_add(s)
             else:
