@@ -28,6 +28,20 @@ import jax
 # hot kernels downcast internally where safe.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compiled-program cache across processes (the disk tier of
+# the reference's code cache; especially important here because TPU
+# compilation goes through a remote compile service).
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "HDK_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/hdk_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 import numpy as np  # noqa: E402
 
 from . import types  # noqa: E402
@@ -198,6 +212,16 @@ class HDK:
                 data[k] = np.zeros(0, np.int32)
         cols = [(k, v, data[k], None) for k, v in resolved.items()]
         return self._register(name, cols)
+
+    def clear_device_mem(self) -> None:
+        """Drop cached device copies of all table columns
+        (reference: hdk.py:2521 clear_gpu_mem)."""
+        for tname in self._schema.table_names():
+            table = self._schema.get(tname)
+            for col in table.columns:
+                col.drop_device_cache()
+                if hasattr(col, "_device_sharded"):
+                    col._device_sharded = None
 
     def drop_table(self, name: str) -> None:
         """reference: hdk.py:2169."""

@@ -156,6 +156,77 @@ class QueryExpr:
     def logical_not(self):
         return ~self
 
+    # -- named method aliases (reference: QueryExprAPI hdk.py:31-1537) ------
+    def add(self, o):
+        return self + o
+
+    def sub(self, o):
+        return self - o
+
+    def mul(self, o):
+        return self * o
+
+    def truediv(self, o):
+        return self / o
+
+    def div(self, o):
+        return self / o
+
+    def floordiv(self, o):
+        """Integer (truncating) division regardless of operand types."""
+        out = self / o
+        if out.type.is_fp():
+            from .ir.expr import FunctionCall
+
+            return QueryExpr(FunctionCall(out.type, "floor", [out.expr]))
+        return out
+
+    def mod(self, o):
+        return self % o
+
+    def uminus(self):
+        return -self
+
+    def eq(self, o):
+        return self == o
+
+    def ne(self, o):
+        return self != o
+
+    def lt(self, o):
+        return self < o
+
+    def le(self, o):
+        return self <= o
+
+    def gt(self, o):
+        return self > o
+
+    def ge(self, o):
+        return self >= o
+
+    def logical_and(self, o):
+        return self & o
+
+    def logical_or(self, o):
+        return self | o
+
+    def bw_and(self, o):
+        return self._bin(ir.BinOpKind.BW_AND, o)
+
+    def bw_or(self, o):
+        return self._bin(ir.BinOpKind.BW_OR, o)
+
+    def bw_xor(self, o):
+        return self._bin(ir.BinOpKind.BW_XOR, o)
+
+    def bw_not(self):
+        return QueryExpr(ir.UnOp(self.type, "bw_not", self.expr))
+
+    def rename(self, name: str) -> "QueryExpr":
+        """Alias of name() (reference: BuilderExpr::rename)."""
+        return self.name(name)
+
     # -- null tests --------------------------------------------------------
     def is_null(self) -> "QueryExpr":
         return QueryExpr(ir.UnOp(t.boolean(False), "isnull", self.expr))

@@ -96,6 +96,7 @@ class DistConfig:
     """Multi-chip/multi-host settings — new vs the reference (it is
     single-node; see SURVEY.md §2.8)."""
 
+    enable: bool = False  # shard scans over all local devices
     mesh_axis: str = "frag"
     shuffle_partitions_per_device: int = 1
     skew_sample_size: int = 1 << 16

@@ -45,7 +45,7 @@ from . import join as jn
 from . import ranges as rng
 from . import sort as srt
 from .codecache import CodeCache, chain_key
-from .masked import MaskedCol, combine_masks
+from .masked import MaskedCol, combine_masks, nonzero_indices
 from .scalar import ExecError, ScalarCompiler
 
 
@@ -79,7 +79,7 @@ class ExecTable:
         if self.row_mask is None:
             return self
         n = self.live_count()
-        idx = jnp.flatnonzero(self.row_mask, size=n)
+        idx = nonzero_indices(self.row_mask, n)
         return self.gather(idx)
 
     def column_by_name(self, name: str) -> MaskedCol:
@@ -144,6 +144,18 @@ class Executor:
         # join build tables keyed by (key expr plan, build buffer ids) —
         # reference: HashtableRecycler (DataRecycler/HashtableRecycler.h:32)
         self._hashtable_cache: Dict = {}
+        # multi-device mode: scans shard rows over the mesh and XLA/GSPMD
+        # parallelizes each fused step, inserting collectives (the
+        # "annotate shardings, let XLA do the rest" recipe; replaces the
+        # reference's per-device kernels + host reduce, SURVEY.md P1-P8)
+        self._mesh = None
+        if config.dist.enable:
+            devs = jax.devices()
+            if len(devs) > 1:
+                from jax.sharding import Mesh
+
+                self._mesh = Mesh(np.asarray(devs),
+                                  (config.dist.mesh_axis,))
 
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
@@ -321,9 +333,52 @@ class Executor:
 
     # ------------------------------------------------------------------
     def _exec_scan(self, node: nd.Scan) -> ExecTable:
+        if self._mesh is not None:
+            return self._exec_scan_sharded(node)
         cols = _LazyScanColumns(node.table, list(node.fields))
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          node.table.nrows)
+
+    def _exec_scan_sharded(self, node: nd.Scan) -> ExecTable:
+        """Row-shard the table over the mesh; rows pad to a multiple of
+        the device count and padding rides the row_mask (fragment-data-
+        parallelism, SURVEY.md P1)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self._mesh
+        ndev = mesh.devices.size
+        sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        nrows = node.table.nrows
+        pad = (-nrows) % ndev
+        total = nrows + pad
+
+        cols = []
+        for name in node.fields:
+            col = node.table.column(name)
+            cached = getattr(col, "_device_sharded", None)
+            if cached is None:
+                data = col.data
+                if pad:
+                    data = np.concatenate(
+                        [data, np.zeros(pad, dtype=data.dtype)])
+                d = jax.device_put(data, sharding)
+                m = None
+                if col.validity is not None:
+                    v = col.validity
+                    if pad:
+                        v = np.concatenate([v, np.zeros(pad, np.bool_)])
+                    m = jax.device_put(v, sharding)
+                cached = MaskedCol(d, m)
+                col._device_sharded = cached
+            cols.append(cached)
+        if pad:
+            rm_host = np.concatenate(
+                [np.ones(nrows, np.bool_), np.zeros(pad, np.bool_)])
+            row_mask = jax.device_put(rm_host, sharding)
+        else:
+            row_mask = None
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         total, row_mask)
 
     # ------------------------------------------------------------------
     def _exec_chain_root(self, node: nd.Node, results) -> ExecTable:
@@ -378,6 +433,14 @@ class Executor:
                 node, source, chain, src_node)
         cap = min(source.nrows,
                   self.config.exec.group_by.default_max_groups)
+        if key_ranges is not None:
+            # distinct groups cannot exceed the key-range product
+            prod = 1
+            for lo_r, hi_r, _nul in key_ranges:
+                prod *= (hi_r - lo_r + 2)
+                if prod > cap:
+                    break
+            cap = min(cap, max(prod, 1))
         terminal_exprs = list(node.keys) + [
             a.operand for a in node.aggs if a.operand is not None] + [
             a.operand2 for a in node.aggs
@@ -680,34 +743,73 @@ class Executor:
                                   jnp.arange(lhs.nrows, dtype=jnp.int32))
 
         from ..ir.expr import collect_column_refs
-        from .codecache import expr_sig
+        from .codecache import _h, expr_sig
+
+        # stable positional ids so structurally-equal joins share caches
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        plan_sig = _h([
+            ";".join(f"{expr_sig(l, sig_ids)}={expr_sig(r, sig_ids)}"
+                     for l, r in node.key_pairs),
+            node.join_type.value, _schema_sig(lhs), _schema_sig(rhs),
+            lhs.nrows, rhs.nrows,
+        ])
 
         rhs_ref_idx = sorted({
             ref.index for _, r in node.key_pairs
             for ref in collect_column_refs(r)
         })
-        ht_key = (tuple(expr_sig(r, {}) for _, r in node.key_pairs),
-                  tuple(id(rhs.columns[i].data) for i in rhs_ref_idx))
+        ht_key = (plan_sig, tuple(id(rhs.columns[i].data)
+                                  for i in rhs_ref_idx))
         table = self._hashtable_cache.get(ht_key)
         if table is None:
-            table = jn.build(rhs_keys)
+            build_fn = self.code_cache.get_or_build(
+                plan_sig + "|build",
+                lambda: jax.jit(lambda ks: jn.build(ks)))
+            table = build_fn(rhs_keys)
             if len(self._hashtable_cache) > 256:
                 self._hashtable_cache.clear()
             self._hashtable_cache[ht_key] = table
-        lo, hi = jn.probe_ranges(table, lhs_keys)
-        total = int(jnp.sum(hi - lo))  # host sync: candidate count
+
+        probe_fn = self.code_cache.get_or_build(
+            plan_sig + "|probe",
+            lambda: jax.jit(lambda tbl, lks: (
+                lambda lo_hi: (lo_hi[0], lo_hi[1],
+                               jnp.sum(lo_hi[1] - lo_hi[0]))
+            )(jn.probe_ranges(tbl, lks))))
+        lo, hi, total_dev = probe_fn(table, lhs_keys)
+        total = int(total_dev)  # host sync: candidate count
         if total == 0:
             l_keep = r_keep = jnp.zeros((0,), jnp.int32)
         else:
-            l_idx, r_idx = jn.expand_pairs(table, lo, hi, total)
-            ok = jn.verify_pairs(rhs_keys, lhs_keys, l_idx, r_idx)
+            expand_fn = self.code_cache.get_or_build(
+                plan_sig + f"|expand{total}",
+                lambda: jax.jit(lambda tbl, lo_, hi_, lks, rks: (
+                    lambda pair: (pair[0], pair[1],
+                                  jn.verify_pairs(rks, lks, pair[0], pair[1]))
+                )(jn.expand_pairs(tbl, lo_, hi_, total))))
+            l_idx, r_idx, ok = expand_fn(table, lo, hi, lhs_keys, rhs_keys)
             m = int(ok.sum())  # host sync: verified match count
-            keep = jnp.flatnonzero(ok, size=m)
-            l_keep = l_idx[keep]
-            r_keep = r_idx[keep]
+            keep_fn = self.code_cache.get_or_build(
+                plan_sig + f"|keep{total}/{m}",
+                lambda: jax.jit(lambda li, ri, okk: (
+                    lambda kp: (li[kp], ri[kp])
+                )(nonzero_indices(okk, m))))
+            l_keep, r_keep = keep_fn(l_idx, r_idx, ok)
 
         if jt == nd.JoinType.INNER:
-            out = self._pair_table(node, lhs, rhs, l_keep, r_keep)
+            gather_fn = self.code_cache.get_or_build(
+                plan_sig + f"|gather{int(l_keep.shape[0])}",
+                lambda: jax.jit(lambda lk, rk, lcols, rcols: (
+                    [MaskedCol(c.data[lk],
+                               c.mask[lk] if c.mask is not None else None)
+                     for c in lcols]
+                    + [MaskedCol(c.data[rk],
+                                 c.mask[rk] if c.mask is not None else None)
+                       for c in rcols])))
+            cols = gather_fn(l_keep, r_keep, list(lhs.columns),
+                             list(rhs.columns))
+            out = ExecTable(list(node.fields), list(node.output_types),
+                            cols, int(l_keep.shape[0]))
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
@@ -715,16 +817,16 @@ class Executor:
         matched = jnp.zeros((lhs.nrows,), jnp.bool_).at[l_keep].set(True)
         if jt == nd.JoinType.SEMI:
             n = int(matched.sum())
-            return lhs.gather(jnp.flatnonzero(matched, size=n))
+            return lhs.gather(nonzero_indices(matched, n))
         if jt == nd.JoinType.ANTI:
             n = int((~matched).sum())
-            return lhs.gather(jnp.flatnonzero(~matched, size=n))
+            return lhs.gather(nonzero_indices(~matched, n))
 
         # LEFT
         if node.residual is not None:
             raise ExecError("residual ON condition on LEFT join not supported yet")
         n_un = int((~matched).sum())
-        un_idx = jnp.flatnonzero(~matched, size=n_un)
+        un_idx = nonzero_indices(~matched, n_un)
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
 
     def _pair_table(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
@@ -762,7 +864,7 @@ class Executor:
         if cond.mask is not None:
             mask = mask & cond.mask
         n = int(mask.sum())
-        return out.gather(jnp.flatnonzero(mask, size=n))
+        return out.gather(nonzero_indices(mask, n))
 
     # ------------------------------------------------------------------
     def _exec_union(self, node: nd.LogicalUnion, results) -> ExecTable:

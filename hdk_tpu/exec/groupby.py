@@ -383,11 +383,11 @@ def groupby_perfect(
     if n > DENSE_SCATTER_LIMIT:
         perm = jnp.argsort(gid, stable=True).astype(jnp.int32)
         gids = gid[perm]
-        grp = jnp.arange(n, dtype=jnp.int32)
-        starts = jnp.searchsorted(gids, grp, side="left",
+        grp = jnp.arange(n + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(gids, grp, side="left",
                                   method="sort").astype(jnp.int64)
-        ends = jnp.searchsorted(gids, grp, side="right",
-                                method="sort").astype(jnp.int64)
+        starts = bounds[:-1]
+        ends = bounds[1:]
         exists = ends > starts
         agg_cols = []
         for spec in specs:
@@ -633,12 +633,13 @@ def groupby_sort(
     gid_sorted = jnp.minimum(gid_sorted, entry_cap - 1)  # overflow guard
 
     # group row-spans without scatter: gid_sorted ascends, so spans come
-    # from binary search (two tiny sorts vs a 10M-row scatter)
-    grp = jnp.arange(entry_cap, dtype=jnp.int32)
-    starts = jnp.searchsorted(gid_sorted, grp, side="left",
+    # from ONE binary search over cap+1 query points (end of group g ==
+    # start of group g+1)
+    grp = jnp.arange(entry_cap + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(gid_sorted, grp, side="left",
                               method="sort").astype(jnp.int64)
-    ends = jnp.searchsorted(gid_sorted, grp, side="right",
-                            method="sort").astype(jnp.int64)
+    starts = bounds[:-1]
+    ends = bounds[1:]
 
     agg_cols = []
     for spec in specs:

@@ -34,31 +34,44 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .groupby import _orderable_int64
 from .masked import MaskedCol, combine_masks
 
+def _i64(u: int) -> jnp.ndarray:
+    """uint64 literal as its two's-complement int64 value."""
+    return jnp.asarray(np.uint64(u).astype(np.int64))
+
+
 # disjoint null sentinels per side => null never matches null
-_BUILD_NULL = jnp.uint64(0xF0F0F0F0F0F0F0F0)
-_PROBE_NULL = jnp.uint64(0x0F0F0F0F0F0F0F0F)
+_BUILD_NULL = _i64(0xF0F0F0F0F0F0F0F0)
+_PROBE_NULL = _i64(0x0F0F0F0F0F0F0F0F)
+
+
+def _lsr(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Logical shift right on int64 (mask off the sign extension)."""
+    return (x >> k) & ((1 << (64 - k)) - 1)
 
 
 def _mix64(x: jnp.ndarray) -> jnp.ndarray:
-    """splitmix64 finalizer — 64-bit avalanche mixer."""
-    x = x ^ (x >> 30)
-    x = x * jnp.uint64(0xBF58476D1CE4E5B9)
-    x = x ^ (x >> 27)
-    x = x * jnp.uint64(0x94D049BB133111EB)
-    return x ^ (x >> 31)
+    """splitmix64 finalizer in int64 arithmetic (wrapping semantics are
+    identical to uint64; uint64 itself is pathologically slow on TPU —
+    measured 42s for a 1M argsort vs 83ms for int64)."""
+    x = x ^ _lsr(x, 30)
+    x = x * _i64(0xBF58476D1CE4E5B9)
+    x = x ^ _lsr(x, 27)
+    x = x * _i64(0x94D049BB133111EB)
+    return x ^ _lsr(x, 31)
 
 
 def hash_keys(cols: Sequence[MaskedCol], null_sentinel: jnp.ndarray) -> jnp.ndarray:
     """Combined 64-bit hash of key columns; rows with any NULL key get
     ``null_sentinel``."""
-    h = jnp.full(cols[0].data.shape, 0x243F6A8885A308D3, jnp.uint64)
+    h = jnp.full(cols[0].data.shape, 0x243F6A8885A308D3, jnp.int64)
     valid = None
     for c in cols:
-        k = _orderable_int64(c.data).astype(jnp.uint64)
+        k = _orderable_int64(c.data)
         h = _mix64(h ^ _mix64(k))
         valid = combine_masks(valid, c.mask)
     if valid is not None:
@@ -66,6 +79,7 @@ def hash_keys(cols: Sequence[MaskedCol], null_sentinel: jnp.ndarray) -> jnp.ndar
     return h
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class BuildTable:
     """Sorted-hash 'table': permutation + sorted hashes (cacheable per
@@ -73,6 +87,13 @@ class BuildTable:
 
     perm: jnp.ndarray  # build row index, ordered by hash
     sorted_hash: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.perm, self.sorted_hash), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 def build(build_keys: Sequence[MaskedCol]) -> BuildTable:
@@ -100,7 +121,8 @@ def expand_pairs(table: BuildTable, lo: jnp.ndarray, hi: jnp.ndarray,
     offsets = jnp.cumsum(counts)  # inclusive
     excl = offsets - counts
     j = jnp.arange(total, dtype=jnp.int64)
-    l_idx = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
+    l_idx = jnp.searchsorted(offsets, j, side="right",
+                             method="sort").astype(jnp.int32)
     safe_l = jnp.minimum(l_idx, lo.shape[0] - 1)
     within = j - excl[safe_l]
     pos = lo[safe_l] + within

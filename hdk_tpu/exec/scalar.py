@@ -256,6 +256,12 @@ class ScalarCompiler:
         # integer / datetime arithmetic
         x = x.astype(out_dt)
         y = y.astype(out_dt)
+        if k == ir.BinOpKind.BW_AND:
+            return x & y
+        if k == ir.BinOpKind.BW_OR:
+            return x | y
+        if k == ir.BinOpKind.BW_XOR:
+            return x ^ y
         if k == ir.BinOpKind.ADD:
             return x + y
         if k == ir.BinOpKind.SUB:
@@ -312,6 +318,8 @@ class ScalarCompiler:
     # ------------------------------------------------------------------
     def _unop(self, e: ir.UnOp, ev) -> MaskedCol:
         v = ev(e.operand)
+        if e.kind == "bw_not":
+            return MaskedCol(~v.data, v.mask)
         if e.kind == "not":
             return MaskedCol(~v.data.astype(jnp.bool_), v.mask)
         if e.kind == "neg":

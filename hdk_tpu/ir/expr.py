@@ -35,6 +35,10 @@ class BinOpKind(enum.Enum):
     # logical (kAnd/kOr)
     AND = "and"
     OR = "or"
+    # bitwise (reference: kBwAnd/kBwOr/kBwXor via FunctionOper)
+    BW_AND = "&"
+    BW_OR = "|"
+    BW_XOR = "^"
 
     def is_comparison(self) -> bool:
         return self in (BinOpKind.EQ, BinOpKind.NE, BinOpKind.LT,
@@ -185,7 +189,7 @@ class BinOp(Expr):
 
 
 class UnOp(Expr):
-    KINDS = ("not", "neg", "isnull", "isnotnull")
+    KINDS = ("not", "neg", "isnull", "isnotnull", "bw_not")
 
     def __init__(self, typ: t.Type, kind: str, operand: Expr) -> None:
         assert kind in self.KINDS, kind

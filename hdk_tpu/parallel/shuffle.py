@@ -28,20 +28,21 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..exec.join import _mix64
+from ..exec.join import _i64, _lsr, _mix64
 from ..exec.groupby import _orderable_int64
 from ..exec.masked import MaskedCol
 
 # rows whose key is NULL hash to a fixed bucket (they still form a group)
-_NULL_HASH = jnp.uint64(0x9E3779B97F4A7C15)
+_NULL_HASH = _i64(0x9E3779B97F4A7C15)
 
 
 def key_hash(cols: Sequence[MaskedCol]) -> jnp.ndarray:
-    """64-bit combined hash; NULL keys get a fixed hash so all-null rows
-    land on one shard and aggregate together."""
-    h = jnp.full(cols[0].data.shape, 0x243F6A8885A308D3, jnp.uint64)
+    """64-bit combined hash (int64 two's-complement; uint64 is slow on
+    TPU); NULL keys get a fixed hash so all-null rows land on one shard
+    and aggregate together."""
+    h = jnp.full(cols[0].data.shape, 0x243F6A8885A308D3, jnp.int64)
     for c in cols:
-        k = _orderable_int64(c.data).astype(jnp.uint64)
+        k = _orderable_int64(c.data)
         if c.mask is not None:
             k = jnp.where(c.mask, k, _NULL_HASH)
         h = _mix64(h ^ _mix64(k))
@@ -50,7 +51,7 @@ def key_hash(cols: Sequence[MaskedCol]) -> jnp.ndarray:
 
 def bucket_for_shards(h: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     """Destination shard per row (high bits — low bits feed local tables)."""
-    return ((h >> jnp.uint64(33)) % jnp.uint64(num_shards)).astype(jnp.int32)
+    return (_lsr(h, 33) % num_shards).astype(jnp.int32)
 
 
 def build_send_buffers(

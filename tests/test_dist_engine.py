@@ -1,0 +1,97 @@
+"""Distributed engine mode: full queries over a sharded session
+(dist.enable=True — scans shard rows over all devices; GSPMD inserts
+the collectives).  SURVEY.md §2.8's 'new vs reference' capability."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+import jax
+
+from harness import assert_frames_match
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def pair(rng):
+    """(distributed session, single-device session) over identical data."""
+    n = 4001  # deliberately not divisible by 8: exercises pad+mask
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n),
+        "big": rng.integers(0, 10**8, n),
+        "v": rng.normal(size=n) * 10,
+        "s": rng.choice(["a", "b", "c"], n),
+    })
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    solo = hdk_tpu.HDK()
+    dist.import_pandas(df, name="t")
+    solo.import_pandas(df, name="t")
+    return dist, solo, df
+
+
+def _both(pair, build):
+    dist, solo, _ = pair
+    a = build(dist.scan("t"), dist).to_pandas()
+    b = build(solo.scan("t"), solo).to_pandas()
+    return a, b
+
+
+def test_sharded_perfect_groupby(pair):
+    a, b = _both(pair, lambda t, s: t.agg("k", "count", "sum(v)",
+                                          "min(v)", "max(v)").run())
+    assert_frames_match(a, b)
+
+
+def test_sharded_filter_agg(pair):
+    a, b = _both(pair, lambda t, s: t.filter(t["v"] > 0)
+                 .agg("k", "count", "avg(v)").run())
+    assert_frames_match(a, b)
+
+
+def test_sharded_high_ndv_groupby(pair):
+    a, b = _both(pair, lambda t, s: t.agg("big", "count").run())
+    assert_frames_match(a, b)
+
+
+def test_sharded_global_agg(pair):
+    a, b = _both(pair, lambda t, s: t.agg([], "count", "sum(v)",
+                                          "stddev(v)").run())
+    assert_frames_match(a, b, approx_cols=("v_stddev",))
+
+
+def test_sharded_sort_limit(pair):
+    a, b = _both(pair, lambda t, s: t.sort(("v", "desc"), limit=25).run())
+    assert_frames_match(a, b, ordered=True, approx_cols=("v",))
+
+
+def test_sharded_projection(pair):
+    a, b = _both(pair, lambda t, s: t.proj(x=t["v"] * 2 + 1).run())
+    assert_frames_match(a, b)
+
+
+def test_sharded_string_groupby(pair):
+    a, b = _both(pair, lambda t, s: t.agg("s", "count").run())
+    assert_frames_match(a, b)
+
+
+def test_sharded_join(pair):
+    dist, solo, df = pair
+    dim = pd.DataFrame({"k": np.arange(6), "w": np.arange(6) * 10})
+    dist.import_pandas(dim, name="dim")
+    solo.import_pandas(dim, name="dim")
+    a = (dist.scan("t").join(dist.scan("dim"), "k", "k")
+         .agg([], "count", "sum(w)").run().to_pandas())
+    b = (solo.scan("t").join(solo.scan("dim"), "k", "k")
+         .agg([], "count", "sum(w)").run().to_pandas())
+    assert_frames_match(a, b)
+
+
+def test_sharded_sql(pair):
+    dist, solo, _ = pair
+    q = ("SELECT k, COUNT(*) AS c, AVG(v) AS av FROM t "
+         "WHERE v > -5 GROUP BY k ORDER BY k")
+    assert_frames_match(dist.sql(q).to_pandas(), solo.sql(q).to_pandas(),
+                        ordered=True)
