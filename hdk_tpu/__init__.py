@@ -33,8 +33,14 @@ jax.config.update("jax_enable_x64", True)
 # compilation goes through a remote compile service).
 import os as _os
 
+# per-platform cache dirs: executables AOT-compiled by the remote TPU
+# service embed CPU features of the *compile* host — loading them into a
+# cpu-platform process risks SIGILL
+_platform_tag = (_os.environ.get("JAX_PLATFORMS") or "default").replace(
+    ",", "_")
 _cache_dir = _os.environ.get(
-    "HDK_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/hdk_tpu_xla"))
+    "HDK_TPU_XLA_CACHE",
+    _os.path.expanduser(f"~/.cache/hdk_tpu_xla_{_platform_tag}"))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

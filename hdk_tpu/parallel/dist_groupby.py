@@ -140,6 +140,175 @@ def _out_struct(spec: gb.AggSpec) -> MaskedCol:
     return MaskedCol(jnp.zeros(()), jnp.zeros((), jnp.bool_) if nullable else None)
 
 
+def dist_groupby_two_phase(
+    mesh: Mesh,
+    keys: Sequence[MaskedCol],
+    specs: Sequence[gb.AggSpec],
+    rows_per_shard: int,
+    group_cap_per_shard: int,
+    axis: str = FRAG_AXIS,
+    slack: float = 2.0,
+):
+    """Skew-proof distributed group-by for algebraic aggregates.
+
+    Phase 1: every shard pre-aggregates its local rows (sort group-by) —
+    a heavy-hitter key collapses to ONE partial row per shard, so key
+    skew cannot overload any shuffle partition (the north-star
+    heavy-hitter requirement; generalizes the reference's partial
+    buffers + reduce, Execute.cpp:1156).
+    Phase 2: the per-shard partial rows (at most local-NDV of them)
+    shuffle by key to owner shards and merge with the slot-combine
+    rules of ``_COMBINE``.
+
+    Same return contract as dist_groupby_shuffled.
+    """
+    if not perfect_combinable(specs):
+        raise ValueError("two-phase aggregation requires algebraic "
+                         "aggregates; use dist_groupby_shuffled")
+    num_shards = mesh.devices.size
+    local_cap = min(rows_per_shard, group_cap_per_shard * num_shards)
+    cap = max(1, int(math.ceil(local_cap / num_shards * slack)))
+    operands = [s.operand for s in specs]
+
+    def shard_fn(keys_l, operands_l):
+        # ---- phase 1: local partial aggregation (raw slots) ----------
+        nrows = keys_l[0].data.shape[0]
+        perm = jnp.arange(nrows, dtype=jnp.int32)
+        sort_keys = []
+        for key in keys_l:
+            kv = gb._orderable_int64(key.data)
+            if key.mask is not None:
+                kv = jnp.where(key.mask, kv, jnp.iinfo(jnp.int64).max)
+            sort_keys.append(kv)
+        for kv in reversed(sort_keys):
+            perm = perm[jnp.argsort(kv[perm], stable=True)]
+        boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
+        for kv in sort_keys:
+            skv = kv[perm]
+            boundary = boundary | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), skv[1:] != skv[:-1]])
+        gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        n_local = gid[-1] + 1
+        grp = jnp.arange(local_cap + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(jnp.minimum(gid, local_cap - 1), grp,
+                                  side="left", method="sort").astype(jnp.int64)
+        starts, ends = bounds[:-1], bounds[1:]
+
+        partial_slots: List[List[jnp.ndarray]] = []
+        for spec, op in zip(specs, operands_l):
+            sspec = gb.AggSpec(spec.kind, gb._permute_col(op, perm),
+                               spec.out_type, spec.distinct, spec.arg1,
+                               spec.interpolation,
+                               gb._permute_col(spec.operand2, perm))
+            partial_slots.append(
+                gb._agg_sorted(sspec, jnp.minimum(gid, local_cap - 1),
+                               starts, ends, local_cap).slots)
+        rep = perm[jnp.clip(starts, 0, max(nrows - 1, 0)).astype(jnp.int32)]
+        pkeys = [
+            MaskedCol(k.data[rep], k.mask[rep] if k.mask is not None else None)
+            for k in keys_l
+        ]
+        local_valid = jnp.arange(local_cap) < n_local
+
+        # ---- phase 2: shuffle partial rows, merge by key --------------
+        slot_cols = [MaskedCol(slot) for slots in partial_slots
+                     for slot in slots]
+        cols, row_valid, overflow = shf.shuffle_rows(
+            pkeys, slot_cols, axis, num_shards, cap,
+            row_valid=local_valid)
+        k2 = cols[: len(keys_l)]
+        s2 = cols[len(keys_l):]
+
+        # merge: group partial rows by key, combining slots
+        merged_keys, merged_slots, exists, _n = _merge_partials(
+            k2, s2, specs, row_valid, group_cap_per_shard)
+        agg_cols = [
+            gb.AggResult(slots).finalize(spec, None)
+            for slots, spec in zip(merged_slots, specs)
+        ]
+        return merged_keys, agg_cols, exists, jax.lax.psum(overflow, axis)
+
+    in_specs = (
+        jax.tree.map(lambda _: P(axis), list(keys)),
+        jax.tree.map(lambda _: P(axis), list(operands)),
+    )
+    out_specs = (
+        jax.tree.map(lambda _: P(axis), [
+            MaskedCol(jnp.zeros(()), None if k.mask is None
+                      else jnp.zeros((), jnp.bool_)) for k in keys]),
+        jax.tree.map(lambda _: P(axis), [_out_struct(s) for s in specs]),
+        P(axis),
+        P(),
+    )
+    return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)(
+        list(keys), list(operands))
+
+
+def _merge_partials(key_cols, slot_cols, specs, row_valid, cap):
+    """Group shuffled partial rows by key; combine slots with the
+    per-kind merge rules (sum/min/max)."""
+    nrows = key_cols[0].data.shape[0]
+    perm = jnp.arange(nrows, dtype=jnp.int32)
+    sort_keys = []
+    for key in key_cols:
+        kv = gb._orderable_int64(key.data)
+        if key.mask is not None:
+            kv = jnp.where(key.mask, kv, jnp.iinfo(jnp.int64).max)
+        sort_keys.append(kv)
+    for kv in reversed(sort_keys):
+        perm = perm[jnp.argsort(kv[perm], stable=True)]
+    perm = perm[jnp.argsort((~row_valid[perm]).astype(jnp.int32),
+                            stable=True)]
+    boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
+    for kv in sort_keys:
+        skv = kv[perm]
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), skv[1:] != skv[:-1]])
+    sv = row_valid[perm].astype(jnp.int32)
+    boundary = boundary | jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_groups = jnp.max(jnp.where(row_valid[perm], gid + 1, 0))
+    gid = jnp.minimum(gid, cap - 1)
+    grp = jnp.arange(cap + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(gid, grp, side="left",
+                              method="sort").astype(jnp.int64)
+    starts, ends = bounds[:-1], bounds[1:]
+
+    merged = []
+    i = 0
+    for spec in specs:
+        rules = _COMBINE[spec.kind]
+        slots = []
+        for rule in rules:
+            col = slot_cols[i]
+            i += 1
+            vals = col.data[perm]
+            vals = jnp.where(row_valid[perm], vals,
+                             _merge_identity(rule, vals.dtype))
+            if rule == "sum":
+                slots.append(gb._span_sums(vals, starts, ends))
+            elif rule == "min":
+                slots.append(gb._seg_min(vals, gid, cap + 1, True)[:cap])
+            else:
+                slots.append(gb._seg_max(vals, gid, cap + 1, True)[:cap])
+        merged.append(slots)
+    rep = perm[jnp.clip(starts, 0, max(nrows - 1, 0)).astype(jnp.int32)]
+    mkeys = [
+        MaskedCol(k.data[rep], k.mask[rep] if k.mask is not None else None)
+        for k in key_cols
+    ]
+    exists = jnp.arange(cap) < n_groups
+    return mkeys, merged, exists, n_groups
+
+
+def _merge_identity(rule: str, dtype):
+    if rule == "sum":
+        return jnp.asarray(0, dtype)
+    return gb._minmax_identity(dtype, rule == "min")
+
+
 def dist_groupby_shuffled(
     mesh: Mesh,
     keys: Sequence[MaskedCol],

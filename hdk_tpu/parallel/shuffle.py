@@ -113,16 +113,19 @@ def shuffle_rows(
     axis_name: str,
     num_shards: int,
     cap: int,
+    row_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[List[MaskedCol], jnp.ndarray, jnp.ndarray]:
     """Full shuffle of (keys ++ payload) rows to key-owner shards.
 
-    Returns (cols, row_valid, overflow) where cols mirrors
+    Rows where ``row_valid`` is False are not sent.  Returns
+    (cols, row_valid, overflow) where cols mirrors
     key_cols ++ payload_cols with P*cap local rows post-exchange.
     """
     all_cols = list(key_cols) + list(payload_cols)
     h = key_hash(key_cols)
     dest = bucket_for_shards(h, num_shards)
-    valid = jnp.ones(dest.shape, jnp.bool_)
+    valid = (jnp.ones(dest.shape, jnp.bool_) if row_valid is None
+             else row_valid)
     payload: List[jnp.ndarray] = []
     positions: List[Tuple[int, Optional[int]]] = []
     for c in all_cols:

@@ -94,6 +94,24 @@ class BetweenE:
 
 
 @dataclass
+class InSubquery:
+    operand: object
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class ExistsE:
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSub:
+    query: "Query"
+
+
+@dataclass
 class Over:
     """fn(...) OVER (PARTITION BY ... ORDER BY ...)."""
 

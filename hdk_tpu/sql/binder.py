@@ -109,6 +109,8 @@ class Binder:
                 node, scope, pending_cross, where)
 
         if where is not None:
+            node, where = self._rewrite_subquery_predicates(node, scope, where)
+        if where is not None:
             node = nd.Filter(node, self._as_bool(
                 self.bind_expr(where, node, scope)))
 
@@ -129,6 +131,63 @@ class Binder:
         node = self._apply_order_limit(node, scope, stmt.order_by, stmt.limit,
                                        stmt.offset)
         return node
+
+    def _rewrite_subquery_predicates(self, node, scope, where):
+        """IN (SELECT ...) -> SEMI/ANTI join; uncorrelated EXISTS is
+        evaluated eagerly (reference: subqueries execute first,
+        RelAlgExecutor.cpp:277-290)."""
+        rest = []
+        for c in self._conjuncts(where):
+            neg = False
+            inner = c
+            while isinstance(inner, A.Un) and inner.op == "not":
+                neg = not neg
+                inner = inner.operand
+            if isinstance(inner, A.InSubquery):
+                anti = neg != inner.negated
+                sub = self.bind_query(inner.query)
+                if sub.size() != 1:
+                    raise SqlError("IN subquery must select exactly one column")
+                lhs_key = self.bind_expr(inner.operand, node, scope)
+                jt = nd.JoinType.ANTI if anti else nd.JoinType.SEMI
+                node = nd.Join(node, sub, [(lhs_key, sub.ref(0))], jt)
+                continue
+            if isinstance(inner, A.ExistsE):
+                want = not (neg != inner.negated)
+                sub = self.bind_query(inner.query)
+                table = self.session._executor.execute(nd.QueryDag(sub))
+                if (table.live_count() > 0) != want:
+                    # always-false predicate: empty result
+                    rest.append(A.Lit(False))
+                continue
+            rest.append(c)
+        out = None
+        for c in rest:
+            out = c if out is None else A.Bin("and", out, c)
+        return node, out
+
+    def _eval_scalar_subquery(self, q) -> ir.Expr:
+        sub = self.bind_query(q)
+        if sub.size() != 1:
+            raise SqlError("scalar subquery must select exactly one column")
+        table = self.session._executor.execute(nd.QueryDag(sub)).compact()
+        if table.nrows != 1:
+            raise SqlError(
+                f"scalar subquery returned {table.nrows} rows, expected 1")
+        import numpy as np
+
+        col = table.columns[0]
+        typ = sub.output_types[0]
+        if col.mask is not None and not bool(np.asarray(col.mask)[0]):
+            return ir.Constant(typ.with_nullable(True), None)
+        val = np.asarray(col.data)[0]
+        if typ.is_fp():
+            val = float(val)
+        elif typ.is_boolean():
+            val = bool(val)
+        else:
+            val = int(val)
+        return ir.Constant(typ, val)
 
     # ------------------------------------------------------------------
     def _bind_table(self, ref: A.TableRef) -> Tuple[nd.Node, Scope]:
@@ -559,6 +618,11 @@ class Binder:
             return self._bind_fn(e, b, agg_rewriter, node, scope)
         if isinstance(e, A.Over):
             return self._bind_over(e, b)
+        if isinstance(e, A.ScalarSub):
+            return self._eval_scalar_subquery(e.query)
+        if isinstance(e, (A.InSubquery, A.ExistsE)):
+            raise SqlError("IN/EXISTS subqueries are only supported as "
+                           "top-level WHERE conjuncts")
         raise SqlError(f"cannot bind expression {e!r}")
 
     _WINDOW_KINDS = {
@@ -855,6 +919,8 @@ def _ast_children(e):
         return [e.operand]
     if isinstance(e, A.BetweenE):
         return [e.operand, e.lo, e.hi]
+    if isinstance(e, A.InSubquery):
+        return [e.operand]
     return []
 
 

@@ -258,6 +258,11 @@ class Parser:
                 continue
             if self.accept_kw("in"):
                 self.expect_op("(")
+                if self.cur.is_kw("select", "with"):
+                    sub = self.parse_query()
+                    self.expect_op(")")
+                    lhs = A.InSubquery(lhs, sub, negated)
+                    continue
                 vals = [self.parse_expr()]
                 while self.accept_op(","):
                     vals.append(self.parse_expr())
@@ -351,6 +356,12 @@ class Parser:
         if tok.is_kw("interval"):
             raise SqlError("INTERVAL literals: use DATE_ADD instead",
                            self.sql, tok.pos)
+        if tok.is_kw("exists"):
+            self.advance()
+            self.expect_op("(")
+            sub = self.parse_query()
+            self.expect_op(")")
+            return A.ExistsE(sub)
         if tok.is_kw("case"):
             return self.parse_case()
         if tok.is_kw("cast"):
@@ -401,6 +412,10 @@ class Parser:
             return A.Col(name)
         if tok.is_op("("):
             self.advance()
+            if self.cur.is_kw("select", "with"):
+                sub = self.parse_query()
+                self.expect_op(")")
+                return A.ScalarSub(sub)
             e = self.parse_expr()
             self.expect_op(")")
             return e

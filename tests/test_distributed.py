@@ -141,3 +141,87 @@ def test_null_keys_group_together_across_shards(mesh, rng):
     got = pd.Series(counts[km], index=kd[km]).sort_index()
     exp = pd.Series(keys_np[mask_np]).value_counts().sort_index()
     np.testing.assert_array_equal(got.values, exp.values)
+
+
+def test_two_phase_skew_proof(mesh, rng):
+    """Heavy-hitter keys collapse in phase 1 — tiny shuffle caps suffice."""
+    from hdk_tpu.parallel.dist_groupby import dist_groupby_two_phase
+
+    n = 8 * 512
+    # 90% of rows share ONE key: raw shuffle would overflow tiny caps
+    keys_np = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    vals_np = rng.integers(0, 100, n)
+    keys = [MaskedCol(jnp.asarray(keys_np))]
+    vals = MaskedCol(jnp.asarray(vals_np))
+    specs = [
+        gb.AggSpec(AggKind.COUNT, None, t.int64(False)),
+        gb.AggSpec(AggKind.SUM, vals, t.int64()),
+        gb.AggSpec(AggKind.MIN, vals, t.int64()),
+    ]
+    key_cols, agg_cols, gvalid, overflow = dist_groupby_two_phase(
+        mesh, keys, specs, rows_per_shard=n // 8,
+        group_cap_per_shard=64, slack=4.0)
+    assert int(overflow) == 0  # phase-1 combine absorbed the skew
+    gv = np.asarray(gvalid)
+    got = pd.DataFrame({
+        "k": np.asarray(key_cols[0].data)[gv],
+        "c": np.asarray(agg_cols[0].data)[gv],
+        "s": np.asarray(agg_cols[1].data)[gv],
+        "m": np.asarray(agg_cols[2].data)[gv],
+    }).sort_values("k").reset_index(drop=True)
+    exp = (pd.DataFrame({"k": keys_np, "v": vals_np}).groupby("k")
+           .agg(c=("k", "size"), s=("v", "sum"), m=("v", "min"))
+           .reset_index())
+    np.testing.assert_array_equal(got["k"].values, exp["k"].values)
+    np.testing.assert_array_equal(got["c"].values, exp["c"].values)
+    np.testing.assert_array_equal(got["s"].values, exp["s"].values)
+    np.testing.assert_array_equal(got["m"].values, exp["m"].values)
+
+
+def test_raw_shuffle_overflows_on_same_skew(mesh, rng):
+    """Contrast: the one-phase shuffle DOES overflow under the same skew
+    and small caps — the retry contract reports it."""
+    n = 8 * 512
+    keys_np = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    keys = [MaskedCol(jnp.asarray(keys_np))]
+    specs = [gb.AggSpec(AggKind.COUNT, None, t.int64(False))]
+    _, _, _, overflow = dg.dist_groupby_shuffled(
+        mesh, keys, specs, rows_per_shard=n // 8,
+        group_cap_per_shard=64, slack=1.0)
+    assert int(overflow) > 0
+
+
+def test_dist_sort(mesh, rng):
+    from hdk_tpu.parallel.dist_sort import dist_sort
+
+    n = 8 * 512
+    vals_np = rng.normal(size=n)
+    pay_np = rng.integers(0, 1000, n)
+    sort_col = MaskedCol(jnp.asarray(vals_np))
+    payload = [MaskedCol(jnp.asarray(pay_np))]
+    pays, key_out, valid, overflow = dist_sort(
+        mesh, sort_col, payload, rows_per_shard=n // 8, slack=3.0)
+    assert int(overflow) == 0
+    v = np.asarray(valid)
+    got = np.asarray(pays[0].data)[v]
+    assert got.shape[0] == n
+    # global order: concatenation of shards in mesh order is sorted
+    keys_sorted = np.asarray(key_out.data)[v]
+    assert (np.diff(keys_sorted) >= 0).all()
+    exp = pay_np[np.argsort(vals_np, kind="stable")]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_dist_sort_desc(mesh, rng):
+    from hdk_tpu.parallel.dist_sort import dist_sort
+
+    n = 8 * 256
+    vals_np = rng.integers(0, 10_000, n)
+    sort_col = MaskedCol(jnp.asarray(vals_np))
+    pays, key_out, valid, overflow = dist_sort(
+        mesh, sort_col, [MaskedCol(jnp.asarray(vals_np))],
+        rows_per_shard=n // 8, desc=True, slack=3.0)
+    assert int(overflow) == 0
+    v = np.asarray(valid)
+    got = np.asarray(pays[0].data)[v]
+    assert (np.diff(got) <= 0).all()

@@ -261,3 +261,18 @@ def test_sql_errors(env):
         hdk.sql("SELECT FROM t")
     with pytest.raises((SqlError, KeyError)):
         hdk.sql("SELECT * FROM no_such_table")
+
+
+def test_in_subquery(env):
+    check(env, "SELECT k, v FROM t WHERE k IN (SELECT k FROM dim WHERE mult > 2)")
+    check(env, "SELECT k FROM t WHERE k NOT IN (SELECT k FROM dim) AND w > 10")
+
+
+def test_scalar_subquery(env):
+    check(env, "SELECT COUNT(*) AS c FROM t WHERE v > (SELECT AVG(v) FROM t)")
+
+
+def test_exists_subquery(env):
+    check(env, "SELECT k FROM t WHERE EXISTS (SELECT k FROM dim WHERE mult > 100)")
+    check(env, "SELECT COUNT(*) AS c FROM t WHERE NOT EXISTS "
+               "(SELECT k FROM dim WHERE mult > 100)")
