@@ -148,25 +148,45 @@ def main():
     ap.add_argument("--only", choices=["join", "groupby", "tpch"])
     args = ap.parse_args()
 
+    if args.only is None:
+        # one process per config: long sessions over the TPU tunnel
+        # degrade later dispatches (measured 1000x distortion), so each
+        # config gets a fresh process and the results are merged
+        import subprocess
+        import sys as _sys
+
+        results = []
+        for only in ("join", "groupby", "tpch"):
+            proc = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__),
+                 "--scale", str(args.scale), "--only", only],
+                capture_output=True, text=True, timeout=3600)
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    results.append(json.loads(line))
+                    print(line)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SUITE.json")
+        with open(path, "w") as f:
+            json.dump({"scale": args.scale, "results": results}, f, indent=2)
+        return
+
     import hdk_tpu
 
     hdk = hdk_tpu.HDK()
     results = []
-    if args.only in (None, "join"):
+    if args.only == "join":
         results.append(bench_join(hdk, args.scale))
-    if args.only in (None, "groupby"):
+    elif args.only == "groupby":
         results.extend(bench_high_ndv(hdk, args.scale))
-    if args.only in (None, "tpch"):
+    elif args.only == "tpch":
         results.extend(bench_tpch(hdk, args.scale))
 
     for r in results:
         r["Mrows_per_sec"] = round(r.pop("rows_per_sec") / 1e6, 2)
         r["seconds"] = round(r["seconds"], 4)
         print(json.dumps(r))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_SUITE.json")
-    with open(path, "w") as f:
-        json.dump({"scale": args.scale, "results": results}, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -138,11 +138,26 @@ class HDK:
     (reference: HDK.__init__ hdk.py:2113-2128)."""
 
     def __init__(self, **config_kwargs) -> None:
+        # re-point the persistent compile cache at the *resolved* backend
+        # (a post-import jax_platforms override would otherwise load
+        # artifacts AOT-compiled for a different machine -> SIGILL risk)
+        try:
+            backend = jax.default_backend()
+            if backend not in _platform_tag:
+                d = _os.path.expanduser(f"~/.cache/hdk_tpu_xla_{backend}")
+                _os.makedirs(d, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", d)
+        except Exception:  # pragma: no cover
+            pass
         self._config = (config_kwargs.pop("config")
                         if "config" in config_kwargs
                         else build_config(**config_kwargs))
         self._schema = SchemaRegistry()
         self._dicts = DictionaryRegistry()
+        from .storage.memory import device_cache_manager
+
+        device_cache_manager().set_budget(
+            self._config.storage.device_cache_budget_bytes)
         self._executor = Executor(self._schema, self._dicts, self._config)
         self._tmp_counter = 0
         self._lock = threading.Lock()

@@ -324,6 +324,21 @@ class QueryExpr:
     def var(self) -> "QueryExpr":
         return self._agg(ir.AggKind.VAR_SAMP, t.fp64())
 
+    def top_k(self, k: int) -> "QueryExpr":
+        """k largest values per group, as an array column
+        (reference: hdk.py top_k / TopKRuntime.cpp)."""
+        agg = ir.AggExpr(t.array(self.type.with_nullable(False)),
+                         ir.AggKind.TOP_K, self.expr, arg1=k)
+        base = self._name or _expr_base_name(self.expr)
+        return QueryExpr(agg, f"{base}_top_k" if base else "top_k")
+
+    def bottom_k(self, k: int) -> "QueryExpr":
+        """k smallest values per group (reference: hdk.py bottom_k)."""
+        agg = ir.AggExpr(t.array(self.type.with_nullable(False)),
+                         ir.AggKind.BOTTOM_K, self.expr, arg1=k)
+        base = self._name or _expr_base_name(self.expr)
+        return QueryExpr(agg, f"{base}_bottom_k" if base else "bottom_k")
+
     def corr(self, other: "QueryExpr") -> "QueryExpr":
         oe = _to_expr(other, like=self.expr)
         agg = ir.AggExpr(t.fp64(), ir.AggKind.CORR, self.expr,

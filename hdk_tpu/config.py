@@ -71,6 +71,7 @@ class StorageConfig:
 
     fragment_size: int = 1 << 25  # 32M rows, matching the reference default
     enable_lazy_dict_materialization: bool = False
+    device_cache_budget_bytes: int = 12 << 30  # HBM column-cache budget
 
 
 @dataclass

@@ -168,6 +168,9 @@ class AggResult:
         if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
             data, nonnull = self.slots
             return MaskedCol(data.astype(out_dt), nonnull > 0)
+        if k in (AggKind.TOP_K, AggKind.BOTTOM_K):
+            vals, valid = self.slots  # (n, k) element-typed; ArrayType is
+            return MaskedCol(vals, valid)  # host-side, keep device dtype
         if k == AggKind.CORR:
             # Pearson r from the 5 moment slots (reference: kCorr cells)
             sx, sy, sxy, sxx, syy, c = self.slots
@@ -246,7 +249,41 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
         return AggResult(_corr_slots(
             spec, lambda x: _seg_sum(x, gid, num, sorted_)[:n]))
 
+    if k in (AggKind.TOP_K, AggKind.BOTTOM_K):
+        return AggResult(_group_topk_unsorted(
+            v, gid, n, num, int(spec.arg1), k == AggKind.TOP_K))
+
     raise NotImplementedError(f"aggregate {k}")
+
+
+def _group_topk_unsorted(v: MaskedCol, gid, n: int, num: int, kk: int,
+                         largest: bool):
+    """TOP_K/BOTTOM_K via (gid, value)-sort + positional gather
+    (reference: TopKRuntime.cpp per-group heaps; sort-based here)."""
+    valid = v.mask
+    key_g = jnp.where(valid, gid, num - 1) if valid is not None else gid
+    vals64 = _orderable_int64(v.data)
+    if largest:
+        vals64 = ~vals64
+    if valid is not None:
+        vals64 = jnp.where(valid, vals64, jnp.iinfo(jnp.int64).max)
+    p2 = jnp.argsort(vals64, stable=True)
+    p2 = p2[jnp.argsort(key_g[p2], stable=True)]
+    sv = v.data[p2]
+    counts = _seg_sum((valid.astype(jnp.int64) if valid is not None
+                       else jnp.ones(gid.shape, jnp.int64))[p2],
+                      key_g[p2], num, True)
+    starts_all = jnp.concatenate([
+        jnp.zeros((1,), jnp.int64),
+        jnp.cumsum(_seg_sum(jnp.ones(gid.shape, jnp.int64), key_g[p2],
+                            num, True))[:-1]])
+    starts = starts_all[:n]
+    cnt = counts[:n]
+    total = sv.shape[0]
+    idx = starts[:, None] + jnp.arange(kk, dtype=jnp.int64)[None, :]
+    vals = sv[jnp.clip(idx, 0, max(total - 1, 0))]
+    good = jnp.arange(kk, dtype=jnp.int64)[None, :] < cnt[:, None]
+    return [vals, good]
 
 
 def _corr_slots(spec: AggSpec, reduce_fn):
@@ -508,6 +545,23 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
     if k == AggKind.CORR:
         return AggResult(_corr_slots(
             spec, lambda x: _span_sums(x, starts, ends)))
+
+    if k in (AggKind.TOP_K, AggKind.BOTTOM_K):
+        kk = int(spec.arg1)
+        largest = k == AggKind.TOP_K
+        vals64 = _orderable_int64(v.data)
+        if largest:
+            vals64 = ~vals64
+        if valid is not None:
+            vals64 = jnp.where(valid, vals64, jnp.iinfo(jnp.int64).max)
+        p2 = jnp.argsort(vals64, stable=True)
+        p2 = p2[jnp.argsort(gid_sorted[p2], stable=True)]
+        sv = v.data[p2]
+        total = sv.shape[0]
+        idx = starts[:, None] + jnp.arange(kk, dtype=jnp.int64)[None, :]
+        vals = sv[jnp.clip(idx, 0, max(total - 1, 0))]
+        good = jnp.arange(kk, dtype=jnp.int64)[None, :] < nonnull[:, None]
+        return AggResult([vals, good])
 
     if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
         q = float(spec.arg1)

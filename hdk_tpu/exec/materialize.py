@@ -67,6 +67,15 @@ def _arrow_array(typ: t.Type, data: np.ndarray, mask: Optional[np.ndarray],
                             type=pa.time32("ms"), mask=arrow_mask)
         return pa.array(data.astype(np.int64), type=pa.time64(unit.value),
                         mask=arrow_mask)
+    if typ.is_array():
+        elem = typ.elem_type  # type: ignore[attr-defined]
+        counts = (mask.sum(axis=1) if mask is not None
+                  else np.full(len(data), data.shape[1]))
+        offsets = np.zeros(len(data) + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        flat = data[mask] if mask is not None else data.reshape(-1)
+        ev = pa.array(flat)
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), ev)
     if typ.is_interval():
         return pa.array(data.astype(np.int64), type=pa.int64(), mask=arrow_mask)
     return pa.array(data, mask=arrow_mask)

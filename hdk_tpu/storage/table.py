@@ -84,11 +84,12 @@ class Column:
         return self.validity is not None
 
     def device_arrays(self):
-        """(data, mask_or_None) as jax arrays, cached.
+        """(data, mask_or_None) as jax arrays, cached with LRU-budget
+        accounting (reference chunk fetch path: DataMgr::getBuffer ->
+        ArrowStorage::fetchBuffer, ArrowStorage.h:65; budget/eviction:
+        BufferMgr slabs)."""
+        from .memory import device_cache_manager
 
-        Replaces the reference's chunk fetch path
-        (DataMgr::getBuffer -> ArrowStorage::fetchBuffer, ArrowStorage.h:65).
-        """
         if self._device is None:
             with self._lock:
                 if self._device is None:
@@ -97,10 +98,17 @@ class Column:
                     data = jnp.asarray(self.data)
                     mask = jnp.asarray(self.validity) if self.validity is not None else None
                     self._device = (data, mask)
+        nbytes = self.data.nbytes + (
+            self.validity.nbytes if self.validity is not None else 0)
+        device_cache_manager().note_use(self, nbytes)
         return self._device
 
-    def drop_device_cache(self) -> None:
+    def drop_device_cache(self, _from_manager: bool = False) -> None:
         self._device = None
+        if not _from_manager:
+            from .memory import device_cache_manager
+
+            device_cache_manager().note_drop(self)
 
     def fragment_stats(self, row_start: int, row_end: int) -> FragmentStats:
         sl = self.data[row_start:row_end]

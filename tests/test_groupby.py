@@ -157,3 +157,28 @@ def test_sample_single_value(hdk):
     res = ht.agg("k", ht["v"].single_value().name("sv")).run().to_pandas()
     exp = pd.DataFrame({"k": [1, 2], "sv": [7, 9]})
     assert_frames_match(res, exp)
+
+
+def test_corr(ht, data):
+    res = ht.agg("k_small", ht["v_f"].corr(ht["v_int"]).name("r")).run().to_pandas()
+    exp = (data.groupby("k_small")
+           .apply(lambda g: g["v_f"].corr(g["v_int"].astype(float)),
+                  include_groups=False).reset_index(name="r"))
+    assert_frames_match(res, exp, approx_cols=("r",))
+
+
+def test_top_k_bottom_k(hdk):
+    ht = hdk.import_pydict(
+        {"k": [1, 1, 1, 1, 2, 2], "v": [5, 9, 1, 7, 3, 8]}, name="topk_t")
+    res = ht.agg("k", ht["v"].top_k(2).name("t"),
+                 ht["v"].bottom_k(2).name("b")).run().to_pandas()
+    res = res.sort_values("k").reset_index(drop=True)
+    assert list(res["t"][0]) == [9, 7] and list(res["b"][0]) == [1, 5]
+    assert list(res["t"][1]) == [8, 3] and list(res["b"][1]) == [3, 8]
+
+
+def test_top_k_with_nulls(hdk):
+    ht = hdk.import_pydict(
+        {"k": [1, 1, 1], "v": [5.0, None, 7.0]}, name="topk_n")
+    res = ht.agg("k", ht["v"].top_k(3).name("t")).run().to_pandas()
+    assert list(res["t"][0]) == [7.0, 5.0]  # nulls excluded, ragged list

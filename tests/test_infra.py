@@ -68,3 +68,22 @@ def test_timer_tree(hdk, ht):
         assert rep and "ms" in rep
     finally:
         hdk_tpu.enable_debug_timer(False)
+
+
+def test_device_cache_budget_eviction():
+    import numpy as np
+    from hdk_tpu.storage.memory import device_cache_manager
+
+    session = hdk_tpu.HDK(device_cache_budget_bytes=4 * 8 * 1000)  # 4 cols
+    mgr = device_cache_manager()
+    before = mgr.evictions
+    data = {f"c{i}": np.arange(1000, dtype=np.int64) for i in range(8)}
+    ht = session.import_pydict(data, name="mem_t")
+    for i in range(8):  # touch every column -> must exceed the budget
+        ht.agg([], f"sum(c{i})").run()
+    assert mgr.evictions > before
+    assert mgr.resident_bytes <= 4 * 8 * 1000
+    # correctness survives eviction: evicted columns re-transfer
+    out = ht.agg([], "sum(c0)", "sum(c7)").run().to_pandas()
+    assert out["c0_sum"][0] == out["c7_sum"][0] == 499500
+    device_cache_manager().set_budget(12 << 30)
