@@ -244,6 +244,19 @@ class HDK:
                 if hasattr(col, "_device_sharded"):
                     col._device_sharded = None
 
+    def refragmented_view(self, name: str, new_name: str,
+                          fragment_size: int) -> QueryNode:
+        """View of a table with a different fragment size
+        (reference: hdk.py:2527 refragmented_view)."""
+        from .storage.table import Table
+
+        src = self._schema.get(name)
+        tid = self._schema.next_table_id(DATA_SCHEMA_ID)
+        cols = [c for c in src.columns if not c.info.is_rowid]
+        view = Table(tid, new_name, cols, fragment_size)
+        self._schema.register(view)
+        return self.scan(new_name)
+
     def drop_table(self, name: str) -> None:
         """reference: hdk.py:2169."""
         self._schema.drop(name)
@@ -362,15 +375,36 @@ class HDK:
         return explain_dag(dag.root)
 
     def _run(self, node, **options) -> QueryResult:
+        """Execute with per-query options (reference: QueryOptions,
+        hdk.py:2017-2110 — device_type/watchdog/just_explain; options
+        that are meaningless on a single-target TPU engine are accepted
+        and ignored for compatibility)."""
         from .exec.optimizer import optimize_dag
 
+        known = {"just_explain", "device_type", "enable_watchdog",
+                 "watchdog_time_limit_ms", "enable_lazy_fetch",
+                 "enable_columnar_output", "enable_dynamic_watchdog",
+                 "forced_gpu_proportion"}
+        unknown = set(options) - known
+        if unknown:
+            raise TypeError(f"unknown query options: {sorted(unknown)}")
         dag = _ir_node.QueryDag(node)
         dag = optimize_dag(dag, self._config)
         if options.get("just_explain"):
             from .exec.explain import explain_dag
 
             return explain_dag(dag.root)  # type: ignore[return-value]
-        table = self._executor.execute(dag)
+        wd = self._config.exec.watchdog
+        saved = (wd.enable, wd.time_limit_ms)
+        if "enable_watchdog" in options:
+            wd.enable = bool(options["enable_watchdog"])
+        if "watchdog_time_limit_ms" in options:
+            wd.time_limit_ms = int(options["watchdog_time_limit_ms"])
+            wd.enable = True
+        try:
+            table = self._executor.execute(dag)
+        finally:
+            wd.enable, wd.time_limit_ms = saved
         return QueryResult(self, table)
 
 

@@ -127,6 +127,13 @@ class _LazyScanColumns(list):
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 
+# aggregate kinds with mergeable partial slots (two-phase distribution)
+_TWO_PHASE_KINDS = frozenset({
+    ir.AggKind.COUNT, ir.AggKind.SUM, ir.AggKind.AVG, ir.AggKind.MIN,
+    ir.AggKind.MAX, ir.AggKind.STDDEV_SAMP, ir.AggKind.VAR_SAMP,
+    ir.AggKind.SAMPLE, ir.AggKind.SINGLE_VALUE,
+})
+
 
 class Executor:
     """Per-session engine (reference: Executor singleton, Execute.h:229)."""
@@ -474,6 +481,17 @@ class Executor:
 
             return jax.jit(fn)
 
+        # distributed sessions route high-NDV algebraic aggregation
+        # through the skew-proof two-phase shuffle (local combine ->
+        # all_to_all of partials -> merge); everything else relies on
+        # GSPMD's automatic parallelization of the fused program
+        if (self._mesh is not None and layout is None
+                and all(a.kind in _TWO_PHASE_KINDS for a in node.aggs)):
+            out = self._exec_aggregate_dist(node, source, chain, src_node,
+                                            used, size, key)
+            if out is not None:
+                return out
+
         fn = self.code_cache.get_or_build(key, build)
         key_cols, agg_cols, exists, n_groups = fn(
             [source.columns[i] for i in used], source.row_mask)
@@ -491,6 +509,63 @@ class Executor:
             ]))
         return ExecTable(list(node.fields), list(node.output_types),
                          trim(cols), n)
+
+    def _exec_aggregate_dist(self, node, source, chain, src_node, used,
+                             size, plan_key):
+        """Two-phase distributed aggregation over the session mesh
+        (parallel/dist_groupby.py).  Returns None to fall back (e.g.
+        shuffle overflow -> the retry ladder re-runs via GSPMD)."""
+        from ..parallel import dist_groupby as dg
+
+        ndev = self._mesh.devices.size
+        nrows0 = source.nrows
+
+        # evaluate the chain + key/operand exprs sharded (GSPMD)
+        prep = self.code_cache.get_or_build(
+            plan_key + "|distprep",
+            lambda: jax.jit(self._build_prep_fn(node, chain, src_node, used,
+                                                size, nrows0)))
+        keys, operands, rm = prep([source.columns[i] for i in used],
+                                  source.row_mask)
+        specs = [
+            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
+                       a.interpolation, op2)
+            for a, (op, op2) in zip(node.aggs, operands)
+        ]
+        rows_per_shard = max(1, nrows0 // ndev)
+        group_cap = max(64, min(
+            self.config.exec.group_by.default_max_groups // ndev,
+            rows_per_shard * 2))
+        key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
+            self._mesh, keys, specs, rows_per_shard, group_cap,
+            axis=self.config.dist.mesh_axis, row_valid=rm)
+        if int(overflow) > 0:  # retry ladder: fall back to GSPMD path
+            return None
+        cols = list(key_cols) + list(agg_cols)
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         ndev * group_cap, gvalid)
+
+    def _build_prep_fn(self, node, chain, src_node, used, size, nrows0):
+        def fn(sub_cols, row_mask):
+            source_cols = self._expand_cols(sub_cols, used, size)
+            env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                            row_mask, nrows=nrows0)
+            resolve = lambda ref: env[ref.node.id][ref.index]
+            keys = [
+                _broadcast(self.scalar.evaluate(k, resolve), nrows0)
+                for k in node.keys
+            ]
+            operands = []
+            for a in node.aggs:
+                op = (_broadcast(self.scalar.evaluate(a.operand, resolve),
+                                 nrows0) if a.operand is not None else None)
+                op2 = (_broadcast(self.scalar.evaluate(a.operand2, resolve),
+                                  nrows0)
+                       if getattr(a, "operand2", None) is not None else None)
+                operands.append((op, op2))
+            return keys, operands, rm
+
+        return fn
 
     def _agg_nogroup(self, node: nd.Aggregate, source: ExecTable,
                      chain, src_node) -> ExecTable:

@@ -148,6 +148,7 @@ def dist_groupby_two_phase(
     group_cap_per_shard: int,
     axis: str = FRAG_AXIS,
     slack: float = 2.0,
+    row_valid=None,
 ):
     """Skew-proof distributed group-by for algebraic aggregates.
 
@@ -170,7 +171,7 @@ def dist_groupby_two_phase(
     cap = max(1, int(math.ceil(local_cap / num_shards * slack)))
     operands = [s.operand for s in specs]
 
-    def shard_fn(keys_l, operands_l):
+    def shard_fn(keys_l, operands_l, row_valid_l):
         # ---- phase 1: local partial aggregation (raw slots) ----------
         nrows = keys_l[0].data.shape[0]
         perm = jnp.arange(nrows, dtype=jnp.int32)
@@ -182,13 +183,23 @@ def dist_groupby_two_phase(
             sort_keys.append(kv)
         for kv in reversed(sort_keys):
             perm = perm[jnp.argsort(kv[perm], stable=True)]
+        if row_valid_l is not None:  # dead rows (filter/pad) sort last
+            perm = perm[jnp.argsort((~row_valid_l[perm]).astype(jnp.int32),
+                                    stable=True)]
         boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
         for kv in sort_keys:
             skv = kv[perm]
             boundary = boundary | jnp.concatenate(
                 [jnp.ones((1,), jnp.bool_), skv[1:] != skv[:-1]])
+        if row_valid_l is not None:
+            sv = row_valid_l[perm].astype(jnp.int32)
+            boundary = boundary | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
         gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-        n_local = gid[-1] + 1
+        if row_valid_l is None:
+            n_local = gid[-1] + 1
+        else:
+            n_local = jnp.max(jnp.where(row_valid_l[perm], gid + 1, 0))
         grp = jnp.arange(local_cap + 1, dtype=jnp.int32)
         bounds = jnp.searchsorted(jnp.minimum(gid, local_cap - 1), grp,
                                   side="left", method="sort").astype(jnp.int64)
@@ -231,6 +242,7 @@ def dist_groupby_two_phase(
     in_specs = (
         jax.tree.map(lambda _: P(axis), list(keys)),
         jax.tree.map(lambda _: P(axis), list(operands)),
+        None if row_valid is None else P(axis),
     )
     out_specs = (
         jax.tree.map(lambda _: P(axis), [
@@ -242,7 +254,7 @@ def dist_groupby_two_phase(
     )
     return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_vma=False)(
-        list(keys), list(operands))
+        list(keys), list(operands), row_valid)
 
 
 def _merge_partials(key_cols, slot_cols, specs, row_valid, cap):

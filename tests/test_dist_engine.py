@@ -95,3 +95,29 @@ def test_sharded_sql(pair):
          "WHERE v > -5 GROUP BY k ORDER BY k")
     assert_frames_match(dist.sql(q).to_pandas(), solo.sql(q).to_pandas(),
                         ordered=True)
+
+
+def test_sharded_skewed_high_ndv(pair, rng):
+    """Engine-level: heavy-hitter keys in a sharded session go through
+    the two-phase shuffle and still aggregate correctly."""
+    dist, solo, _ = pair
+    n = 8 * 600
+    df2 = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.9, 123456789,
+                      rng.integers(0, 10**9, n)),
+        "v": rng.integers(0, 100, n),
+    })
+    dist.import_pandas(df2, name="skew")
+    solo.import_pandas(df2, name="skew")
+    a = dist.scan("skew").agg("k", "count", "sum(v)", "min(v)").run().to_pandas()
+    b = solo.scan("skew").agg("k", "count", "sum(v)", "min(v)").run().to_pandas()
+    assert_frames_match(a, b)
+
+
+def test_sharded_filtered_high_ndv(pair, rng):
+    def q(session):
+        t = session.scan("t")
+        return t.filter(t["v"] > 0).agg("big", "count").run().to_pandas()
+
+    dist, solo, _ = pair
+    assert_frames_match(q(dist), q(solo))
