@@ -350,9 +350,15 @@ class HDK:
     # -- SQL ----------------------------------------------------------------
     def sql(self, query: str, **options) -> "QueryResult":
         """Execute a SQL query (reference: hdk.py:2456 HDK.sql; parser/
-        binder replace the embedded Calcite JVM, SURVEY.md §2.1)."""
+        binder replace the embedded Calcite JVM, SURVEY.md §2.1).
+        ``EXPLAIN SELECT ...`` returns the plan text (reference:
+        executeExplain, Execute.h:459)."""
         from .sql.binder import Binder
 
+        stripped = query.lstrip()
+        if stripped[:8].lower() == "explain ":
+            options = dict(options, just_explain=True)
+            query = stripped[8:]
         node = Binder(self).bind(query)
         return self._run(node, **options)
 
