@@ -28,6 +28,7 @@ Execution model (the WorkUnit analog):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -716,6 +717,16 @@ class Executor:
         nrows0 = source.nrows
         size = len(source.fields)
 
+        # streaming top-n: one sort key + small LIMIT -> lax.top_k of the
+        # orderable key instead of a full sort (reference: StreamingTopN,
+        # per-fragment heaps; ties resolve by row order like stable sort)
+        topn = None
+        if (len(node.sort_fields) == 1 and node.limit is not None
+                and 0 < node.offset + node.limit
+                <= self.config.exec.streaming_topn_max
+                and node.offset + node.limit < source.nrows):
+            topn = node.offset + node.limit
+
         def build():
             def fn(sub_cols, row_mask):
                 source_cols = self._expand_cols(sub_cols, used, size)
@@ -726,12 +737,27 @@ class Executor:
                     self._sortable(cols[f.field_index], ty)
                     for f, ty in zip(node.sort_fields, sort_types)
                 ]
-                perm = srt.sort_permutation(
-                    scols, [f.desc for f in node.sort_fields],
-                    [f.nulls_first for f in node.sort_fields])
-                if rm is not None:  # dead rows last, stably
-                    perm = perm[jnp.argsort((~rm[perm]).astype(jnp.int32),
-                                            stable=True)]
+                if topn is not None:
+                    f0 = node.sort_fields[0]
+                    col0 = scols[0]
+                    key = gb._orderable_int64(col0.data)
+                    if f0.desc:
+                        key = ~key
+                    if col0.mask is not None:
+                        sentinel = (jnp.iinfo(jnp.int64).min if f0.nulls_first
+                                    else jnp.iinfo(jnp.int64).max)
+                        key = jnp.where(col0.mask, key, sentinel)
+                    if rm is not None:
+                        key = jnp.where(rm, key, jnp.iinfo(jnp.int64).max)
+                    _, perm = jax.lax.top_k(~key, topn)
+                    perm = perm.astype(jnp.int32)
+                else:
+                    perm = srt.sort_permutation(
+                        scols, [f.desc for f in node.sort_fields],
+                        [f.nulls_first for f in node.sort_fields])
+                    if rm is not None:  # dead rows last, stably
+                        perm = perm[jnp.argsort(
+                            (~rm[perm]).astype(jnp.int32), stable=True)]
                 out = [
                     MaskedCol(c.data[perm],
                               c.mask[perm] if c.mask is not None else None)
@@ -752,8 +778,9 @@ class Executor:
 
         fn = self.code_cache.get_or_build(key, build)
         cols, window = fn([source.columns[i] for i in used], source.row_mask)
+        out_rows = int(cols[0].data.shape[0]) if cols else source.nrows
         return ExecTable(list(node.fields), list(node.output_types), cols,
-                         source.nrows, window)
+                         out_rows, window)
 
     def _sortable(self, col: MaskedCol, typ: t.Type) -> MaskedCol:
         """Dict-encoded strings order by string value, not code: map codes
@@ -835,6 +862,15 @@ class Executor:
         })
         ht_key = (plan_sig, tuple(id(rhs.columns[i].data)
                                   for i in rhs_ref_idx))
+
+        # perfect (dense direct-index) join: single int-ish key with a
+        # small value range and unique build keys (reference:
+        # PerfectJoinHashTable; falls back to the sorted-hash table on
+        # duplicates or oversized range, like HashJoin::getInstance)
+        perfect_out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
+                                             rhs_keys, ht_key, jt)
+        if perfect_out is not None:
+            return perfect_out
         table = self._hashtable_cache.get(ht_key)
         if table is None:
             build_fn = self.code_cache.get_or_build(
@@ -903,6 +939,83 @@ class Executor:
         n_un = int((~matched).sum())
         un_idx = nonzero_indices(~matched, n_un)
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
+
+    def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
+                          ht_key, jt):
+        if len(node.key_pairs) != 1:
+            return None
+        kt = node.key_pairs[0][1].type
+        ok = (kt.is_integer() or kt.is_boolean()
+              or kt.is_dict_encoded_string()
+              or (kt.is_date() and kt.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+        if not ok:
+            return None
+        cache_key = ht_key + ("perfect",)
+        cached = self._hashtable_cache.get(cache_key)
+        if cached is None:
+            bk = rhs_keys[0]
+            stats = jnp.stack([jnp.min(bk.fill(0)), jnp.max(bk.fill(0))])
+            lo, hi = (int(x) for x in np.asarray(stats))  # host sync
+            range_size = hi - lo + 1
+            if (range_size <= 0
+                    or range_size > self.config.exec.join.perfect_hash_range_limit
+                    or range_size > max(rhs.nrows * 8, 1 << 16)):
+                self._hashtable_cache[cache_key] = (None, None)
+                return None
+            build_fn = self.code_cache.get_or_build(
+                f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}",
+                lambda: jax.jit(functools.partial(
+                    jn.build_perfect, min_key=lo, range_size=range_size)))
+            table, unique = build_fn(bk)
+            if not bool(unique):  # duplicate keys: OneToMany -> generic
+                self._hashtable_cache[cache_key] = (None, None)
+                return None
+            self._hashtable_cache[cache_key] = (table, range_size)
+            cached = (table, range_size)
+        table, range_size = cached
+        if table is None:
+            return None
+
+        probe_fn = self.code_cache.get_or_build(
+            f"pjprobe/{range_size}/{table.min_key}/{lhs.nrows}"
+            f"/{lhs_keys[0].data.dtype}/{lhs_keys[0].mask is None}",
+            lambda: jax.jit(functools.partial(
+                jn.probe_perfect, range_size=range_size)))
+        r = probe_fn(table, lhs_keys[0])
+        matched = r >= 0
+        if jt == nd.JoinType.SEMI:
+            n = int(matched.sum())
+            return self._fields_table(node, lhs.gather(
+                nonzero_indices(matched, n)))
+        if jt == nd.JoinType.ANTI:
+            n = int((~matched).sum())
+            return self._fields_table(node, lhs.gather(
+                nonzero_indices(~matched, n)))
+        if jt == nd.JoinType.INNER:
+            m = int(matched.sum())
+            keep = nonzero_indices(matched, m)
+            out = self._pair_table(node, lhs, rhs, keep,
+                                   r[keep].astype(jnp.int32))
+            if node.residual is not None:
+                out = self._apply_residual(node, out)
+            return out
+        # LEFT (one-to-one): gather rhs at match or pad null
+        if node.residual is not None:
+            raise ExecError(
+                "residual ON condition on LEFT join not supported yet")
+        lcols = list(lhs.columns)
+        safe = jnp.clip(r, 0, max(rhs.nrows - 1, 0)).astype(jnp.int32)
+        rcols = []
+        for c in rhs.columns:
+            data = c.data[safe]
+            mask = matched if c.mask is None else (matched & c.mask[safe])
+            rcols.append(MaskedCol(data, mask))
+        return ExecTable(list(node.fields), list(node.output_types),
+                         lcols + rcols, lhs.nrows, lhs.row_mask)
+
+    def _fields_table(self, node, table: ExecTable) -> ExecTable:
+        return ExecTable(list(node.fields), list(node.output_types),
+                         table.columns, table.nrows, table.row_mask)
 
     def _pair_table(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
                     l_idx, r_idx) -> ExecTable:

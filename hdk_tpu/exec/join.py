@@ -130,6 +130,51 @@ def expand_pairs(table: BuildTable, lo: jnp.ndarray, hi: jnp.ndarray,
     return safe_l, r_idx
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PerfectTable:
+    """Dense direct-index one-to-one table (reference:
+    PerfectJoinHashTable.h:54 — min/max-keyed, ``slot = key - min_key``).
+    ``rows[key - min_key]`` is the build row id, -1 for empty."""
+
+    rows: jnp.ndarray  # (range,) int32
+    min_key: int
+
+    def tree_flatten(self):
+        return (self.rows,), self.min_key
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+def build_perfect(build_key: MaskedCol, min_key: int, range_size: int):
+    """Dense build; returns (table, is_unique).  A duplicate key makes
+    the scatter lose a row, detected by count (the reference falls over
+    to OneToMany on the same condition, PerfectHashTableBuilder)."""
+    n = build_key.data.shape[0]
+    idx = build_key.data.astype(jnp.int64) - min_key
+    valid = (idx >= 0) & (idx < range_size)
+    if build_key.mask is not None:
+        valid = valid & build_key.mask
+    pos = jnp.where(valid, idx, range_size)
+    rows = jnp.full((range_size + 1,), -1, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:range_size]
+    n_set = jnp.sum(rows >= 0)
+    n_valid = jnp.sum(valid)
+    return PerfectTable(rows, min_key), n_set == n_valid
+
+
+def probe_perfect(table: PerfectTable, probe_key: MaskedCol, range_size: int):
+    """Per-probe-row build index (-1 = no match); NULL keys never match."""
+    idx = probe_key.data.astype(jnp.int64) - table.min_key
+    in_range = (idx >= 0) & (idx < range_size)
+    if probe_key.mask is not None:
+        in_range = in_range & probe_key.mask
+    r = table.rows[jnp.clip(idx, 0, range_size - 1)]
+    return jnp.where(in_range, r, -1)
+
+
 def verify_pairs(build_keys: Sequence[MaskedCol], probe_keys: Sequence[MaskedCol],
                  l_idx: jnp.ndarray, r_idx: jnp.ndarray) -> jnp.ndarray:
     """True-equality check on candidate pairs (hash-collision guard)."""

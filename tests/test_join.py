@@ -151,3 +151,35 @@ def test_empty_probe_and_build(hdk):
     assert tl.join(tr, "k", "k").run().row_count == 0
     left = tl.join(tr, "k", "k", how="left").run().to_pandas()
     assert left.shape[0] == 2 and left["w"].isna().all()
+
+
+def test_perfect_join_dense_range(hdk):
+    """Unique small-range int build keys take the dense direct-index
+    path (PerfectJoinHashTable analog); results identical to generic."""
+    lhs = pd.DataFrame({"k": [5, 3, 9, 5, 100], "v": [1, 2, 3, 4, 5]})
+    rhs = pd.DataFrame({"k": [3, 5, 9], "w": [30, 50, 90]})
+    tl = hdk.import_pandas(lhs, name="pj_l")
+    tr = hdk.import_pandas(rhs, name="pj_r")
+    for how in ("inner", "left", "semi", "anti"):
+        got = tl.join(tr, "k", "k", how=how).run().to_pandas()
+        if how == "inner":
+            exp = lhs.merge(rhs, on="k")
+            assert sorted(got["w"]) == sorted(exp["w"])
+        elif how == "left":
+            exp = lhs.merge(rhs, on="k", how="left")
+            assert got["w"].isna().sum() == 1
+            assert sorted(got["w"].dropna()) == sorted(exp["w"].dropna())
+        elif how == "semi":
+            assert sorted(got["v"]) == [1, 2, 3, 4]
+        else:
+            assert list(got["v"]) == [5]
+
+
+def test_perfect_join_falls_back_on_duplicates(hdk):
+    lhs = pd.DataFrame({"k": [1, 2, 2], "v": [10, 20, 30]})
+    rhs = pd.DataFrame({"k": [2, 2, 3], "w": [7, 8, 9]})  # dup build keys
+    tl = hdk.import_pandas(lhs, name="pjd_l")
+    tr = hdk.import_pandas(rhs, name="pjd_r")
+    got = tl.join(tr, "k", "k").run().to_pandas()
+    exp = lhs.merge(rhs, on="k")
+    assert_frames_match(got[["k", "v", "w"]], exp[["k", "v", "w"]])
