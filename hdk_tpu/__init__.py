@@ -33,20 +33,20 @@ jax.config.update("jax_enable_x64", True)
 # compilation goes through a remote compile service).
 import os as _os
 
-# per-platform cache dirs: executables AOT-compiled by the remote TPU
-# service embed CPU features of the *compile* host — loading them into a
-# cpu-platform process risks SIGILL
+# Opt-in only (HDK_TPU_XLA_CACHE=<dir>): in mixed remote-compile
+# environments, cached executables can embed CPU features of the
+# *compile* host and SIGILL on load; and remote TPU compiles are not
+# capturable anyway, so the default is off.
 _platform_tag = (_os.environ.get("JAX_PLATFORMS") or "default").replace(
     ",", "_")
-_cache_dir = _os.environ.get(
-    "HDK_TPU_XLA_CACHE",
-    _os.path.expanduser(f"~/.cache/hdk_tpu_xla_{_platform_tag}"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+_cache_dir = _os.environ.get("HDK_TPU_XLA_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 import numpy as np  # noqa: E402
 
@@ -138,17 +138,6 @@ class HDK:
     (reference: HDK.__init__ hdk.py:2113-2128)."""
 
     def __init__(self, **config_kwargs) -> None:
-        # re-point the persistent compile cache at the *resolved* backend
-        # (a post-import jax_platforms override would otherwise load
-        # artifacts AOT-compiled for a different machine -> SIGILL risk)
-        try:
-            backend = jax.default_backend()
-            if backend not in _platform_tag:
-                d = _os.path.expanduser(f"~/.cache/hdk_tpu_xla_{backend}")
-                _os.makedirs(d, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", d)
-        except Exception:  # pragma: no cover
-            pass
         self._config = (config_kwargs.pop("config")
                         if "config" in config_kwargs
                         else build_config(**config_kwargs))

@@ -899,6 +899,8 @@ class Executor:
                                   jn.verify_pairs(rks, lks, pair[0], pair[1]))
                 )(jn.expand_pairs(tbl, lo_, hi_, total))))
             l_idx, r_idx, ok = expand_fn(table, lo, hi, lhs_keys, rhs_keys)
+            if node.residual is not None and jt != nd.JoinType.INNER:
+                ok = ok & self._residual_on_pairs(node, lhs, rhs, l_idx, r_idx)
             m = int(ok.sum())  # host sync: verified match count
             keep_fn = self.code_cache.get_or_build(
                 plan_sig + f"|keep{total}/{m}",
@@ -933,9 +935,7 @@ class Executor:
             n = int((~matched).sum())
             return lhs.gather(nonzero_indices(~matched, n))
 
-        # LEFT
-        if node.residual is not None:
-            raise ExecError("residual ON condition on LEFT join not supported yet")
+        # LEFT: residual already folded into the match set
         n_un = int((~matched).sum())
         un_idx = nonzero_indices(~matched, n_un)
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
@@ -983,6 +983,9 @@ class Executor:
                 jn.probe_perfect, range_size=range_size)))
         r = probe_fn(table, lhs_keys[0])
         matched = r >= 0
+        if node.residual is not None and jt != nd.JoinType.INNER:
+            # residual ON conditions affect matching; use the generic path
+            return None
         if jt == nd.JoinType.SEMI:
             n = int(matched.sum())
             return self._fields_table(node, lhs.gather(
@@ -1012,6 +1015,29 @@ class Executor:
             rcols.append(MaskedCol(data, mask))
         return ExecTable(list(node.fields), list(node.output_types),
                          lcols + rcols, lhs.nrows, lhs.row_mask)
+
+    def _residual_on_pairs(self, node: nd.Join, lhs: ExecTable,
+                           rhs: ExecTable, l_idx, r_idx):
+        """Residual ON condition on candidate pairs (reference: residual
+        join quals in the generated probe loop, IRCodegen.cpp)."""
+        lhs_node, rhs_node = node.inputs
+
+        def resolve(ref: ir.ColumnRef) -> MaskedCol:
+            if ref.node is lhs_node:
+                c = lhs.columns[ref.index]
+                return MaskedCol(c.data[l_idx],
+                                 c.mask[l_idx] if c.mask is not None else None)
+            if ref.node is rhs_node:
+                c = rhs.columns[ref.index]
+                return MaskedCol(c.data[r_idx],
+                                 c.mask[r_idx] if c.mask is not None else None)
+            raise ExecError(f"unresolvable residual ref {ref!r}")
+
+        cond = self.scalar.evaluate(node.residual, resolve)
+        out = cond.data.astype(jnp.bool_)
+        if cond.mask is not None:
+            out = out & cond.mask
+        return out
 
     def _fields_table(self, node, table: ExecTable) -> ExecTable:
         return ExecTable(list(node.fields), list(node.output_types),

@@ -183,3 +183,36 @@ def test_perfect_join_falls_back_on_duplicates(hdk):
     got = tl.join(tr, "k", "k").run().to_pandas()
     exp = lhs.merge(rhs, on="k")
     assert_frames_match(got[["k", "v", "w"]], exp[["k", "v", "w"]])
+
+
+def test_left_join_residual_on(hdk, rng):
+    """LEFT ... ON k-equality AND residual: unmatched-by-residual rows
+    are kept with null right side (SQL ON semantics)."""
+    lhs = pd.DataFrame({"k": rng.integers(0, 10, 200),
+                        "v": rng.integers(0, 100, 200)})
+    rhs = pd.DataFrame({"k": np.arange(10), "w": rng.integers(0, 100, 10)})
+    tl = hdk.import_pandas(lhs, name="lr_l")
+    tr = hdk.import_pandas(rhs, name="lr_r")
+    got = tl.join(tr, "k", "k", how="left",
+                  cond=tr["w"] > 50).run().to_pandas()
+    exp = lhs.merge(rhs[rhs["w"] > 50], on="k", how="left")
+    assert got.shape[0] == exp.shape[0]
+    gs = got.sort_values(["k", "v"]).reset_index(drop=True)
+    es = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    assert (gs["w"].isna().values == es["w"].isna().values).all()
+    np.testing.assert_array_equal(gs["w"].dropna().values,
+                                  es["w"].dropna().values)
+
+
+def test_semi_anti_residual(hdk, rng):
+    lhs = pd.DataFrame({"k": rng.integers(0, 8, 150),
+                        "v": rng.integers(0, 100, 150)})
+    rhs = pd.DataFrame({"k": np.arange(8), "w": rng.integers(0, 100, 8)})
+    tl = hdk.import_pandas(lhs, name="sr_l")
+    tr = hdk.import_pandas(rhs, name="sr_r")
+    m = lhs.reset_index().merge(rhs, on="k")
+    match_idx = set(m[m["v"] > m["w"]]["index"])
+    semi = tl.join(tr, "k", "k", how="semi", cond=tl["v"] > tr["w"]).run()
+    anti = tl.join(tr, "k", "k", how="anti", cond=tl["v"] > tr["w"]).run()
+    assert semi.row_count == len(match_idx)
+    assert anti.row_count == len(lhs) - len(match_idx)
