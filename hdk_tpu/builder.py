@@ -289,7 +289,7 @@ class QueryExpr:
             return self._agg(ir.AggKind.COUNT_DISTINCT, t.int64(False), True)
         return self._agg(ir.AggKind.COUNT, t.int64(False))
 
-    def sum(self) -> "QueryExpr":
+    def sum(self, distinct: bool = False) -> "QueryExpr":
         st = self.type
         if st.is_integer() or st.is_boolean():
             out = t.int64()
@@ -297,10 +297,10 @@ class QueryExpr:
             out = st.with_nullable(True)
         else:
             out = st.with_nullable(True)
-        return self._agg(ir.AggKind.SUM, out)
+        return self._agg(ir.AggKind.SUM, out, distinct)
 
-    def avg(self) -> "QueryExpr":
-        return self._agg(ir.AggKind.AVG, t.fp64())
+    def avg(self, distinct: bool = False) -> "QueryExpr":
+        return self._agg(ir.AggKind.AVG, t.fp64(), distinct)
 
     def min(self) -> "QueryExpr":
         return self._agg(ir.AggKind.MIN, self.type.with_nullable(True))

@@ -29,6 +29,7 @@ Execution model (the WorkUnit analog):
 from __future__ import annotations
 
 import functools
+import weakref
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -125,6 +126,40 @@ class _LazyScanColumns(list):
         return (self[i] for i in range(len(self)))
 
 
+class _IdentityKeyedCache:
+    """Cache keyed by (plan signature, identity of device buffers).
+
+    ``id()`` alone is unsafe: CPython reuses addresses after GC, so a
+    later structurally-identical query could hit a stale entry built from
+    different data (ADVICE r1).  Entries hold weakrefs to the keyed
+    arrays; lookups validate each with ``is`` and miss on any mismatch.
+    """
+
+    def __init__(self, limit: int) -> None:
+        self._limit = limit
+        self._d: Dict = {}
+
+    @staticmethod
+    def _key(sig, objs):
+        return (sig, tuple(id(o) for o in objs))
+
+    def get(self, sig, objs):
+        ent = self._d.get(self._key(sig, objs))
+        if ent is None:
+            return None
+        refs, value = ent
+        for r, o in zip(refs, objs):
+            if (r() if r is not None else None) is not o:
+                return None  # address reused by a different buffer
+        return value
+
+    def put(self, sig, objs, value) -> None:
+        if len(self._d) > self._limit:
+            self._d.clear()
+        refs = tuple(None if o is None else weakref.ref(o) for o in objs)
+        self._d[self._key(sig, objs)] = (refs, value)
+
+
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 
@@ -145,13 +180,13 @@ class Executor:
         self.config = config
         self.scalar = ScalarCompiler(dicts)
         self.code_cache = CodeCache()
-        # probed perfect-hash layouts keyed by (plan, input buffer ids) —
+        # probed perfect-hash layouts keyed by (plan, input buffers) —
         # avoids re-syncing min/max for repeated queries over the same
         # arrays (reference: col-range cache, Execute.h col-range cache)
-        self._layout_cache: Dict = {}
-        # join build tables keyed by (key expr plan, build buffer ids) —
+        self._layout_cache = _IdentityKeyedCache(1024)
+        # join build tables keyed by (key expr plan, build buffers) —
         # reference: HashtableRecycler (DataRecycler/HashtableRecycler.h:32)
-        self._hashtable_cache: Dict = {}
+        self._hashtable_cache = _IdentityKeyedCache(256)
         # multi-device mode: scans shard rows over the mesh and XLA/GSPMD
         # parallelizes each fused step, inserting collectives (the
         # "annotate shardings, let XLA do the rest" recipe; replaces the
@@ -454,15 +489,17 @@ class Executor:
             a.operand2 for a in node.aggs
             if getattr(a, "operand2", None) is not None]
         used = self._used_columns(src_node, chain, terminal_exprs)
-        extra = (f"layout={layout.mins}/{layout.sizes}" if layout
-                 else f"sortcap={cap}/rng={key_ranges}") + f"u{used}"
-        key = chain_key(_schema_sig(source), chain, node,
-                        self._dict_generation_sig(chain, node) + extra
-                        + f"/n{source.nrows}")
         nrows0 = source.nrows
         size = len(source.fields)
 
-        def build():
+        def make_key(cap_):
+            extra = (f"layout={layout.mins}/{layout.sizes}" if layout
+                     else f"sortcap={cap_}/rng={key_ranges}") + f"u{used}"
+            return chain_key(_schema_sig(source), chain, node,
+                             self._dict_generation_sig(chain, node) + extra
+                             + f"/n{source.nrows}")
+
+        def build(cap_):
             def fn(sub_cols, row_mask):
                 source_cols = self._expand_cols(sub_cols, used, size)
                 env, final, rm = self._chain_env(src_node, source_cols, chain,
@@ -477,30 +514,44 @@ class Executor:
                     kc, ac, exists = gb.groupby_perfect(keys, layout, specs, rm)
                     return kc, ac, exists, None
                 kc, ac, exists, n_groups = gb.groupby_sort(
-                    keys, specs, cap, row_valid=rm, key_ranges=key_ranges)
+                    keys, specs, cap_, row_valid=rm, key_ranges=key_ranges)
                 return kc, ac, exists, n_groups
 
             return jax.jit(fn)
 
+        key = make_key(cap)
         # distributed sessions route high-NDV algebraic aggregation
         # through the skew-proof two-phase shuffle (local combine ->
         # all_to_all of partials -> merge); everything else relies on
         # GSPMD's automatic parallelization of the fused program
         if (self._mesh is not None and layout is None
-                and all(a.kind in _TWO_PHASE_KINDS for a in node.aggs)):
+                and all(a.kind in _TWO_PHASE_KINDS and not a.distinct
+                        for a in node.aggs)):
             out = self._exec_aggregate_dist(node, source, chain, src_node,
                                             used, size, key)
             if out is not None:
                 return out
 
-        fn = self.code_cache.get_or_build(key, build)
-        key_cols, agg_cols, exists, n_groups = fn(
-            [source.columns[i] for i in used], source.row_mask)
-        cols = list(key_cols) + list(agg_cols)
-        if layout is not None:
-            return ExecTable(list(node.fields), list(node.output_types), cols,
-                             layout.entry_count, exists)
-        n = int(n_groups)  # host sync: group count
+        while True:
+            fn = self.code_cache.get_or_build(key, lambda: build(cap))
+            key_cols, agg_cols, exists, n_groups = fn(
+                [source.columns[i] for i in used], source.row_mask)
+            cols = list(key_cols) + list(agg_cols)
+            if layout is not None:
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 cols, layout.entry_count, exists)
+            n = int(n_groups)  # host sync: group count
+            if n <= cap:
+                break
+            # group-cap overflow: the buffer clamped the tail groups, so
+            # re-run with the now-known exact group count (reference:
+            # OUT_OF_SLOTS -> widen-and-retry ladder, Execute.cpp:2291)
+            if not self.config.exec.allow_retry:
+                raise ExecError(
+                    f"group count {n} exceeds buffer cap {cap} "
+                    f"(exec.allow_retry disabled)")
+            cap = min(nrows0, n)
+            key = make_key(cap)
         trim = self.code_cache.get_or_build(
             key + f"|trim{n}",
             lambda: jax.jit(lambda cs: [
@@ -537,14 +588,22 @@ class Executor:
         group_cap = max(64, min(
             self.config.exec.group_by.default_max_groups // ndev,
             rows_per_shard * 2))
-        key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
-            self._mesh, keys, specs, rows_per_shard, group_cap,
-            axis=self.config.dist.mesh_axis, row_valid=rm)
-        if int(overflow) > 0:  # retry ladder: fall back to GSPMD path
-            return None
-        cols = list(key_cols) + list(agg_cols)
-        return ExecTable(list(node.fields), list(node.output_types), cols,
-                         ndev * group_cap, gvalid)
+        # widen-and-retry ladder: shuffle-slot or receiver group-cap
+        # overflow doubles the capacities and re-runs (reference:
+        # Execute.cpp:2291 slot widening); exhausted -> GSPMD fallback
+        slack = 2.0
+        attempts = 3 if self.config.exec.allow_retry else 1
+        for _ in range(attempts):
+            key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
+                self._mesh, keys, specs, rows_per_shard, group_cap,
+                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            if int(overflow) == 0:
+                cols = list(key_cols) + list(agg_cols)
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 cols, ndev * group_cap, gvalid)
+            group_cap *= 2
+            slack *= 2.0
+        return None
 
     def _build_prep_fn(self, node, chain, src_node, used, size, nrows0):
         def fn(sub_cols, row_mask):
@@ -646,12 +705,12 @@ class Executor:
         key = chain_key(_schema_sig(source), chain, node,
                         self._dict_generation_sig(chain, node)
                         + f"rangeprobe/n{source.nrows}")
-        cache_id = (key, tuple(id(c.data) for c in source.columns),
-                    id(source.row_mask))
-        if cache_id in self._layout_cache:
-            return self._layout_cache[cache_id]
-
         used = self._used_columns(src_node, chain, list(node.keys))
+        # key on the *used* columns only: unused columns stay lazy
+        cache_objs = [source.columns[i].data for i in used] + [source.row_mask]
+        cached = self._layout_cache.get(key, cache_objs)
+        if cached is not None:
+            return cached
         nrows0 = source.nrows
         size = len(source.fields)
 
@@ -690,9 +749,7 @@ class Executor:
             [k.type for k in node.keys], ranges,
             self.config.exec.group_by.perfect_hash_entries_limit)
         result = (layout, tuple(ranges))
-        if len(self._layout_cache) > 1024:
-            self._layout_cache.clear()
-        self._layout_cache[cache_id] = result
+        self._layout_cache.put(key, cache_objs, result)
         return result
 
     # ------------------------------------------------------------------
@@ -743,12 +800,20 @@ class Executor:
                     key = gb._orderable_int64(col0.data)
                     if f0.desc:
                         key = ~key
+                    imin = jnp.iinfo(jnp.int64).min
+                    imax = jnp.iinfo(jnp.int64).max
+                    if col0.mask is not None or rm is not None:
+                        # reserve strict sentinel levels: live-real keys <
+                        # live-NULL (nulls-last) < filtered-dead rows, so a
+                        # dead row can never displace a live row inside the
+                        # LIMIT window (costs key resolution only at the 3
+                        # extreme int64 values, where ties break by row id)
+                        key = jnp.clip(key, imin + 1, imax - 2)
                     if col0.mask is not None:
-                        sentinel = (jnp.iinfo(jnp.int64).min if f0.nulls_first
-                                    else jnp.iinfo(jnp.int64).max)
+                        sentinel = imin if f0.nulls_first else imax - 1
                         key = jnp.where(col0.mask, key, sentinel)
                     if rm is not None:
-                        key = jnp.where(rm, key, jnp.iinfo(jnp.int64).max)
+                        key = jnp.where(rm, key, imax)
                     _, perm = jax.lax.top_k(~key, topn)
                     perm = perm.astype(jnp.int32)
                 else:
@@ -860,26 +925,23 @@ class Executor:
             ref.index for _, r in node.key_pairs
             for ref in collect_column_refs(r)
         })
-        ht_key = (plan_sig, tuple(id(rhs.columns[i].data)
-                                  for i in rhs_ref_idx))
+        ht_objs = [rhs.columns[i].data for i in rhs_ref_idx]
 
         # perfect (dense direct-index) join: single int-ish key with a
         # small value range and unique build keys (reference:
         # PerfectJoinHashTable; falls back to the sorted-hash table on
         # duplicates or oversized range, like HashJoin::getInstance)
         perfect_out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
-                                             rhs_keys, ht_key, jt)
+                                             rhs_keys, plan_sig, ht_objs, jt)
         if perfect_out is not None:
             return perfect_out
-        table = self._hashtable_cache.get(ht_key)
+        table = self._hashtable_cache.get(plan_sig + "|ht", ht_objs)
         if table is None:
             build_fn = self.code_cache.get_or_build(
                 plan_sig + "|build",
                 lambda: jax.jit(lambda ks: jn.build(ks)))
             table = build_fn(rhs_keys)
-            if len(self._hashtable_cache) > 256:
-                self._hashtable_cache.clear()
-            self._hashtable_cache[ht_key] = table
+            self._hashtable_cache.put(plan_sig + "|ht", ht_objs, table)
 
         probe_fn = self.code_cache.get_or_build(
             plan_sig + "|probe",
@@ -941,7 +1003,7 @@ class Executor:
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
 
     def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
-                          ht_key, jt):
+                          plan_sig, ht_objs, jt):
         if len(node.key_pairs) != 1:
             return None
         kt = node.key_pairs[0][1].type
@@ -950,8 +1012,8 @@ class Executor:
               or (kt.is_date() and kt.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
         if not ok:
             return None
-        cache_key = ht_key + ("perfect",)
-        cached = self._hashtable_cache.get(cache_key)
+        sig = plan_sig + "|perfect"
+        cached = self._hashtable_cache.get(sig, ht_objs)
         if cached is None:
             bk = rhs_keys[0]
             stats = jnp.stack([jnp.min(bk.fill(0)), jnp.max(bk.fill(0))])
@@ -960,7 +1022,7 @@ class Executor:
             if (range_size <= 0
                     or range_size > self.config.exec.join.perfect_hash_range_limit
                     or range_size > max(rhs.nrows * 8, 1 << 16)):
-                self._hashtable_cache[cache_key] = (None, None)
+                self._hashtable_cache.put(sig, ht_objs, (None, None))
                 return None
             build_fn = self.code_cache.get_or_build(
                 f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}",
@@ -968,10 +1030,10 @@ class Executor:
                     jn.build_perfect, min_key=lo, range_size=range_size)))
             table, unique = build_fn(bk)
             if not bool(unique):  # duplicate keys: OneToMany -> generic
-                self._hashtable_cache[cache_key] = (None, None)
+                self._hashtable_cache.put(sig, ht_objs, (None, None))
                 return None
-            self._hashtable_cache[cache_key] = (table, range_size)
             cached = (table, range_size)
+            self._hashtable_cache.put(sig, ht_objs, cached)
         table, range_size = cached
         if table is None:
             return None

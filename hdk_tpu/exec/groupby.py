@@ -213,6 +213,17 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
     nonnull = (ones_like_rows() if valid is None else valid.astype(jnp.int64))
     nonnull_per_group = _seg_sum(nonnull, gid, num, sorted_)[:n]
 
+    if spec.distinct and k in (AggKind.SUM, AggKind.AVG):
+        # SUM/AVG(DISTINCT x): dedupe (group, value) pairs, then reduce
+        # the first of each run (reference: distinct agg cells)
+        first = _distinct_first_mask(v, gid, num)
+        acc = jnp.where(first, v.fill(0).astype(_acc_dtype(v)), 0)
+        s = _seg_sum(acc, gid, num, sorted_)[:n]
+        cnt = _seg_sum(first.astype(jnp.int64), gid, num, sorted_)[:n]
+        if k == AggKind.SUM:
+            return AggResult([s, cnt])
+        return AggResult([s.astype(jnp.float64), cnt])
+
     if k in (AggKind.SUM, AggKind.AVG, AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
         acc = v.fill(0).astype(_acc_dtype(v))
         s = _seg_sum(acc, gid, num, sorted_)[:n]
@@ -305,6 +316,25 @@ def _corr_slots(spec: AggSpec, reduce_fn):
             reduce_fn(xf * xf), reduce_fn(yf * yf), reduce_fn(cnt)]
 
 
+def _distinct_first_mask(v: MaskedCol, gid, num: int) -> jnp.ndarray:
+    """Per-row flag (original row order): True for the first occurrence of
+    each distinct non-null (group, value) pair."""
+    valid = v.mask
+    key_g = jnp.where(valid, gid, num - 1) if valid is not None else gid
+    vals64 = _orderable_int64(v.data)
+    perm = jnp.argsort(vals64, stable=True)
+    perm = perm[jnp.argsort(key_g[perm], stable=True)]
+    sg = key_g[perm]
+    sv = vals64[perm]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1]),
+    ])
+    if valid is not None:
+        first = first & valid[perm]
+    return jnp.zeros(gid.shape, jnp.bool_).at[perm].set(first)
+
+
 def _count_distinct(v: MaskedCol, gid, n: int, num: int):
     """Exact COUNT(DISTINCT x) per group: sort (gid, x) pairs and count
     pair boundaries (reference semantics: CountDistinct.h exact bitmap /
@@ -355,12 +385,83 @@ def _group_quantile(v: MaskedCol, gid, n: int, num: int, q: float,
     return lo_v + (hi_v - lo_v) * frac
 
 
+_F64_BITCAST_OK: Optional[bool] = None
+
+
+def _f64_bitcast_supported() -> bool:
+    """TPU's X64 rewriter cannot lower any bitcast FROM f64 (f64 is
+    emulated); CPU/GPU can.  Decided once per process."""
+    global _F64_BITCAST_OK
+    if _F64_BITCAST_OK is None:
+        _F64_BITCAST_OK = jax.default_backend() == "cpu"
+    return _F64_BITCAST_OK
+
+
+def _pow2_f64(k):
+    """Exact 2**k for integer k in [-1022, 1023], via IEEE bit assembly
+    (s64->f64 bitcast IS supported on TPU, unlike the reverse)."""
+    bits = (k.astype(jnp.int64) + 1023) << 52
+    return jax.lax.bitcast_convert_type(bits, jnp.float64)
+
+
+def _f64_ieee_bits(x):
+    """IEEE-754 magnitude bit pattern of f64 via arithmetic only — the
+    TPU-safe replacement for bitcast_convert_type(f64, int64).  Exact for
+    normals and subnormals; all NaNs collapse to the canonical quiet NaN
+    and +/-0.0 both map to 0."""
+    m = jnp.abs(x)
+    pos = m > 0
+    # floor(log2 m) with up-to-±1 slack tolerated by candidate selection
+    e0 = jnp.floor(jnp.log2(jnp.where(pos, m, 1.0))).astype(jnp.int32)
+    e0 = jnp.clip(e0, -1074, 1023)
+
+    def cand(e_c):
+        e_eff = jnp.maximum(jnp.clip(e_c, -1074, 1024), -1022)
+        k = 52 - e_eff  # in [-972, 1074]
+        k1 = jnp.clip(k, -1022, 1022)
+        mant = m * _pow2_f64(k1) * _pow2_f64(k - k1)  # exact pow-2 scaling
+        return e_eff, mant
+
+    TWO52 = jnp.float64(2.0 ** 52)
+    e1, m1 = cand(e0 - 1)
+    e2, m2 = cand(e0)
+    e3, m3 = cand(e0 + 1)
+    # mant decreases as e grows; take the largest e with mant >= 2^52
+    # (none => subnormal: e_eff=-1022 scaling, e_field=0)
+    e_sel = jnp.where(m3 >= TWO52, e3, jnp.where(m2 >= TWO52, e2, e1))
+    mant_sel = jnp.where(m3 >= TWO52, m3, jnp.where(m2 >= TWO52, m2, m1))
+    is_norm = mant_sel >= TWO52
+    mant_i = jnp.where(jnp.isfinite(mant_sel), mant_sel, 0.0).astype(jnp.int64)
+    frac = jnp.where(is_norm, mant_i - (1 << 52), mant_i)
+    e_field = jnp.where(is_norm, e_sel.astype(jnp.int64) + 1023,
+                        jnp.int64(0))
+    bits = (e_field << 52) + frac
+    bits = jnp.where(pos, bits, 0)
+    bits = jnp.where(jnp.isinf(x), jnp.int64(0x7FF0000000000000), bits)
+    bits = jnp.where(jnp.isnan(x), jnp.int64(0x7FF8000000000000), bits)
+    return bits
+
+
 def _orderable_int64(data):
-    """Map values to int64 preserving order (floats via IEEE trick)."""
+    """Map values to int64 preserving order (floats via the IEEE
+    total-order trick; +/-0.0 compare equal, NaN sorts above +inf)."""
     if jnp.issubdtype(data.dtype, jnp.floating):
-        bits = jax.lax.bitcast_convert_type(
-            data.astype(jnp.float64), jnp.int64)
-        return jnp.where(bits < 0, jnp.int64(-0x8000000000000000) - bits - 1, bits)
+        if data.dtype == jnp.float32:
+            # 32-bit bitcast lowers natively everywhere (incl. TPU)
+            b = jax.lax.bitcast_convert_type(data, jnp.int32)
+            o = jnp.where(b < 0, jnp.int32(-0x80000000) - b - 1, b)
+            o = jnp.where(data == 0, 0, o)  # -0.0 == +0.0
+            return o.astype(jnp.int64)
+        x = data.astype(jnp.float64)
+        if _f64_bitcast_supported():
+            bits = jax.lax.bitcast_convert_type(x, jnp.int64)
+            o = jnp.where(
+                bits < 0, jnp.int64(-0x8000000000000000) - bits - 1, bits)
+            o = jnp.where(x == 0, 0, o)
+            nan_key = jnp.int64(0x7FF8000000000000)
+            return jnp.where(jnp.isnan(x), nan_key, o)
+        mag = _f64_ieee_bits(x)
+        return jnp.where(x < 0, -mag - 1, mag)
     if data.dtype == jnp.bool_:
         return data.astype(jnp.int64)
     return data.astype(jnp.int64)
@@ -503,6 +604,29 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
 
     nonnull = (counts if valid is None
                else _span_sums(valid.astype(jnp.int64), starts, ends))
+
+    if spec.distinct and k in (AggKind.SUM, AggKind.AVG):
+        # dedupe within the already-sorted group spans: stable value-then-
+        # group re-sort keeps spans identical (as in COUNT_DISTINCT)
+        vals64 = _orderable_int64(v.data)
+        vkey = (vals64 if valid is None
+                else jnp.where(valid, vals64, jnp.iinfo(jnp.int64).max))
+        p2 = jnp.argsort(vkey, stable=True)
+        p2 = p2[jnp.argsort(gid_sorted[p2], stable=True)]
+        sv = vkey[p2]
+        gb2 = gid_sorted[p2]
+        first = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_),
+            (sv[1:] != sv[:-1]) | (gb2[1:] != gb2[:-1]),
+        ])
+        if valid is not None:
+            first = first & valid[p2]
+        acc = v.fill(0).astype(_acc_dtype(v))[p2]
+        s = _span_sums(jnp.where(first, acc, 0), starts, ends)
+        cnt = _span_sums(first.astype(jnp.int64), starts, ends)
+        if k == AggKind.SUM:
+            return AggResult([s, cnt])
+        return AggResult([s.astype(jnp.float64), cnt])
 
     if k in (AggKind.SUM, AggKind.AVG, AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
         acc = v.fill(0).astype(_acc_dtype(v))

@@ -231,13 +231,21 @@ def dist_groupby_two_phase(
         s2 = cols[len(keys_l):]
 
         # merge: group partial rows by key, combining slots
-        merged_keys, merged_slots, exists, _n = _merge_partials(
+        merged_keys, merged_slots, exists, n_merged = _merge_partials(
             k2, s2, specs, row_valid, group_cap_per_shard)
         agg_cols = [
             gb.AggResult(slots).finalize(spec, None)
             for slots, spec in zip(merged_slots, specs)
         ]
-        return merged_keys, agg_cols, exists, jax.lax.psum(overflow, axis)
+        # receiver group-cap overflow is a detected failure, not a silent
+        # clamp: a shard owning more distinct keys than its cap reports
+        # the shortfall so the caller can widen and retry (reference:
+        # OUT_OF_SLOTS -> retry ladder, GroupByRuntime.cpp:31-54)
+        merge_overflow = jnp.maximum(
+            n_merged.astype(jnp.int64) - group_cap_per_shard, 0)
+        total_overflow = jax.lax.psum(
+            overflow.astype(jnp.int64) + merge_overflow, axis)
+        return merged_keys, agg_cols, exists, total_overflow
 
     in_specs = (
         jax.tree.map(lambda _: P(axis), list(keys)),
@@ -356,9 +364,14 @@ def dist_groupby_shuffled(
             gb.AggSpec(s.kind, o, s.out_type, s.distinct, s.arg1, s.interpolation)
             for s, o in zip(specs, ops2)
         ]
-        key_cols, agg_cols, exists, _n = gb.groupby_sort(
+        key_cols, agg_cols, exists, n_local = gb.groupby_sort(
             k2, specs2, group_cap_per_shard, row_valid=row_valid)
-        total_overflow = jax.lax.psum(overflow, axis)
+        # receiver group-cap overflow feeds the retry signal too (see
+        # dist_groupby_two_phase)
+        group_overflow = jnp.maximum(
+            n_local.astype(jnp.int64) - group_cap_per_shard, 0)
+        total_overflow = jax.lax.psum(
+            overflow.astype(jnp.int64) + group_overflow, axis)
         return key_cols, agg_cols, exists, total_overflow
 
     in_specs = (

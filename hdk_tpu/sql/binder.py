@@ -149,6 +149,25 @@ class Binder:
                 if sub.size() != 1:
                     raise SqlError("IN subquery must select exactly one column")
                 lhs_key = self.bind_expr(inner.operand, node, scope)
+                if anti:
+                    # three-valued NOT IN: a NULL anywhere in the subquery
+                    # result makes every non-matching comparison UNKNOWN
+                    # (filtered); a NULL probe key is UNKNOWN too.  Plain
+                    # ANTI join is NOT EXISTS semantics — correct only
+                    # after excluding both NULL sources.
+                    if sub.output_types[0].nullable:
+                        table = self.session._executor.execute(
+                            nd.QueryDag(sub)).compact()
+                        col = table.columns[0]
+                        if (table.nrows > 0 and col.mask is not None
+                                and not bool(np.asarray(col.mask).all())):
+                            rest.append(A.Lit(False))
+                            continue
+                    if lhs_key.type.nullable:
+                        # Filter passes columns through positionally, so
+                        # the join key refs stay valid unretargeted
+                        node = nd.Filter(node, ir.UnOp(
+                            t.boolean(False), "isnotnull", lhs_key))
                 jt = nd.JoinType.ANTI if anti else nd.JoinType.SEMI
                 node = nd.Join(node, sub, [(lhs_key, sub.ref(0))], jt)
                 continue
@@ -851,11 +870,17 @@ class Binder:
             if not isinstance(c, ir.Constant):
                 raise SqlError(f"{name} parameter must be a literal")
             extra = float(c.value)
+        # DISTINCT is honored for count/sum/avg; it is a no-op for
+        # min/max; anything else raises (reference: Calcite validates the
+        # DISTINCT qualifier per aggregate)
+        if e.distinct and name not in ("count", "sum", "avg", "mean",
+                                       "min", "max"):
+            raise SqlError(f"DISTINCT is not supported in {name.upper()}()")
         dispatch = {
             "count": lambda: col.count(distinct=e.distinct),
-            "sum": lambda: col.sum(),
-            "avg": lambda: col.avg(),
-            "mean": lambda: col.avg(),
+            "sum": lambda: col.sum(distinct=e.distinct),
+            "avg": lambda: col.avg(distinct=e.distinct),
+            "mean": lambda: col.avg(distinct=e.distinct),
             "min": lambda: col.min(),
             "max": lambda: col.max(),
             "stddev": lambda: col.stddev(),

@@ -121,3 +121,24 @@ def test_sharded_filtered_high_ndv(pair, rng):
 
     dist, solo, _ = pair
     assert_frames_match(q(dist), q(solo))
+
+
+def test_merge_cap_overflow_widens_and_retries(rng):
+    """Receiver group-cap overflow in the two-phase merge is a detected
+    signal feeding the widen-and-retry ladder — results must be exact,
+    never silently merged tail groups (ADVICE r1 / VERDICT r1 #2)."""
+    # group_cap = max(64, min(default_max_groups//ndev, rows/ndev*2)) = 64;
+    # ~1000 distinct keys over 8 shards => ~125 keys/owner-shard > 64
+    sess = hdk_tpu.HDK(**{"dist.enable": True,
+                          "exec.group_by.default_max_groups": 256})
+    solo = hdk_tpu.HDK()
+    n = 8 * 500
+    df = pd.DataFrame({
+        "k": (rng.integers(0, 1000, n) * 2**33 + 5).astype(np.int64),
+        "v": rng.integers(0, 100, n),
+    })
+    sess.import_pandas(df, name="mo")
+    solo.import_pandas(df, name="mo")
+    a = sess.scan("mo").agg("k", "count", "sum(v)").run().to_pandas()
+    b = solo.scan("mo").agg("k", "count", "sum(v)").run().to_pandas()
+    assert_frames_match(a, b)
