@@ -102,6 +102,10 @@ class DistConfig:
     shuffle_partitions_per_device: int = 1
     skew_sample_size: int = 1 << 16
     heavy_hitter_threshold: float = 0.25  # fraction of one partition budget
+    # joins: build sides up to this many rows replicate to every shard
+    # (reference analog: per-device hash-table replicas,
+    # PerfectJoinHashTable.cpp:370-400); larger builds shuffle-partition
+    broadcast_join_threshold: int = 1 << 22
 
 
 @dataclass

@@ -871,7 +871,175 @@ class Executor:
             return source.compact()
         return self._exec_chain_root(node, results).compact()
 
+    def _input_table_masked(self, node: nd.Node, results) -> ExecTable:
+        """Join/union input WITHOUT compaction: keeps the row_mask (and
+        any sharding) so distributed operators consume rows in place."""
+        source, chain, src_node = self._resolve_chain(node, results)
+        if not chain:
+            return source
+        return self._exec_chain_root(node, results)
+
+    def _pad_rows(self, table: ExecTable, multiple: int) -> ExecTable:
+        """Pad the row axis to a multiple of the shard count; padding
+        rides the row_mask as dead rows."""
+        pad = (-table.nrows) % multiple
+        if pad == 0:
+            return table
+        key = f"padrows/{_schema_sig(table)}/{table.nrows}+{pad}"
+
+        def build():
+            def fn(cols, rm):
+                out = []
+                for c in cols:
+                    data = jnp.concatenate(
+                        [c.data, jnp.zeros((pad,), c.data.dtype)])
+                    mask = None
+                    if c.mask is not None:
+                        mask = jnp.concatenate(
+                            [c.mask, jnp.zeros((pad,), jnp.bool_)])
+                    out.append(MaskedCol(data, mask))
+                base = (jnp.ones((table.nrows,), jnp.bool_) if rm is None
+                        else rm)
+                return out, jnp.concatenate(
+                    [base, jnp.zeros((pad,), jnp.bool_)])
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, rm = fn(list(table.columns), table.row_mask)
+        return ExecTable(table.fields, table.types, cols,
+                         table.nrows + pad, rm)
+
+    # ------------------------------------------------------------------
+    def _exec_join_dist(self, node: nd.Join, results) -> Optional[ExecTable]:
+        """Mesh-distributed join (parallel/dist_join.py): replicated-
+        build when the build side is small, shuffle-partitioned
+        otherwise.  Returns None to fall back to the single-device path
+        (empty inputs, unsupported residuals)."""
+        from ..parallel import dist_join as dj
+
+        jt = node.join_type
+        if node.residual is not None and jt != nd.JoinType.INNER:
+            return None
+        mesh = self._mesh
+        ndev = mesh.devices.size
+        lhs = self._input_table_masked(node.inputs[0], results)
+        rhs = self._input_table_masked(node.inputs[1], results)
+        if lhs.nrows < ndev or rhs.nrows == 0 or ndev <= 1:
+            return None
+        lhs = self._pad_rows(lhs, ndev)
+
+        def eval_keys(exprs, table):
+            resolve = (lambda ref: table.columns[ref.index])
+            return [
+                _broadcast(self.scalar.evaluate(e, resolve), table.nrows)
+                for e in exprs
+            ]
+
+        lhs_keys = eval_keys([l for l, _ in node.key_pairs], lhs)
+
+        from .codecache import _h, expr_sig
+
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        plan_sig = _h([
+            "distjoin",
+            ";".join(f"{expr_sig(l, sig_ids)}={expr_sig(r, sig_ids)}"
+                     for l, r in node.key_pairs),
+            jt.value, _schema_sig(lhs), _schema_sig(rhs),
+            lhs.nrows, rhs.nrows, ndev,
+        ])
+        axis = self.config.dist.mesh_axis
+
+        broadcast = (rhs.live_count()
+                     <= self.config.dist.broadcast_join_threshold)
+        if broadcast:
+            rhs_d = rhs.compact()
+            if rhs_d.nrows == 0:
+                return None
+            rhs_keys = self._translated_rhs_keys(
+                node, eval_keys([r for _, r in node.key_pairs], rhs_d))
+            cnt_fn = self.code_cache.get_or_build(
+                plan_sig + f"|bcnt/{rhs_d.nrows}",
+                lambda: jax.jit(functools.partial(
+                    dj.count_candidates_broadcast, mesh, axis=axis)))
+            totals = np.asarray(cnt_fn(lhs_keys, lhs.row_mask, rhs_keys))
+            pair_cap = _next_pow2(max(64, int(totals.max())))
+            join_fn = self.code_cache.get_or_build(
+                plan_sig + f"|bjoin/{rhs_d.nrows}/{pair_cap}",
+                lambda: jax.jit(functools.partial(
+                    dj.dist_join_broadcast, mesh, join_type=jt,
+                    pair_cap=pair_cap, axis=axis)))
+            out_cols, out_mask, ov = join_fn(
+                list(lhs.columns), lhs_keys, lhs.row_mask,
+                list(rhs_d.columns), rhs_keys)
+            if int(ov) > 0:  # cap was exact; any overflow -> fallback
+                return None
+            if out_cols is None:  # SEMI/ANTI keep-mask over lhs rows
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 list(lhs.columns), lhs.nrows, out_mask)
+        else:
+            rhs = self._pad_rows(rhs, ndev)
+            rhs_keys = self._translated_rhs_keys(
+                node, eval_keys([r for _, r in node.key_pairs], rhs))
+            hist_fn = self.code_cache.get_or_build(
+                plan_sig + f"|phist/{rhs.nrows}",
+                lambda: jax.jit(functools.partial(
+                    dj.partition_histograms, mesh, axis=axis)))
+            hp, hb = hist_fn(lhs_keys, lhs.row_mask, rhs_keys, rhs.row_mask)
+            probe_cap = _next_pow2(max(64, int(np.asarray(hp).max())))
+            build_cap = _next_pow2(max(64, int(np.asarray(hb).max())))
+            cand_fn = self.code_cache.get_or_build(
+                plan_sig + f"|pcnt/{rhs.nrows}/{probe_cap}/{build_cap}",
+                lambda: jax.jit(functools.partial(
+                    dj.count_candidates_partitioned, mesh,
+                    probe_cap=probe_cap, build_cap=build_cap, axis=axis)))
+            totals = np.asarray(cand_fn(lhs_keys, lhs.row_mask,
+                                        rhs_keys, rhs.row_mask))
+            pair_cap = _next_pow2(max(64, int(totals.max())))
+            join_fn = self.code_cache.get_or_build(
+                plan_sig + f"|pjoin/{rhs.nrows}/{probe_cap}/{build_cap}"
+                f"/{pair_cap}",
+                lambda: jax.jit(functools.partial(
+                    dj.dist_join_partitioned, mesh, join_type=jt,
+                    probe_cap=probe_cap, build_cap=build_cap,
+                    pair_cap=pair_cap, axis=axis)))
+            out_cols, out_mask, ov = join_fn(
+                list(lhs.columns), lhs_keys, lhs.row_mask,
+                list(rhs.columns), rhs_keys, rhs.row_mask)
+            if int(ov) > 0:
+                return None
+
+        nrows = int(out_cols[0].data.shape[0]) if out_cols else 0
+        out = ExecTable(list(node.fields), list(node.output_types),
+                        list(out_cols), nrows, out_mask)
+        if node.residual is not None:
+            resolve_out = lambda ref: out.columns[ref.index]
+            cond = self.scalar.evaluate(
+                _rebind_to_join_output(node.residual, node), resolve_out)
+            m = cond.data.astype(jnp.bool_)
+            if cond.mask is not None:
+                m = m & cond.mask
+            rm = m if out.row_mask is None else (out.row_mask & m)
+            out = ExecTable(out.fields, out.types, out.columns, out.nrows, rm)
+        return out
+
+    def _translated_rhs_keys(self, node: nd.Join, rhs_keys):
+        """Cross-dictionary string keys: translate rhs codes into the lhs
+        dictionary (reference: StringDictionaryTranslationMgr)."""
+        for i, (le, re_) in enumerate(node.key_pairs):
+            lt, rt = le.type, re_.type
+            if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
+                    and lt.dict_id != rt.dict_id):  # type: ignore[attr-defined]
+                data, mask = self.scalar.translate_dict_codes(
+                    rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
+                rhs_keys[i] = MaskedCol(data, mask)
+        return rhs_keys
+
     def _exec_join(self, node: nd.Join, results) -> ExecTable:
+        if self._mesh is not None:
+            out = self._exec_join_dist(node, results)
+            if out is not None:
+                return out
         lhs = self._materialize_input(node.inputs[0], results)
         rhs = self._materialize_input(node.inputs[1], results)
         resolve_l = lambda ref: lhs.columns[ref.index] if ref.node is node.inputs[0] else _raise_ref(ref)
@@ -1168,6 +1336,12 @@ class Executor:
             cols.append(MaskedCol(jnp.asarray(data), mask))
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          len(node.rows))
+
+
+def _next_pow2(n: int) -> int:
+    """Round capacities up to powers of two so repeated queries with
+    near-identical sizes share compiled programs."""
+    return 1 << max(0, (int(n) - 1).bit_length())
 
 
 def _broadcast(col: MaskedCol, nrows: int) -> MaskedCol:

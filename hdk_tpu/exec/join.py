@@ -130,6 +130,29 @@ def expand_pairs(table: BuildTable, lo: jnp.ndarray, hi: jnp.ndarray,
     return safe_l, r_idx
 
 
+def expand_pairs_capped(table: BuildTable, lo: jnp.ndarray, hi: jnp.ndarray,
+                        cap: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                           jnp.ndarray, jnp.ndarray]:
+    """Sync-free variant of ``expand_pairs`` for fixed-capacity buffers
+    (shard_map bodies can't host-sync the candidate total).  Returns
+    (l_idx, r_idx, live, total): ``live`` marks real pairs, slots past
+    the data are padding; ``total`` is the true candidate count so the
+    caller can detect overflow (total > cap) and widen-retry."""
+    counts = hi - lo
+    offsets = jnp.cumsum(counts)  # inclusive
+    excl = offsets - counts
+    total = offsets[-1] if lo.shape[0] > 0 else jnp.asarray(0, jnp.int64)
+    j = jnp.arange(cap, dtype=jnp.int64)
+    l_idx = jnp.searchsorted(offsets, j, side="right",
+                             method="sort").astype(jnp.int32)
+    safe_l = jnp.minimum(l_idx, max(lo.shape[0] - 1, 0))
+    within = j - excl[safe_l]
+    pos = lo[safe_l] + within
+    r_idx = table.perm[jnp.clip(pos, 0, table.perm.shape[0] - 1)]
+    live = j < total
+    return safe_l, r_idx, live, total
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PerfectTable:

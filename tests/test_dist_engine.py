@@ -142,3 +142,99 @@ def test_merge_cap_overflow_widens_and_retries(rng):
     a = sess.scan("mo").agg("k", "count", "sum(v)").run().to_pandas()
     b = solo.scan("mo").agg("k", "count", "sum(v)").run().to_pandas()
     assert_frames_match(a, b)
+
+
+# ---------------------------------------------------------------------------
+# distributed joins (VERDICT r1 #1): replicated-build + partitioned
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_pair(rng):
+    n = 8 * 400 + 3  # not divisible: exercises pad path
+    fact = pd.DataFrame({
+        "k": rng.integers(0, 300, n).astype(np.int64),
+        "v": rng.normal(size=n).round(3),
+        "tag": rng.integers(0, 5, n).astype(np.int64),
+    })
+    dim = pd.DataFrame({
+        "k": np.arange(0, 250, dtype=np.int64),  # keys 250..299 unmatched
+        "w": (np.arange(250) * 3 + 1).astype(np.int64),
+    })
+    # duplicate build keys: OneToMany expansion
+    dim_dup = pd.concat([dim, dim.head(40)], ignore_index=True)
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    solo = hdk_tpu.HDK()
+    for s in (dist, solo):
+        s.import_pandas(fact, name="f")
+        s.import_pandas(dim, name="d")
+        s.import_pandas(dim_dup, name="dd")
+    return dist, solo
+
+
+def _join_both(join_pair, build, **cfg):
+    dist, solo = join_pair
+    return (build(dist).to_pandas(), build(solo).to_pandas())
+
+
+@pytest.mark.parametrize("dim_name", ["d", "dd"])
+def test_dist_inner_join_broadcast(join_pair, dim_name):
+    def q(s):
+        return (s.scan("f").join(s.scan(dim_name), "k", "k")
+                .agg("tag", "count", "sum(w)", "sum(v)").run())
+    a, b = _join_both(join_pair, q)
+    assert_frames_match(a, b)
+
+
+def test_dist_inner_join_rows(join_pair):
+    def q(s):
+        f = s.scan("f")
+        return f.filter(f["tag"] == 2).join(s.scan("d"), "k", "k").run()
+    a, b = _join_both(join_pair, q)
+    assert_frames_match(a, b)
+
+
+def test_dist_left_join(join_pair):
+    def q(s):
+        return (s.scan("f").join(s.scan("d"), "k", "k", how="left")
+                .agg("tag", "count", "sum(w)", "count(w)").run())
+    a, b = _join_both(join_pair, q)
+    assert_frames_match(a, b)
+
+
+def test_dist_semi_anti_join(join_pair):
+    dist, solo = join_pair
+    for how in ("semi", "anti"):
+        def q(s):
+            return (s.scan("f").join(s.scan("d"), "k", "k", how=how)
+                    .agg("tag", "count", "sum(v)").run())
+        a, b = q(dist).to_pandas(), q(solo).to_pandas()
+        assert_frames_match(a, b)
+
+
+def test_dist_join_partitioned(rng):
+    """Build side above the broadcast threshold -> shuffle-both-sides."""
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "dist.broadcast_join_threshold": 64})
+    solo = hdk_tpu.HDK()
+    n, m = 8 * 300, 8 * 200
+    fact = pd.DataFrame({"k": rng.integers(0, 1000, n).astype(np.int64),
+                         "v": rng.integers(0, 50, n).astype(np.int64)})
+    dim = pd.DataFrame({"k": rng.permutation(1200)[:m % 1200 + 500].astype(np.int64)})
+    dim["w"] = dim["k"] * 2 + 1
+    for s in (dist, solo):
+        s.import_pandas(fact, name="pf")
+        s.import_pandas(dim, name="pd_")
+    for how in ("inner", "left", "semi", "anti"):
+        a = (dist.scan("pf").join(dist.scan("pd_"), "k", "k", how=how)
+             .agg([], "count", "sum(v)").run().to_pandas())
+        b = (solo.scan("pf").join(solo.scan("pd_"), "k", "k", how=how)
+             .agg([], "count", "sum(v)").run().to_pandas())
+        assert_frames_match(a, b)
+
+
+def test_dist_join_then_sort(join_pair):
+    def q(s):
+        return (s.scan("f").join(s.scan("d"), "k", "k")
+                .sort(("w", "desc"), "k", limit=20).run())
+    a, b = _join_both(join_pair, q)
+    assert_frames_match(a, b, ordered=False)
