@@ -520,15 +520,19 @@ class Executor:
             return jax.jit(fn)
 
         key = make_key(cap)
-        # distributed sessions route high-NDV algebraic aggregation
-        # through the skew-proof two-phase shuffle (local combine ->
-        # all_to_all of partials -> merge); everything else relies on
-        # GSPMD's automatic parallelization of the fused program
-        if (self._mesh is not None and layout is None
-                and all(a.kind in _TWO_PHASE_KINDS and not a.distinct
-                        for a in node.aggs)):
-            out = self._exec_aggregate_dist(node, source, chain, src_node,
-                                            used, size, key)
+        # distributed sessions route high-NDV aggregation off the GSPMD
+        # fallback: algebraic aggs through the skew-proof two-phase
+        # shuffle (local combine -> all_to_all of partials -> merge),
+        # holistic aggs (COUNT DISTINCT/QUANTILE/TOP_K/CORR/distinct)
+        # through the raw-row shuffle so each key's rows co-locate
+        if self._mesh is not None and layout is None:
+            if all(a.kind in _TWO_PHASE_KINDS and not a.distinct
+                   for a in node.aggs):
+                out = self._exec_aggregate_dist(node, source, chain,
+                                                src_node, used, size, key)
+            else:
+                out = self._exec_aggregate_dist_shuffled(
+                    node, source, chain, src_node, used, size, key)
             if out is not None:
                 return out
 
@@ -595,6 +599,45 @@ class Executor:
         attempts = 3 if self.config.exec.allow_retry else 1
         for _ in range(attempts):
             key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
+                self._mesh, keys, specs, rows_per_shard, group_cap,
+                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            if int(overflow) == 0:
+                cols = list(key_cols) + list(agg_cols)
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 cols, ndev * group_cap, gvalid)
+            group_cap *= 2
+            slack *= 2.0
+        return None
+
+    def _exec_aggregate_dist_shuffled(self, node, source, chain, src_node,
+                                      used, size, plan_key):
+        """Raw-row shuffle distribution for holistic aggregates
+        (parallel/dist_groupby.dist_groupby_shuffled) with the
+        widen-and-retry ladder; None -> GSPMD fallback."""
+        from ..parallel import dist_groupby as dg
+
+        ndev = self._mesh.devices.size
+        nrows0 = source.nrows
+
+        prep = self.code_cache.get_or_build(
+            plan_key + "|distprep",
+            lambda: jax.jit(self._build_prep_fn(node, chain, src_node, used,
+                                                size, nrows0)))
+        keys, operands, rm = prep([source.columns[i] for i in used],
+                                  source.row_mask)
+        specs = [
+            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
+                       a.interpolation, op2)
+            for a, (op, op2) in zip(node.aggs, operands)
+        ]
+        rows_per_shard = max(1, nrows0 // ndev)
+        group_cap = max(64, min(
+            self.config.exec.group_by.default_max_groups // ndev,
+            rows_per_shard * 2))
+        slack = 2.0
+        attempts = 3 if self.config.exec.allow_retry else 1
+        for _ in range(attempts):
+            key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_shuffled(
                 self._mesh, keys, specs, rows_per_shard, group_cap,
                 axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
             if int(overflow) == 0:
@@ -784,6 +827,14 @@ class Executor:
                 and node.offset + node.limit < source.nrows):
             topn = node.offset + node.limit
 
+        # distributed sessions: full sorts route through the sampled
+        # range-partition sort (parallel/dist_sort.py); small-LIMIT sorts
+        # keep the global top_k fast path (GSPMD parallelizes it)
+        if topn is None and self._mesh is not None:
+            out = self._exec_sort_dist(node, results)
+            if out is not None:
+                return out
+
         def build():
             def fn(sub_cols, row_mask):
                 source_cols = self._expand_cols(sub_cols, used, size)
@@ -846,6 +897,62 @@ class Executor:
         out_rows = int(cols[0].data.shape[0]) if cols else source.nrows
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          out_rows, window)
+
+    def _exec_sort_dist(self, node: nd.Sort, results) -> Optional[ExecTable]:
+        """Range-partitioned distributed sort (SURVEY.md P7): rows stay
+        sharded; shard-order concatenation is the global ORDER BY order.
+        Returns None to fall back (tiny inputs, overflow exhaustion)."""
+        from ..parallel.dist_sort import dist_sort
+
+        mesh = self._mesh
+        ndev = mesh.devices.size
+        table = self._input_table_masked(node.inputs[0], results)
+        if table.nrows < ndev * 4:
+            return None
+        table = self._pad_rows(table, ndev)
+        in_types = node.inputs[0].output_types
+        sort_types = [in_types[f.field_index] for f in node.sort_fields]
+        scols = [
+            self._sortable(table.columns[f.field_index], ty)
+            for f, ty in zip(node.sort_fields, sort_types)
+        ]
+        descs = [f.desc for f in node.sort_fields]
+        nfs = [f.nulls_first for f in node.sort_fields]
+        rows_per_shard = table.nrows // ndev
+        axis = self.config.dist.mesh_axis
+        from .codecache import _h
+
+        plan_sig = _h(["distsort", _schema_sig(table), table.nrows, ndev,
+                       tuple((f.field_index, f.desc, f.nulls_first)
+                             for f in node.sort_fields)])
+        slack = 2.0
+        attempts = 3 if self.config.exec.allow_retry else 1
+        for _ in range(attempts):
+            fn = self.code_cache.get_or_build(
+                plan_sig + f"|s{slack}",
+                lambda: jax.jit(functools.partial(
+                    dist_sort, mesh, descs=descs, nulls_firsts=nfs,
+                    rows_per_shard=rows_per_shard, axis=axis, slack=slack)))
+            cols, valid, overflow = fn(scols, payload_cols=list(table.columns),
+                                       row_valid=table.row_mask)
+            if int(overflow) == 0:
+                break
+            slack *= 2.0
+        else:
+            return None
+        out_rows = int(valid.shape[0])
+        if node.limit is not None or node.offset:
+            end = (None if node.limit is None else node.offset + node.limit)
+            win_fn = self.code_cache.get_or_build(
+                plan_sig + f"|win{node.offset}/{end}",
+                lambda: jax.jit(lambda v: v & (
+                    lambda pos: (pos >= node.offset)
+                    & (pos < (v.sum() if end is None else
+                              jnp.minimum(v.sum(), end)))
+                )(jnp.cumsum(v.astype(jnp.int64)) - 1)))
+            valid = win_fn(valid)
+        return ExecTable(list(node.fields), list(node.output_types),
+                         list(cols), out_rows, valid)
 
     def _sortable(self, col: MaskedCol, typ: t.Type) -> MaskedCol:
         """Dict-encoded strings order by string value, not code: map codes

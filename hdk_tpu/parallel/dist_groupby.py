@@ -337,35 +337,46 @@ def dist_groupby_shuffled(
     group_cap_per_shard: int,
     axis: str = FRAG_AXIS,
     slack: float = 2.0,
+    row_valid=None,
 ):
     """Row-sharded inputs -> per-shard complete groups via all_to_all.
 
+    The raw-row shuffle: every key's rows co-locate on its owner shard,
+    so HOLISTIC aggregates (COUNT DISTINCT, QUANTILE, TOP_K, CORR)
+    compute exactly — the pod-scale analog of the reference's
+    partitioned aggregation (RelAlgExecutor.cpp:691-860).
+
     Returns (key_cols, agg_cols, group_valid, overflow) where buffers are
     sharded (num_shards * group_cap_per_shard rows total); ``group_valid``
-    marks real groups.  ``overflow`` > 0 means the shuffle capacity was
-    exceeded and the caller must retry with more slack (reference analog:
-    OUT_OF_SLOTS -> retry ladder, Execute.cpp:2291).
+    marks real groups.  ``overflow`` > 0 means a shuffle-slot or
+    receiver group-cap capacity was exceeded and the caller must retry
+    with more slack (reference analog: OUT_OF_SLOTS -> retry ladder,
+    Execute.cpp:2291).
     """
     num_shards = mesh.devices.size
     cap = max(1, int(math.ceil(rows_per_shard / num_shards * slack)))
     operands = [s.operand for s in specs]
+    operands2 = [s.operand2 for s in specs]
 
-    def shard_fn(keys_l, operands_l):
-        present = [op for op in operands_l if op is not None]
-        cols, row_valid, overflow = shf.shuffle_rows(
-            list(keys_l), present, axis, num_shards, cap)
+    def shard_fn(keys_l, operands_l, operands2_l, row_valid_l):
+        present = ([op for op in operands_l if op is not None]
+                   + [op for op in operands2_l if op is not None])
+        cols, rvalid, overflow = shf.shuffle_rows(
+            list(keys_l), present, axis, num_shards, cap,
+            row_valid=row_valid_l)
         k2 = cols[: len(keys_l)]
-        rest = cols[len(keys_l):]
-        ops2: List[Optional[MaskedCol]] = []
-        it = iter(rest)
-        for op in operands_l:
-            ops2.append(next(it) if op is not None else None)
+        rest = iter(cols[len(keys_l):])
+        ops2: List[Optional[MaskedCol]] = [
+            next(rest) if op is not None else None for op in operands_l]
+        ops2b: List[Optional[MaskedCol]] = [
+            next(rest) if op is not None else None for op in operands2_l]
         specs2 = [
-            gb.AggSpec(s.kind, o, s.out_type, s.distinct, s.arg1, s.interpolation)
-            for s, o in zip(specs, ops2)
+            gb.AggSpec(s.kind, o, s.out_type, s.distinct, s.arg1,
+                       s.interpolation, o2)
+            for s, o, o2 in zip(specs, ops2, ops2b)
         ]
         key_cols, agg_cols, exists, n_local = gb.groupby_sort(
-            k2, specs2, group_cap_per_shard, row_valid=row_valid)
+            k2, specs2, group_cap_per_shard, row_valid=rvalid)
         # receiver group-cap overflow feeds the retry signal too (see
         # dist_groupby_two_phase)
         group_overflow = jnp.maximum(
@@ -377,6 +388,8 @@ def dist_groupby_shuffled(
     in_specs = (
         jax.tree.map(lambda _: P(axis), list(keys)),
         jax.tree.map(lambda _: P(axis), list(operands)),
+        jax.tree.map(lambda _: P(axis), list(operands2)),
+        None if row_valid is None else P(axis),
     )
     out_specs = (
         jax.tree.map(lambda _: P(axis), [MaskedCol(jnp.zeros(()), None
@@ -388,4 +401,4 @@ def dist_groupby_shuffled(
     )
     return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_vma=False)(
-        list(keys), list(operands))
+        list(keys), list(operands), list(operands2), row_valid)

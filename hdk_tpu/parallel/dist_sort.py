@@ -5,16 +5,22 @@ ResultSetSort.cpp); this is the pod-scale generalization promised in
 SURVEY.md P7: distributed sort with per-shard merge.
 
 Mechanism (inside shard_map over the row-sharded input):
-  1. every shard takes a regular sample of its sort keys; an all_gather
-     makes the global sample visible everywhere (tiny);
+  1. every shard takes a regular sample of its *leading* sort keys; an
+     all_gather makes the global sample visible everywhere (tiny);
   2. splitters = sample quantiles (num_shards-1 of them) — the range
      partition function (radix-partition analog with data-adaptive
      boundaries, which also absorbs value skew);
-  3. rows route to the shard owning their range via binary search, then
-     ONE all_to_all exchanges them (fixed capacity + validity, like the
+  3. rows route to the shard owning their range via binary search —
+     rows with EQUAL leading keys always share a destination, so
+     secondary sort keys order correctly within one shard; ONE
+     all_to_all exchanges them (fixed capacity + validity, like the
      hash shuffle);
-  4. each shard sorts its received rows locally; the concatenation of
+  4. each shard sorts its received rows by the full key list
+     (lexicographic iterated stable argsort); the concatenation of
      shard outputs in shard order is globally sorted.
+
+Dead rows (filter-dead / shard padding) are dropped at the exchange and
+never occupy output slots.
 """
 
 from __future__ import annotations
@@ -46,30 +52,35 @@ def _sort_key(col: MaskedCol, desc: bool, nulls_first: bool) -> jnp.ndarray:
 
 def dist_sort(
     mesh: Mesh,
-    sort_col: MaskedCol,
+    sort_cols: Sequence[MaskedCol],
+    descs: Sequence[bool],
+    nulls_firsts: Sequence[bool],
     payload_cols: Sequence[MaskedCol],
     rows_per_shard: int,
-    desc: bool = False,
-    nulls_first: Optional[bool] = None,
+    row_valid: Optional[jnp.ndarray] = None,
     axis: str = FRAG_AXIS,
     sample_per_shard: int = 256,
     slack: float = 2.0,
 ):
     """Row-sharded input -> range-partitioned, locally-sorted shards.
 
-    Returns (sorted_payload_cols, sort_col_out, row_valid, overflow):
-    per-shard buffers of ``num_shards * cap`` rows; taking valid rows
-    shard-by-shard in mesh order yields the global sort order.
+    Returns (sorted_payload_cols, row_valid_out, overflow): per-shard
+    buffers of ``num_shards * cap`` rows; taking valid rows shard-by-
+    shard in mesh order yields the global ORDER BY order.
     """
     num_shards = mesh.devices.size
     cap = max(1, int(math.ceil(rows_per_shard * slack)))
-    nf = desc if nulls_first is None else nulls_first
 
-    def shard_fn(key_col, payloads):
-        keys = _sort_key(key_col, desc, nf)
-        n_loc = keys.shape[0]
-        # 1) regular sample of local keys (sorted first for determinism)
-        local_sorted = jnp.sort(keys)
+    def shard_fn(scols, payloads, rvalid):
+        keys = [_sort_key(c, d, nf)
+                for c, d, nf in zip(scols, descs, nulls_firsts)]
+        lead = keys[0]
+        n_loc = lead.shape[0]
+        valid = (jnp.ones((n_loc,), jnp.bool_) if rvalid is None else rvalid)
+        # 1) regular sample of local leading keys (dead rows sample last
+        #    and are pushed out of the quantile window by validity count)
+        lead_for_sample = jnp.where(valid, lead, jnp.iinfo(jnp.int64).max)
+        local_sorted = jnp.sort(lead_for_sample)
         idx = jnp.linspace(0, n_loc - 1, sample_per_shard).astype(jnp.int32)
         sample = local_sorted[idx]
         # 2) global splitters from the gathered sample
@@ -78,10 +89,11 @@ def dist_sort(
         total = all_sorted.shape[0]
         spl_idx = (jnp.arange(1, num_shards) * total // num_shards)
         splitters = all_sorted[spl_idx]
-        # 3) destination shard per row + exchange
-        dest = jnp.searchsorted(splitters, keys, side="right",
+        # 3) destination shard per row + exchange (keys ride along so the
+        #    local sort can re-derive full lexicographic order)
+        dest = jnp.searchsorted(splitters, lead, side="right",
                                 method="sort").astype(jnp.int32)
-        cols = [MaskedCol(keys)] + list(payloads)
+        cols = [MaskedCol(k) for k in keys] + list(payloads)
         flat: List[jnp.ndarray] = []
         positions: List[Tuple[int, Optional[int]]] = []
         for c in cols:
@@ -93,28 +105,30 @@ def dist_sort(
                 flat.append(c.mask)
             positions.append((di, mi))
         bufs, buf_valid, overflow = shf.build_send_buffers(
-            dest, flat, jnp.ones((n_loc,), jnp.bool_), num_shards, cap)
+            dest, flat, valid, num_shards, cap)
         recv, recv_valid = shf.exchange(bufs, buf_valid, axis)
         out_cols = [MaskedCol(recv[di], recv[mi] if mi is not None else None)
                     for di, mi in positions]
-        # 4) local sort of received rows; invalid rows last
-        rkeys = out_cols[0].data
-        rkeys = jnp.where(recv_valid, rkeys, jnp.iinfo(jnp.int64).max)
-        perm = jnp.argsort(rkeys, stable=True).astype(jnp.int32)
+        # 4) local lexicographic sort of received rows; invalid rows last
+        nk = len(keys)
+        rkeys = [c.data for c in out_cols[:nk]]
+        perm = jnp.arange(recv_valid.shape[0], dtype=jnp.int32)
+        for rk in reversed(rkeys):
+            perm = perm[jnp.argsort(rk[perm], stable=True)]
+        perm = perm[jnp.argsort((~recv_valid[perm]).astype(jnp.int32),
+                                stable=True)]
         sorted_payloads = [
             MaskedCol(c.data[perm],
                       c.mask[perm] if c.mask is not None else None)
-            for c in out_cols[1:]
+            for c in out_cols[nk:]
         ]
-        key_out = MaskedCol(out_cols[0].data[perm],
-                            out_cols[0].mask[perm]
-                            if out_cols[0].mask is not None else None)
         valid_out = recv_valid[perm]
-        return sorted_payloads, key_out, valid_out, jax.lax.psum(overflow, axis)
+        return sorted_payloads, valid_out, jax.lax.psum(overflow, axis)
 
     in_specs = (
-        jax.tree.map(lambda _: P(axis), sort_col),
+        jax.tree.map(lambda _: P(axis), list(sort_cols)),
         jax.tree.map(lambda _: P(axis), list(payload_cols)),
+        None if row_valid is None else P(axis),
     )
     out_specs = (
         jax.tree.map(lambda _: P(axis), [
@@ -122,12 +136,9 @@ def dist_sort(
                       else jnp.zeros((), jnp.bool_))
             for c in payload_cols
         ]),
-        jax.tree.map(lambda _: P(axis),
-                     MaskedCol(jnp.zeros(()), None if sort_col.mask is None
-                               else jnp.zeros((), jnp.bool_))),
         P(axis),
         P(),
     )
     return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_vma=False)(
-        sort_col, list(payload_cols))
+        list(sort_cols), list(payload_cols), row_valid)

@@ -238,3 +238,55 @@ def test_dist_join_then_sort(join_pair):
                 .sort(("w", "desc"), "k", limit=20).run())
     a, b = _join_both(join_pair, q)
     assert_frames_match(a, b, ordered=False)
+
+
+# ---------------------------------------------------------------------------
+# distributed routing: sorts via dist_sort, holistic aggs via raw shuffle
+# ---------------------------------------------------------------------------
+
+def test_dist_full_sort_multikey(pair):
+    a, b = _both(pair, lambda t, s: t.sort(("k", "desc"), "v").run())
+    assert_frames_match(a, b, ordered=True, approx_cols=("v",))
+
+
+def test_dist_full_sort_nullable(pair, rng):
+    dist, solo, _ = pair
+    n = 8 * 350
+    df = pd.DataFrame({"x": rng.normal(size=n), "y": rng.integers(0, 9, n)})
+    df.loc[rng.random(n) < 0.07, "x"] = np.nan
+    dist.import_pandas(df, name="srt_n")
+    solo.import_pandas(df, name="srt_n")
+    a = dist.scan("srt_n").sort("x", ("y", "desc")).run().to_pandas()
+    b = solo.scan("srt_n").sort("x", ("y", "desc")).run().to_pandas()
+    assert_frames_match(a, b, ordered=True)
+
+
+def test_dist_sort_with_filter_and_offset(pair):
+    def q(t, s):
+        return t.filter(t["v"] > 0).sort("v", limit=None, offset=13).run()
+    a, b = _both(pair, q)
+    assert_frames_match(a, b, ordered=True, approx_cols=("v",))
+
+
+def test_dist_holistic_aggs(pair, rng):
+    dist, solo, _ = pair
+    n = 8 * 600
+    df = pd.DataFrame({
+        "k": (rng.integers(0, 900, n) * 2**33 + 3).astype(np.int64),
+        "v": rng.integers(0, 40, n).astype(np.int64),
+        "f": rng.normal(size=n),
+    })
+    dist.import_pandas(df, name="hol")
+    solo.import_pandas(df, name="hol")
+    def q(s):
+        t = s.scan("hol")
+        return t.agg("k", "count", "count_distinct(v)",
+                     "quantile(f, 0.5)").run().to_pandas()
+    assert_frames_match(q(dist), q(solo))
+
+
+def test_dist_sum_distinct(pair, rng):
+    dist, solo, _ = pair
+    q = "SELECT k, SUM(DISTINCT v) AS s FROM t GROUP BY k ORDER BY k"
+    assert_frames_match(dist.sql(q).to_pandas(), solo.sql(q).to_pandas(),
+                        ordered=True)

@@ -199,14 +199,15 @@ def test_dist_sort(mesh, rng):
     pay_np = rng.integers(0, 1000, n)
     sort_col = MaskedCol(jnp.asarray(vals_np))
     payload = [MaskedCol(jnp.asarray(pay_np))]
-    pays, key_out, valid, overflow = dist_sort(
-        mesh, sort_col, payload, rows_per_shard=n // 8, slack=3.0)
+    pays, valid, overflow = dist_sort(
+        mesh, [sort_col], [False], [False], [sort_col] + payload,
+        rows_per_shard=n // 8, slack=3.0)
     assert int(overflow) == 0
     v = np.asarray(valid)
-    got = np.asarray(pays[0].data)[v]
+    got = np.asarray(pays[1].data)[v]
     assert got.shape[0] == n
     # global order: concatenation of shards in mesh order is sorted
-    keys_sorted = np.asarray(key_out.data)[v]
+    keys_sorted = np.asarray(pays[0].data)[v]
     assert (np.diff(keys_sorted) >= 0).all()
     exp = pay_np[np.argsort(vals_np, kind="stable")]
     np.testing.assert_array_equal(got, exp)
@@ -218,9 +219,9 @@ def test_dist_sort_desc(mesh, rng):
     n = 8 * 256
     vals_np = rng.integers(0, 10_000, n)
     sort_col = MaskedCol(jnp.asarray(vals_np))
-    pays, key_out, valid, overflow = dist_sort(
-        mesh, sort_col, [MaskedCol(jnp.asarray(vals_np))],
-        rows_per_shard=n // 8, desc=True, slack=3.0)
+    pays, valid, overflow = dist_sort(
+        mesh, [sort_col], [True], [True], [MaskedCol(jnp.asarray(vals_np))],
+        rows_per_shard=n // 8, slack=3.0)
     assert int(overflow) == 0
     v = np.asarray(valid)
     got = np.asarray(pays[0].data)[v]
