@@ -25,7 +25,22 @@ SECS_PER_DAY = 86400
 
 
 def _fd(a, b):
-    return jnp.floor_divide(a, b)
+    """Floored division by a positive constant, WITHOUT integer divide:
+    TPU has no native integer division — XLA emulates i64 // i64 with a
+    long-division loop that measured ~20x the cost of everything else in
+    EXTRACT.  An f64 reciprocal multiply is exact to +-1 for quotients
+    below 2^50 (all calendar-scale magnitudes), and one fix-up step
+    makes it exactly floored."""
+    b = int(b)
+    a = a.astype(jnp.int64)
+    q = jnp.floor(a.astype(jnp.float64) * (1.0 / b)).astype(jnp.int64)
+    r = a - q * b
+    return q + (r >= b).astype(jnp.int64) - (r < 0).astype(jnp.int64)
+
+
+def _mod(a, b):
+    """a mod b (floored, b a positive constant) via _fd."""
+    return a - _fd(a, b) * int(b)
 
 
 def civil_from_days(days):
@@ -68,13 +83,13 @@ def extract_from_seconds(field: DateTimeField, secs):
     if field == DateTimeField.HOUR:
         return _fd(tod, 3600)
     if field == DateTimeField.MINUTE:
-        return _fd(tod, 60) % 60
+        return _mod(_fd(tod, 60), 60)
     if field == DateTimeField.SECOND:
-        return tod % 60
+        return _mod(tod, 60)
     if field == DateTimeField.DOW:
-        return (days + 4) % 7
+        return _mod(days + 4, 7)
     if field == DateTimeField.ISODOW:
-        return ((days + 3) % 7) + 1
+        return _mod(days + 3, 7) + 1
     y, m, d = civil_from_days(days)
     if field == DateTimeField.YEAR:
         return y
@@ -88,7 +103,7 @@ def extract_from_seconds(field: DateTimeField, secs):
         return (days - days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d)) + 1)
     if field == DateTimeField.WEEK:
         # ISO week: week of the Thursday of this row's week.
-        isodow = ((days + 3) % 7) + 1
+        isodow = _mod(days + 3, 7) + 1
         thursday = days + (4 - isodow)
         ty, tm, td = civil_from_days(thursday)
         jan1 = days_from_civil(ty, jnp.ones_like(tm), jnp.ones_like(td))
@@ -109,7 +124,7 @@ def trunc_seconds(field: DateTimeField, secs):
     if field == DateTimeField.DAY:
         return days * SECS_PER_DAY
     if field == DateTimeField.WEEK:
-        return (days - ((days + 3) % 7)) * SECS_PER_DAY
+        return (days - _mod(days + 3, 7)) * SECS_PER_DAY
     y, m, _d = civil_from_days(days)
     one = jnp.ones_like(m)
     if field == DateTimeField.MONTH:
@@ -126,7 +141,7 @@ def _days_in_month(y, m):
     lengths = jnp.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
                           dtype=jnp.int64)
     base = lengths[m - 1]
-    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    leap = ((_mod(y, 4) == 0) & (_mod(y, 100) != 0)) | (_mod(y, 400) == 0)
     return jnp.where((m == 2) & leap, 29, base)
 
 
@@ -189,7 +204,7 @@ def date_diff_seconds(field: DateTimeField, start, end):
 
 
 def _trunc_div(a, b):
-    """C-style truncating integer division (toward zero)."""
-    q = jnp.floor_divide(a, b)
-    r = a - q * b
-    return q + ((r != 0) & ((a < 0) != (b < 0)))
+    """C-style truncating division (toward zero) by a positive constant."""
+    q = _fd(a, b)
+    r = a - q * int(b)
+    return q + ((r != 0) & (a < 0))

@@ -484,11 +484,61 @@ def nogroup_agg(specs: Sequence[AggSpec], nrows: int,
     return out
 
 
+def pallas_count_mode(specs: Sequence[AggSpec], entry_count: int,
+                      nrows: int) -> bool:
+    """Kernel eligibility for the two-level one-hot group-by: every slot
+    is a 0/1 count contribution, so bf16 operands are exact and f32
+    accumulation is exact as long as no group can exceed 2^24 rows.
+    SUM/AVG of data values would round and are excluded — exactness
+    first (SURVEY.md §7.3 bit-exactness)."""
+    from ..ops import pallas_groupby as pk
+
+    if entry_count <= DENSE_SCATTER_LIMIT:
+        return False
+    if nrows >= (1 << 24):
+        return False
+    if not all(s.kind == AggKind.COUNT and not s.distinct for s in specs):
+        return False
+    n_slots = 1 + sum(1 for s in specs
+                      if s.operand is not None and s.operand.mask is not None)
+    return pk.supported2(entry_count, n_slots)
+
+
+def _groupby_pallas_counts(gid, specs: Sequence[AggSpec], n: int,
+                           interpret: bool):
+    """COUNT aggregation via the Pallas two-level one-hot histogram
+    (ops/pallas_groupby.groupby_sums2; reference semantics
+    GroupByRuntime.cpp:199-213).  Identical 0/1 columns dedupe (COUNT(*)
+    and COUNT(non-null col) share the ones column, which doubles as the
+    exists flag)."""
+    from ..ops import pallas_groupby as pk
+
+    cols = [jnp.ones(gid.shape, jnp.float32)]
+    col_ids = {None: 0}
+    spec_slot = []
+    for s in specs:
+        v = s.operand
+        key = None if (v is None or v.mask is None) else id(v.mask)
+        if key not in col_ids:
+            cols.append(v.mask.astype(jnp.float32))
+            col_ids[key] = len(cols) - 1
+        spec_slot.append(col_ids[key])
+    vals = jnp.stack(cols, axis=1)
+    sums = pk.groupby_sums2(gid, vals, n, interpret=interpret)
+    exists = sums[:, 0] > 0
+    agg_cols = [
+        AggResult([sums[:, spec_slot[i]].astype(jnp.int64)]).finalize(s, None)
+        for i, s in enumerate(specs)
+    ]
+    return agg_cols, exists
+
+
 def groupby_perfect(
     keys: Sequence[MaskedCol],
     layout: PerfectHashLayout,
     specs: Sequence[AggSpec],
     row_mask: Optional[jnp.ndarray],
+    pallas_mode: Optional[str] = None,
 ) -> Tuple[List[MaskedCol], List[MaskedCol], jnp.ndarray]:
     """Dense positional group-by.
 
@@ -496,6 +546,10 @@ def groupby_perfect(
     ``layout.entry_count`` entries and ``exists`` marks observed groups.
     The caller compacts (reference keeps dense buffers and skips empty
     entries at iteration time — ResultSetIteration.cpp).
+
+    ``pallas_mode``: None = XLA paths; "real"/"interpret" = route
+    eligible COUNT-class aggregations through the one-hot-matmul MXU
+    kernel (caller checks ``pallas_count_mode``).
     """
     n = layout.entry_count
     gid = jnp.zeros(keys[0].data.shape, jnp.int64)
@@ -513,6 +567,12 @@ def groupby_perfect(
     if row_mask is not None:
         in_range = in_range & row_mask
     gid = jnp.where(in_range, gid, n).astype(jnp.int32)
+
+    if pallas_mode is not None and n > DENSE_SCATTER_LIMIT:
+        agg_cols, exists = _groupby_pallas_counts(
+            gid, specs, n, interpret=(pallas_mode == "interpret"))
+        key_cols = _perfect_key_columns(keys, layout)
+        return key_cols, agg_cols, exists
 
     # XLA's scatter-add is fast only for small entry counts (dense
     # lowering); beyond that, sort-by-gid + span sums is ~50x faster on
@@ -540,10 +600,15 @@ def groupby_perfect(
             res = _agg_slots(spec, gid, in_range, n, False)
             agg_cols.append(res.finalize(spec, None))
 
-    # reconstruct key values from the dense entry index
+    return _perfect_key_columns(keys, layout), agg_cols, exists
+
+
+def _perfect_key_columns(keys: Sequence[MaskedCol],
+                         layout: PerfectHashLayout) -> List[MaskedCol]:
+    """Reconstruct key values from the dense entry index."""
+    n = layout.entry_count
     entry = jnp.arange(n, dtype=jnp.int64)
     key_cols: List[MaskedCol] = []
-    rem = entry
     strides = []
     acc = 1
     for size in reversed(layout.sizes):
@@ -551,12 +616,12 @@ def groupby_perfect(
         acc *= size
     strides = list(reversed(strides))
     for key, mn, size, st in zip(keys, layout.mins, layout.sizes, strides):
-        idx = (rem // st) % size
+        idx = (entry // st) % size
         is_null_slot = idx == (size - 1)
         data = (idx + mn).astype(key.data.dtype)
         nullable = key.mask is not None
         key_cols.append(MaskedCol(data, ~is_null_slot if nullable else None))
-    return key_cols, agg_cols, exists
+    return key_cols
 
 
 def _permute_col(c: Optional[MaskedCol], perm) -> Optional[MaskedCol]:

@@ -40,6 +40,13 @@ def _np_to_jnp_dtype(typ: t.Type):
 
 
 def _trunc_div(a, b):
+    """C-style truncating integer division.  Positive-constant divisors
+    take the divide-free path (TPU has no native integer divide; see
+    datetime_kernels._fd); traced divisors keep the general lowering."""
+    if isinstance(b, (int, np.integer)) and int(b) > 0:
+        q = dtk._fd(a, b)
+        r = a - q * int(b)
+        return q + ((r != 0) & (a < 0))
     q = jnp.floor_divide(a, b)
     r = a - q * b
     return q + ((r != 0) & ((a < 0) != (b < 0)))
@@ -65,7 +72,7 @@ def _to_seconds(data, typ: t.Type):
         return data.astype(jnp.int64) * dtk.SECS_PER_DAY, None, 1
     if up == 1:
         return data.astype(jnp.int64), None, 1
-    secs = jnp.floor_divide(data.astype(jnp.int64), up)
+    secs = dtk._fd(data.astype(jnp.int64), up)
     sub = data.astype(jnp.int64) - secs * up
     return secs, sub, up
 
@@ -362,7 +369,7 @@ class ScalarCompiler:
             secs, sub, up = _to_seconds(data, src)
             dup = _datetime_upsec(dst)
             if dup == -1:
-                out = jnp.floor_divide(secs, dtk.SECS_PER_DAY).astype(jnp.int32)
+                out = dtk._fd(secs, dtk.SECS_PER_DAY).astype(jnp.int32)
             else:
                 out = secs * dup
                 if sub is not None and dup > 1:
@@ -374,7 +381,7 @@ class ScalarCompiler:
         if src.is_integer() and dst.is_datetime():
             up = _datetime_upsec(dst)
             if up == -1:
-                out = jnp.floor_divide(data.astype(jnp.int64), dtk.SECS_PER_DAY)
+                out = dtk._fd(data.astype(jnp.int64), dtk.SECS_PER_DAY)
             else:
                 out = data.astype(jnp.int64) * up
             return MaskedCol(out.astype(_np_to_jnp_dtype(dst)), v.mask)
@@ -427,7 +434,7 @@ class ScalarCompiler:
             target = {ir.DateTimeField.MILLI: 1_000,
                       ir.DateTimeField.MICRO: 1_000_000,
                       ir.DateTimeField.NANO: 1_000_000_000}[f]
-            within = secs % 60 * target
+            within = dtk._mod(secs, 60) * target
             if sub is not None:
                 within = within + (sub * target // up if target >= up
                                    else sub // (up // target))
@@ -443,14 +450,15 @@ class ScalarCompiler:
                       ir.DateTimeField.MICRO, ir.DateTimeField.NANO}
         dup = _datetime_upsec(e.type)
         if dup == -1:
-            out = jnp.floor_divide(out_secs, dtk.SECS_PER_DAY)
+            out = dtk._fd(out_secs, dtk.SECS_PER_DAY)
         else:
             out = out_secs * dup
             if sub is not None and e.field in sub_fields and e.field != ir.DateTimeField.SECOND:
                 keep = {ir.DateTimeField.MILLI: 1_000,
                         ir.DateTimeField.MICRO: 1_000_000,
                         ir.DateTimeField.NANO: 1_000_000_000}[e.field]
-                kept = sub - sub % (up // keep) if up > keep else sub
+                kept = (sub - dtk._mod(sub, up // keep)
+                        if up > keep else sub)
                 out = out + kept * (dup // up)
         return MaskedCol(out.astype(_np_to_jnp_dtype(e.type)), v.mask)
 
@@ -461,7 +469,7 @@ class ScalarCompiler:
         out_secs = dtk.date_add_seconds(e.field, n.data.astype(jnp.int64), secs)
         dup = _datetime_upsec(e.type)
         if dup == -1:
-            out = jnp.floor_divide(out_secs, dtk.SECS_PER_DAY)
+            out = dtk._fd(out_secs, dtk.SECS_PER_DAY)
         else:
             out = out_secs * dup + (sub * (dup // up) if sub is not None else 0)
         mask = combine_masks(n.mask, v.mask)
