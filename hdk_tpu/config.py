@@ -32,6 +32,12 @@ class GroupByConfig:
     baseline_fill_fraction: float = 0.5  # table sized groups/fill (ref ~2x)
     big_group_threshold: int = 20000
     default_max_groups: int = 1 << 26  # cap for unsized baseline buffers
+    # mergeable-sketch sizing (reference: HyperLogLog.h hll_size /
+    # CountDistinctDescriptor approx precision; approx_quantile.h TDigest)
+    hll_precision: int = 11  # registers per group = 2^p (error ~1.04/sqrt(m))
+    hll_register_budget: int = 1 << 24  # total registers across groups
+    tdigest_centroids: int = 300
+    tdigest_centroid_budget: int = 1 << 21
     # partitioned aggregation (reference: Shared/Config.h:44-60)
     enable_partitioned_aggregation: bool = True
     partitioning_group_size_threshold: int = 1 << 22

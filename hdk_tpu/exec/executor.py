@@ -163,11 +163,14 @@ class _IdentityKeyedCache:
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 
-# aggregate kinds with mergeable partial slots (two-phase distribution)
+# aggregate kinds with mergeable partial slots (two-phase distribution);
+# APPROX_* are algebraic via sketches: HLL registers merge by max,
+# t-digests by re-cluster (ops/sketches.py) — skew-proof by construction
 _TWO_PHASE_KINDS = frozenset({
     ir.AggKind.COUNT, ir.AggKind.SUM, ir.AggKind.AVG, ir.AggKind.MIN,
     ir.AggKind.MAX, ir.AggKind.STDDEV_SAMP, ir.AggKind.VAR_SAMP,
     ir.AggKind.SAMPLE, ir.AggKind.SINGLE_VALUE,
+    ir.AggKind.APPROX_COUNT_DISTINCT, ir.AggKind.APPROX_QUANTILE,
 })
 
 
@@ -735,7 +738,7 @@ class Executor:
                                   source.row_mask)
         specs = [
             gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
-                       a.interpolation, op2)
+                       a.interpolation, op2, **self._sketch_kwargs())
             for a, (op, op2) in zip(node.aggs, operands)
         ]
         rows_per_shard = max(1, nrows0 // ndev)
@@ -777,7 +780,7 @@ class Executor:
                                   source.row_mask)
         specs = [
             gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
-                       a.interpolation, op2)
+                       a.interpolation, op2, **self._sketch_kwargs())
             for a, (op, op2) in zip(node.aggs, operands)
         ]
         rows_per_shard = max(1, nrows0 // ndev)
@@ -864,8 +867,15 @@ class Executor:
                 operand2 = _broadcast(
                     self.scalar.evaluate(agg.operand2, resolve), nrows)
             specs.append(gb.AggSpec(agg.kind, operand, agg.type, agg.distinct,
-                                    agg.arg1, agg.interpolation, operand2))
+                                    agg.arg1, agg.interpolation, operand2,
+                                    **self._sketch_kwargs()))
         return specs
+
+    def _sketch_kwargs(self):
+        g = self.config.exec.group_by
+        return dict(hll_p=g.hll_precision, hll_budget=g.hll_register_budget,
+                    td_c=g.tdigest_centroids,
+                    td_budget=g.tdigest_centroid_budget)
 
     def _pallas_groupby_mode(self, node: nd.Aggregate, layout,
                              nrows: int) -> Optional[str]:

@@ -27,6 +27,7 @@ finalized at materialization; STDDEV/VAR use (sum, sumsq, count).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -50,6 +51,13 @@ class AggSpec:
     arg1: object = None  # quantile fraction / k / etc.
     interpolation: str = "linear"
     operand2: Optional[MaskedCol] = None  # CORR's second argument
+    # mergeable-sketch sizing (reference: HyperLogLog.h hll_size /
+    # approx_quantile.h TDigest); effective values shrink with the group
+    # count to fit the budget (ops/sketches.effective_*)
+    hll_p: int = 11
+    hll_budget: int = 1 << 24
+    td_c: int = 300
+    td_budget: int = 1 << 21
 
 
 @dataclass
@@ -163,11 +171,20 @@ class AggResult:
             var = jnp.maximum(var, 0.0)
             out = jnp.sqrt(var) if k == AggKind.STDDEV_SAMP else var
             return MaskedCol(out.astype(out_dt), c > 1)
-        if k in (AggKind.COUNT_DISTINCT, AggKind.APPROX_COUNT_DISTINCT):
+        if k == AggKind.COUNT_DISTINCT:
             return MaskedCol(self.slots[0].astype(out_dt))
-        if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
+        if k == AggKind.APPROX_COUNT_DISTINCT:
+            from ..ops import sketches as sk
+            return MaskedCol(sk.hll_estimate(self.slots[0]).astype(out_dt))
+        if k == AggKind.QUANTILE:
             data, nonnull = self.slots
             return MaskedCol(data.astype(out_dt), nonnull > 0)
+        if k == AggKind.APPROX_QUANTILE:
+            from ..ops import sketches as sk
+            means, weights = self.slots
+            est = sk.tdigest_quantile(means, weights, float(spec.arg1))
+            return MaskedCol(est.astype(out_dt),
+                             jnp.sum(weights, axis=1) > 0)
         if k in (AggKind.TOP_K, AggKind.BOTTOM_K):
             vals, valid = self.slots  # (n, k) element-typed; ArrayType is
             return MaskedCol(vals, valid)  # host-side, keep device dtype
@@ -248,13 +265,28 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
         m = jnp.where(nonnull_per_group > 0, m, ident)
         return AggResult([m, nonnull_per_group])
 
-    if k in (AggKind.COUNT_DISTINCT, AggKind.APPROX_COUNT_DISTINCT):
+    if k == AggKind.COUNT_DISTINCT:
         return AggResult([_count_distinct(v, gid, n, num)])
 
-    if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
+    if k == AggKind.APPROX_COUNT_DISTINCT:
+        from ..ops import sketches as sk
+        p = sk.effective_hll_p(spec.hll_p, n, spec.hll_budget)
+        live = gid < n if row_valid is None else ((gid < n) & row_valid)
+        return AggResult([sk.hll_registers(v.data, valid, jnp.where(
+            live, gid, n), n, p)])
+
+    if k == AggKind.QUANTILE:
         q = float(spec.arg1)
         data = _group_quantile(v, gid, n, num, q, spec.interpolation)
         return AggResult([data, nonnull_per_group])
+
+    if k == AggKind.APPROX_QUANTILE:
+        from ..ops import sketches as sk
+        c = sk.effective_td_c(spec.td_c, n, spec.td_budget)
+        live = gid < n if row_valid is None else ((gid < n) & row_valid)
+        means, weights = sk.tdigest_build(
+            v.data, valid, jnp.where(live, gid, n), n, c)
+        return AggResult([means, weights])
 
     if k == AggKind.CORR:
         return AggResult(_corr_slots(
@@ -632,9 +664,8 @@ def _permute_col(c: Optional[MaskedCol], perm) -> Optional[MaskedCol]:
 
 
 def _permute_spec(spec: AggSpec, perm) -> AggSpec:
-    return AggSpec(spec.kind, _permute_col(spec.operand, perm),
-                   spec.out_type, spec.distinct, spec.arg1,
-                   spec.interpolation, _permute_col(spec.operand2, perm))
+    return dataclasses.replace(spec, operand=_permute_col(spec.operand, perm),
+                               operand2=_permute_col(spec.operand2, perm))
 
 
 def _span_sums(x, starts, ends):
@@ -712,7 +743,18 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
         m = jnp.where(nonnull > 0, m, ident)
         return AggResult([m, nonnull])
 
-    if k in (AggKind.COUNT_DISTINCT, AggKind.APPROX_COUNT_DISTINCT):
+    if k == AggKind.APPROX_COUNT_DISTINCT:
+        from ..ops import sketches as sk
+        p = sk.effective_hll_p(spec.hll_p, n, spec.hll_budget)
+        return AggResult([sk.hll_registers(v.data, valid, gid_sorted, n, p)])
+
+    if k == AggKind.APPROX_QUANTILE:
+        from ..ops import sketches as sk
+        c = sk.effective_td_c(spec.td_c, n, spec.td_budget)
+        means, weights = sk.tdigest_build(v.data, valid, gid_sorted, n, c)
+        return AggResult([means, weights])
+
+    if k == AggKind.COUNT_DISTINCT:
         # stable re-sort by value then by gid keeps group spans identical
         vals64 = _orderable_int64(v.data)
         vkey = (vals64 if valid is None
@@ -752,7 +794,7 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
         good = jnp.arange(kk, dtype=jnp.int64)[None, :] < nonnull[:, None]
         return AggResult([vals, good])
 
-    if k in (AggKind.QUANTILE, AggKind.APPROX_QUANTILE):
+    if k == AggKind.QUANTILE:
         q = float(spec.arg1)
         fvals = v.data.astype(jnp.float64)
         vkey = (fvals if valid is None

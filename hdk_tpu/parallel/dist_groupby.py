@@ -20,6 +20,7 @@ combine is positional, and let XLA collectives do the reduce:
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import math
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -36,7 +37,10 @@ from . import shuffle as shf
 from .mesh import FRAG_AXIS
 
 # slot-combine rule per aggregate kind: how per-shard raw slots merge
-# (reference: ResultSetReductionOps.h op kinds)
+# (reference: ResultSetReductionOps.h op kinds).  Sketch kinds are
+# algebraic too: HLL registers merge by elementwise max (reference:
+# hll_unify, HyperLogLog.h:108); t-digest centroids merge by
+# concatenate + re-cluster ("tdigest" consumes both slots together).
 _COMBINE = {
     AggKind.COUNT: ("sum",),
     AggKind.SUM: ("sum", "sum"),
@@ -47,11 +51,31 @@ _COMBINE = {
     AggKind.MAX: ("max", "sum"),
     AggKind.SAMPLE: ("min", "sum"),
     AggKind.SINGLE_VALUE: ("min", "sum"),
+    AggKind.APPROX_COUNT_DISTINCT: ("max",),
+    AggKind.APPROX_QUANTILE: ("tdigest", "tdigest"),
 }
 
 
 def perfect_combinable(specs: Sequence[gb.AggSpec]) -> bool:
     return all(s.kind in _COMBINE for s in specs)
+
+
+def _pin_sketch_sizing(specs, cap_hint: int):
+    """Freeze effective sketch widths for a distributed run (budgets set
+    to unlimited afterwards so nested paths can't re-shrink them)."""
+    from ..ops import sketches as sk
+    out = []
+    for s in specs:
+        if s.kind == AggKind.APPROX_COUNT_DISTINCT:
+            s = _dataclasses.replace(
+                s, hll_p=sk.effective_hll_p(s.hll_p, cap_hint, s.hll_budget),
+                hll_budget=1 << 62)
+        elif s.kind == AggKind.APPROX_QUANTILE:
+            s = _dataclasses.replace(
+                s, td_c=sk.effective_td_c(s.td_c, cap_hint, s.td_budget),
+                td_budget=1 << 62)
+        out.append(s)
+    return out
 
 
 def dist_groupby_perfect(
@@ -90,17 +114,25 @@ def dist_groupby_perfect(
 
         out = []
         for spec, op in zip(specs, operands_l):
-            sspec = gb.AggSpec(spec.kind, op, spec.out_type, spec.distinct,
-                               spec.arg1, spec.interpolation)
+            sspec = _dataclasses.replace(spec, operand=op)
             slots = gb._agg_slots(sspec, gid, in_range, n, False).slots
-            combined = []
-            for slot, rule in zip(slots, _COMBINE[spec.kind]):
-                if rule == "sum":
-                    combined.append(jax.lax.psum(slot, axis))
-                elif rule == "min":
-                    combined.append(jax.lax.pmin(slot, axis))
-                else:
-                    combined.append(jax.lax.pmax(slot, axis))
+            if spec.kind == AggKind.APPROX_QUANTILE:
+                # gather every shard's digests along the centroid axis
+                # and re-cluster per group (ops/sketches)
+                from ..ops import sketches as sk
+                c = slots[0].shape[1]
+                gm = jax.lax.all_gather(slots[0], axis, axis=1, tiled=True)
+                gw = jax.lax.all_gather(slots[1], axis, axis=1, tiled=True)
+                combined = list(sk.tdigest_merge_gathered(gm, gw, c))
+            else:
+                combined = []
+                for slot, rule in zip(slots, _COMBINE[spec.kind]):
+                    if rule == "sum":
+                        combined.append(jax.lax.psum(slot, axis))
+                    elif rule == "min":
+                        combined.append(jax.lax.pmin(slot, axis))
+                    else:
+                        combined.append(jax.lax.pmax(slot, axis))
             out.append(gb.AggResult(combined).finalize(sspec, None))
         return out, exists
 
@@ -169,6 +201,10 @@ def dist_groupby_two_phase(
     num_shards = mesh.devices.size
     local_cap = min(rows_per_shard, group_cap_per_shard * num_shards)
     cap = max(1, int(math.ceil(local_cap / num_shards * slack)))
+    # pin sketch widths so phase-1 partials (built at local_cap groups)
+    # and the phase-2 merge (group_cap groups) agree on register/centroid
+    # counts — positional merge requires identical slot shapes
+    specs = _pin_sketch_sizing(specs, max(local_cap, group_cap_per_shard))
     operands = [s.operand for s in specs]
 
     def shard_fn(keys_l, operands_l, row_valid_l):
@@ -207,10 +243,9 @@ def dist_groupby_two_phase(
 
         partial_slots: List[List[jnp.ndarray]] = []
         for spec, op in zip(specs, operands_l):
-            sspec = gb.AggSpec(spec.kind, gb._permute_col(op, perm),
-                               spec.out_type, spec.distinct, spec.arg1,
-                               spec.interpolation,
-                               gb._permute_col(spec.operand2, perm))
+            sspec = _dataclasses.replace(
+                spec, operand=gb._permute_col(op, perm),
+                operand2=gb._permute_col(spec.operand2, perm))
             partial_slots.append(
                 gb._agg_sorted(sspec, jnp.minimum(gid, local_cap - 1),
                                starts, ends, local_cap).slots)
@@ -300,12 +335,24 @@ def _merge_partials(key_cols, slot_cols, specs, row_valid, cap):
     i = 0
     for spec in specs:
         rules = _COMBINE[spec.kind]
+        if spec.kind == AggKind.APPROX_QUANTILE:
+            # both slots merge together: concatenate each key's partial
+            # digests and re-cluster (ops/sketches)
+            from ..ops import sketches as sk
+            means = slot_cols[i].data[perm]
+            weights = slot_cols[i + 1].data[perm]
+            i += 2
+            weights = jnp.where(row_valid[perm][:, None], weights, 0.0)
+            merged.append(list(sk.tdigest_merge_rows(
+                means, weights, gid, starts, ends, cap)))
+            continue
         slots = []
         for rule in rules:
             col = slot_cols[i]
             i += 1
             vals = col.data[perm]
-            vals = jnp.where(row_valid[perm], vals,
+            rv = row_valid[perm]
+            vals = jnp.where(rv[:, None] if vals.ndim == 2 else rv, vals,
                              _merge_identity(rule, vals.dtype))
             if rule == "sum":
                 slots.append(gb._span_sums(vals, starts, ends))
@@ -371,8 +418,7 @@ def dist_groupby_shuffled(
         ops2b: List[Optional[MaskedCol]] = [
             next(rest) if op is not None else None for op in operands2_l]
         specs2 = [
-            gb.AggSpec(s.kind, o, s.out_type, s.distinct, s.arg1,
-                       s.interpolation, o2)
+            _dataclasses.replace(s, operand=o, operand2=o2)
             for s, o, o2 in zip(specs, ops2, ops2b)
         ]
         key_cols, agg_cols, exists, n_local = gb.groupby_sort(

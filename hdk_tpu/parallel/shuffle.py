@@ -83,9 +83,11 @@ def build_send_buffers(
     slot = jnp.where(keep, sorted_dest * cap + rank, num_shards * cap)
     bufs = []
     for col in payload:
-        flat = jnp.zeros((num_shards * cap + 1,), col.dtype).at[slot].set(
-            col[order], mode="drop")
-        bufs.append(flat[:-1].reshape(num_shards, cap))
+        # trailing dims (e.g. sketch-slot columns, (rows, C)) ride along:
+        # the scatter/gather index the leading row axis only
+        flat = jnp.zeros((num_shards * cap + 1,) + col.shape[1:],
+                         col.dtype).at[slot].set(col[order], mode="drop")
+        bufs.append(flat[:-1].reshape((num_shards, cap) + col.shape[1:]))
     buf_valid = jnp.zeros((num_shards * cap + 1,), jnp.bool_).at[slot].set(
         keep, mode="drop")[:-1].reshape(num_shards, cap)
     overflow = jnp.sum(

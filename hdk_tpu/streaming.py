@@ -13,7 +13,11 @@ applies the finalizing projection (AVG = sum/count etc).
 
 Holistic aggregates (COUNT DISTINCT, QUANTILE) are rejected — they are
 not mergeable without retaining raw values (the reference's streaming
-path has the same practical restriction).
+path has the same practical restriction).  APPROX_COUNT_DISTINCT *is*
+streamable: partials keep the distinct (keys, value) pairs (the operand
+column joins the partial grouping grain, so the running state is bounded
+by NDV, not row count) and ``finish()`` estimates with the HLL sketch
+(ops/sketches.py).
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ _MERGEABLE = {
     ir.AggKind.COUNT, ir.AggKind.SUM, ir.AggKind.MIN, ir.AggKind.MAX,
     ir.AggKind.AVG, ir.AggKind.STDDEV_SAMP, ir.AggKind.VAR_SAMP,
     ir.AggKind.SAMPLE, ir.AggKind.SINGLE_VALUE,
+    ir.AggKind.APPROX_COUNT_DISTINCT,
 }
 
 
@@ -62,6 +67,18 @@ class StreamingAggregation:
                     f"aggregate {qe.expr.kind.value} is not streamable")
         self._agg_names = [qe.out_name or qe.expr.kind.value for qe in parsed]
         self._agg_kinds = [qe.expr.kind for qe in parsed]
+        # APPROX_COUNT_DISTINCT state = the distinct (keys, operand)
+        # pairs: its operand column joins the partial grouping grain
+        self._pair_cols: List[str] = []
+        self._acd_args: List[Optional[str]] = []
+        for kind, spec in zip(self._agg_kinds, self._agg_specs):
+            if kind == ir.AggKind.APPROX_COUNT_DISTINCT:
+                arg = spec[spec.index("(") + 1:-1].strip()
+                self._acd_args.append(arg)
+                if arg not in self._pair_cols and arg not in self._keys:
+                    self._pair_cols.append(arg)
+            else:
+                self._acd_args.append(None)
         session.drop_table(self._tmp("probe"))
 
     def _tmp(self, suffix: str) -> str:
@@ -113,7 +130,9 @@ class StreamingAggregation:
             elif k == ir.AggKind.MAX:
                 src = col if first_level else ht[f"{name}__m"]
                 parts.append(src.max().name(f"{name}__m"))
-        return ht.agg(self._keys, *parts)
+            # APPROX_COUNT_DISTINCT emits no slot: its operand is part of
+            # the partial grouping grain (self._pair_cols)
+        return ht.agg(self._keys + self._pair_cols, *parts)
 
     # ------------------------------------------------------------------
     def push(self, batch: Dict) -> None:
@@ -137,9 +156,37 @@ class StreamingAggregation:
         if self._running is None:
             raise ValueError("no batches pushed")
         ht = self._running.scan
+        if any(k == ir.AggKind.APPROX_COUNT_DISTINCT
+               for k in self._agg_kinds):
+            # collapse the pair grain to the real keys: algebraic slots
+            # re-merge; ACD estimates over the retained distinct pairs
+            # with the HLL sketch (ops/sketches.py)
+            parts: List[QueryExpr] = []
+            for name, kind, arg in zip(self._agg_names, self._agg_kinds,
+                                       self._acd_args):
+                if kind == ir.AggKind.COUNT:
+                    parts.append(ht[f"{name}__c"].sum().name(f"{name}__c"))
+                elif kind in (ir.AggKind.SUM, ir.AggKind.AVG):
+                    parts.append(ht[f"{name}__s"].sum().name(f"{name}__s"))
+                    parts.append(ht[f"{name}__n"].sum().name(f"{name}__n"))
+                elif kind in (ir.AggKind.STDDEV_SAMP, ir.AggKind.VAR_SAMP):
+                    parts.append(ht[f"{name}__s"].sum().name(f"{name}__s"))
+                    parts.append(ht[f"{name}__q"].sum().name(f"{name}__q"))
+                    parts.append(ht[f"{name}__n"].sum().name(f"{name}__n"))
+                elif kind in (ir.AggKind.MIN, ir.AggKind.SAMPLE,
+                              ir.AggKind.SINGLE_VALUE):
+                    parts.append(ht[f"{name}__m"].min().name(f"{name}__m"))
+                elif kind == ir.AggKind.MAX:
+                    parts.append(ht[f"{name}__m"].max().name(f"{name}__m"))
+                else:
+                    parts.append(ht[arg].approx_count_distinct()
+                                 .name(f"{name}__d"))
+            ht = ht.agg(self._keys, *parts).run().scan
         outs: List[QueryExpr] = []
         for name, kind in zip(self._agg_names, self._agg_kinds):
-            if kind == ir.AggKind.COUNT:
+            if kind == ir.AggKind.APPROX_COUNT_DISTINCT:
+                outs.append(ht[f"{name}__d"].name(name))
+            elif kind == ir.AggKind.COUNT:
                 outs.append(ht[f"{name}__c"].name(name))
             elif kind == ir.AggKind.SUM:
                 # NULL iff no non-null inputs
