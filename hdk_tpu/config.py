@@ -25,12 +25,17 @@ class WatchdogConfig:
 
 @dataclass
 class GroupByConfig:
-    """reference: Shared/Config.h:40-60 (GroupByConfig)."""
+    """reference: Shared/Config.h:40-60 (GroupByConfig).
 
-    bigint_count: bool = False
+    Knobs the reference needs but this engine dissolves by design (not
+    carried as dead surface): bigint_count (COUNT always accumulates in
+    int64 here), baseline_fill_fraction / big_group_threshold /
+    partitioning_* / min_max_partitions (hash-table fill + partitioned
+    aggregation sizing — the sort-based group-by has no fill constraint
+    and single-node partitioning is subsumed by the sort; distributed
+    partitioning is DistConfig's shuffle)."""
+
     perfect_hash_entries_limit: int = 1 << 22  # max dense buffer entries
-    baseline_fill_fraction: float = 0.5  # table sized groups/fill (ref ~2x)
-    big_group_threshold: int = 20000
     default_max_groups: int = 1 << 26  # cap for unsized baseline buffers
     # mergeable-sketch sizing (reference: HyperLogLog.h hll_size /
     # CountDistinctDescriptor approx precision; approx_quantile.h TDigest)
@@ -38,13 +43,6 @@ class GroupByConfig:
     hll_register_budget: int = 1 << 24  # total registers across groups
     tdigest_centroids: int = 300
     tdigest_centroid_budget: int = 1 << 21
-    # partitioned aggregation (reference: Shared/Config.h:44-60)
-    enable_partitioned_aggregation: bool = True
-    partitioning_group_size_threshold: int = 1 << 22
-    partitioning_buffer_size_threshold: int = 1 << 30
-    partitioning_buffer_target_size: int = 1 << 25
-    min_partitions: int = 2
-    max_partitions: int = 1024
 
 
 @dataclass
@@ -62,10 +60,14 @@ class ExecConfig:
 
     device: str = "auto"  # auto|tpu|cpu — jax platform selection
     enable_multifrag_results: bool = True
+    # fragment skipping via per-fragment min/max stats (reference:
+    # Execute.h:540 skipFragmentPair); exec/prune.py
+    enable_fragment_skipping: bool = True
     allow_retry: bool = True  # overflow / out-of-slots retry ladder
     interpret_pallas: bool = False  # run pallas kernels interpreted
     streaming_topn_max: int = 100000
-    parallel_top_min: int = 100000
+    # (parallel_top_min dissolved: CPU-thread top-k tiling has no TPU
+    # analog — lax.top_k is a single fused device op)
     watchdog: WatchdogConfig = field(default_factory=WatchdogConfig)
     group_by: GroupByConfig = field(default_factory=GroupByConfig)
     join: JoinConfig = field(default_factory=JoinConfig)
@@ -76,7 +78,9 @@ class StorageConfig:
     """reference: ArrowStorage defaults (ArrowStorage.h:40)."""
 
     fragment_size: int = 1 << 25  # 32M rows, matching the reference default
-    enable_lazy_dict_materialization: bool = False
+    # (enable_lazy_dict_materialization dissolved: dictionaries build in
+    # the C++ importer at ingest; device transfer of codes is already
+    # lazy via _LazyScanColumns)
     device_cache_budget_bytes: int = 12 << 30  # HBM column-cache budget
 
 
@@ -105,7 +109,12 @@ class DistConfig:
 
     enable: bool = False  # shard scans over all local devices
     mesh_axis: str = "frag"
-    shuffle_partitions_per_device: int = 1
+    # (shuffle_partitions_per_device dissolved: all_to_all exchanges one
+    # buffer per (src, dst) pair; multi-partition-per-device is a GPU
+    # cache-tiling concern with no ICI analog)
+    # skew probe for DISTINCT-class aggregation routing: sample this many
+    # key-prefix rows; hot share > threshold/num_shards selects the
+    # skew-proof pair-split shuffle (executor._probe_hot_key_share)
     skew_sample_size: int = 1 << 16
     heavy_hitter_threshold: float = 0.25  # fraction of one partition budget
     # joins: build sides up to this many rows replicate to every shard

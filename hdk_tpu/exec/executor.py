@@ -126,6 +126,52 @@ class _LazyScanColumns(list):
         return (self[i] for i in range(len(self)))
 
 
+class _PrunedScanColumns(list):
+    """Scan columns restricted to surviving fragments, host-gathered and
+    padded to ``bucket`` rows on first access (fragment skipping,
+    reference: Execute.h:540 skipFragmentPair).  The gathered device
+    buffer is cached on the Column keyed by the selection signature."""
+
+    def __init__(self, table, fields, ranges, bucket):
+        super().__init__([None] * len(fields))
+        self._table = table
+        self._fields = fields
+        self._ranges = tuple(ranges)
+        self._bucket = bucket
+
+    def __getitem__(self, i):
+        got = super().__getitem__(i)
+        if got is None and isinstance(i, int):
+            from ..storage.memory import device_cache_manager
+
+            col = self._table.column(self._fields[i])
+            sig = (self._ranges, self._bucket)
+            cached = getattr(col, "_device_pruned", None)
+            if cached is not None and cached[0] == sig:
+                got = cached[1]
+            else:
+                data = np.concatenate(
+                    [col.data[s:e] for s, e in self._ranges]
+                    + [np.zeros(self._bucket - sum(
+                        e - s for s, e in self._ranges), col.data.dtype)])
+                d = jnp.asarray(data)
+                m = None
+                if col.validity is not None:
+                    v = np.concatenate(
+                        [col.validity[s:e] for s, e in self._ranges]
+                        + [np.zeros(self._bucket - sum(
+                            e - s for s, e in self._ranges), np.bool_)])
+                    m = jnp.asarray(v)
+                got = MaskedCol(d, m)
+                col._device_pruned = (sig, got)
+                device_cache_manager().note_use(col, data.nbytes)
+            self[i] = got
+        return got
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
 class _IdentityKeyedCache:
     """Cache keyed by (plan signature, identity of device buffers).
 
@@ -135,29 +181,49 @@ class _IdentityKeyedCache:
     arrays; lookups validate each with ``is`` and miss on any mismatch.
     """
 
-    def __init__(self, limit: int) -> None:
+    def __init__(self, limit: int, byte_budget: Optional[int] = None,
+                 enabled: bool = True) -> None:
         self._limit = limit
+        self._byte_budget = byte_budget
+        self._enabled = enabled
+        self._bytes = 0
         self._d: Dict = {}
 
     @staticmethod
     def _key(sig, objs):
         return (sig, tuple(id(o) for o in objs))
 
+    @staticmethod
+    def _value_bytes(value) -> int:
+        total = 0
+        for leaf in jax.tree.leaves(value):
+            total += getattr(leaf, "nbytes", 0) or 0
+        return total
+
     def get(self, sig, objs):
+        if not self._enabled:
+            return None
         ent = self._d.get(self._key(sig, objs))
         if ent is None:
             return None
-        refs, value = ent
+        refs, value, _nb = ent
         for r, o in zip(refs, objs):
             if (r() if r is not None else None) is not o:
                 return None  # address reused by a different buffer
         return value
 
     def put(self, sig, objs, value) -> None:
-        if len(self._d) > self._limit:
+        if not self._enabled:
+            return
+        nb = self._value_bytes(value)
+        if len(self._d) > self._limit or (
+                self._byte_budget is not None
+                and self._bytes + nb > self._byte_budget):
             self._d.clear()
+            self._bytes = 0
         refs = tuple(None if o is None else weakref.ref(o) for o in objs)
-        self._d[self._key(sig, objs)] = (refs, value)
+        self._d[self._key(sig, objs)] = (refs, value, nb)
+        self._bytes += nb
 
 
 # nodes that are fused into their consumer's step rather than executed
@@ -188,8 +254,13 @@ class Executor:
         # arrays (reference: col-range cache, Execute.h col-range cache)
         self._layout_cache = _IdentityKeyedCache(1024)
         # join build tables keyed by (key expr plan, build buffers) —
-        # reference: HashtableRecycler (DataRecycler/HashtableRecycler.h:32)
-        self._hashtable_cache = _IdentityKeyedCache(256)
+        # reference: HashtableRecycler (DataRecycler/HashtableRecycler.h:32);
+        # CacheConfig governs enablement and the device-byte budget
+        self._hashtable_cache = _IdentityKeyedCache(
+            256, byte_budget=config.cache.hashtable_cache_size,
+            enabled=config.cache.enable_hashtable_cache)
+        self._dist_agg_route = None  # last dist agg route (observability)
+        self._frag_prune_stats = None  # last fragment-skip counters
         # multi-device mode: scans shard rows over the mesh and XLA/GSPMD
         # parallelizes each fused step, inserting collectives (the
         # "annotate shardings, let XLA do the rest" recipe; replaces the
@@ -271,7 +342,49 @@ class Executor:
             chain.append(cur)
             cur = cur.inputs[0]
         chain.reverse()
-        return self._source_table(cur, results), chain, cur
+        source = self._source_table(cur, results)
+        pruned = self._maybe_prune_scan(cur, chain, results)
+        return (pruned if pruned is not None else source), chain, cur
+
+    def _maybe_prune_scan(self, src_node: nd.Node, chain: List[nd.Node],
+                          results) -> Optional[ExecTable]:
+        """Fragment skipping (reference: Execute.h:540 skipFragmentPair):
+        when the chain's filters bound scan columns whose per-fragment
+        min/max stats exclude fragments, gather only survivors into a
+        bucket-padded device buffer.  None = no pruning applies."""
+        from . import prune
+
+        if (not self.config.exec.enable_fragment_skipping
+                or self._mesh is not None
+                or not isinstance(src_node, nd.Scan)
+                or src_node.id in results and not isinstance(
+                    results.get(src_node.id).columns, _LazyScanColumns)):
+            return None
+        table = src_node.table
+        if table.nrows == 0 or len(table.fragments) < 2:
+            return None
+        if not any(isinstance(n, nd.Filter) for n in chain):
+            return None
+        bounds = prune.column_bounds(chain, src_node)
+        if not bounds:
+            return None
+        sel = prune.select_fragments(table, list(src_node.fields), bounds)
+        if sel is None or len(sel) == len(table.fragments):
+            return None
+        self._frag_prune_stats = {"selected": len(sel),
+                                  "total": len(table.fragments)}
+        fields = list(src_node.fields)
+        types = list(src_node.output_types)
+        nsel = sum(e - s for s, e in sel)
+        if nsel == 0:
+            return ExecTable.empty(fields, types)
+        bucket = min(prune.pad_bucket(nsel), table.nrows)
+        if bucket == table.nrows:
+            return None  # padding would reach full size: no win
+        cols = _PrunedScanColumns(table, fields, sel, bucket)
+        rm = (None if bucket == nsel
+              else jnp.arange(bucket) < nsel)
+        return ExecTable(fields, types, cols, bucket, rm)
 
     def _source_table(self, node: nd.Node, results) -> ExecTable:
         got = results.get(node.id)
@@ -561,14 +674,21 @@ class Executor:
         # shuffle (local combine -> all_to_all of partials -> merge),
         # holistic aggs (COUNT DISTINCT/QUANTILE/TOP_K/CORR/distinct)
         # through the raw-row shuffle so each key's rows co-locate
-        if self._mesh is not None and layout is None:
-            if all(a.kind in _TWO_PHASE_KINDS and not a.distinct
-                   for a in node.aggs):
+        if self._mesh is not None:
+            all_alg = all(a.kind in _TWO_PHASE_KINDS and not a.distinct
+                          for a in node.aggs)
+            out = None
+            if all_alg and layout is None:
                 out = self._exec_aggregate_dist(node, source, chain,
                                                 src_node, used, size, key)
-            else:
+            elif not all_alg and self._distinct_split_applicable(node):
+                out = self._exec_aggregate_dist_distinct(
+                    node, source, chain, src_node, used, size, key)
+            elif not all_alg:
                 out = self._exec_aggregate_dist_shuffled(
                     node, source, chain, src_node, used, size, key)
+            # else: perfect layout + algebraic aggs -> GSPMD dense-buffer
+            # path below (local partials + AllReduce, already optimal)
             if out is not None:
                 return out
 
@@ -750,6 +870,7 @@ class Executor:
         # Execute.cpp:2291 slot widening); exhausted -> GSPMD fallback
         slack = 2.0
         attempts = 3 if self.config.exec.allow_retry else 1
+        self._dist_agg_route = "two_phase"
         for _ in range(attempts):
             key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
                 self._mesh, keys, specs, rows_per_shard, group_cap,
@@ -760,6 +881,102 @@ class Executor:
                                  cols, ndev * group_cap, gvalid)
             group_cap *= 2
             slack *= 2.0
+        return None
+
+    def _distinct_split_applicable(self, node) -> bool:
+        """True when every aggregate is algebraic or DISTINCT-class with
+        one shared operand expression — the shape the skew-proof
+        pair-split distribution handles (SURVEY §7.3 heavy hitters)."""
+        def is_dist(a):
+            return (a.kind == ir.AggKind.COUNT_DISTINCT
+                    or (a.distinct and a.kind in (ir.AggKind.SUM,
+                                                  ir.AggKind.AVG)))
+        dists = [a for a in node.aggs if is_dist(a)]
+        if not dists:
+            return False
+        if not all(is_dist(a) or (a.kind in _TWO_PHASE_KINDS
+                                  and not a.distinct)
+                   for a in node.aggs):
+            return False
+        op0 = dists[0].operand
+        return all(d.operand == op0 for d in dists[1:])
+
+    def _probe_hot_key_share(self, keys, nrows: int) -> float:
+        """Estimated hottest-key row share from a host-side prefix sample
+        (``DistConfig.skew_sample_size`` rows).  Drives the raw-shuffle
+        vs pair-split choice (reference analog: partition sizing sampling,
+        RelAlgExecutor.cpp:691-860)."""
+        import numpy as np
+        import pandas as pd
+        s = min(int(self.config.dist.skew_sample_size), nrows)
+        if s <= 0:
+            return 1.0  # unknown: assume the worst, stay skew-proof
+        frame = {}
+        for i, k in enumerate(keys):
+            arr = np.asarray(jax.device_get(k.data[:s]))
+            if k.mask is not None:
+                m = np.asarray(jax.device_get(k.mask[:s]))
+                arr = np.where(m, arr, arr.dtype.type(0))
+                frame[f"m{i}"] = m
+            frame[f"k{i}"] = arr
+        counts = pd.DataFrame(frame).value_counts(dropna=False)
+        return float(counts.iloc[0]) / float(s) if len(counts) else 0.0
+
+    def _exec_aggregate_dist_distinct(self, node, source, chain, src_node,
+                                      used, size, plan_key):
+        """DISTINCT-class distributed aggregation.  Probes for key skew:
+        under the ``heavy_hitter_threshold`` the cheaper raw-row shuffle
+        runs (one all_to_all); above it the skew-proof pair-split route
+        (parallel/dist_groupby.dist_groupby_distinct_split) spreads hot
+        keys by (key, value) hash.  None -> GSPMD fallback."""
+        import dataclasses
+        from ..parallel import dist_groupby as dg
+
+        ndev = self._mesh.devices.size
+        nrows0 = source.nrows
+
+        prep = self.code_cache.get_or_build(
+            plan_key + "|distprep",
+            lambda: jax.jit(self._build_prep_fn(node, chain, src_node, used,
+                                                size, nrows0)))
+        keys, operands, rm = prep([source.columns[i] for i in used],
+                                  source.row_mask)
+        specs = [
+            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
+                       a.interpolation, op2, **self._sketch_kwargs())
+            for a, (op, op2) in zip(node.aggs, operands)
+        ]
+        # one shared salt array: the split route requires all
+        # distinct-class specs to reference the same operand object
+        salt = next(s.operand for s in specs
+                    if dg._is_distinct_class(s))
+        specs = [dataclasses.replace(s, operand=salt)
+                 if dg._is_distinct_class(s) else s for s in specs]
+        rows_per_shard = max(1, nrows0 // ndev)
+        group_cap = max(64, min(
+            self.config.exec.group_by.default_max_groups // ndev,
+            rows_per_shard * 2))
+        hot = self._probe_hot_key_share(keys, nrows0)
+        split = hot > self.config.dist.heavy_hitter_threshold / ndev
+        run = (dg.dist_groupby_distinct_split if split
+               else dg.dist_groupby_shuffled)
+        self._dist_agg_route = "distinct_split" if split else "shuffled"
+        slack = 2.0
+        attempts = 3 if self.config.exec.allow_retry else 1
+        for _ in range(attempts):
+            key_cols, agg_cols, gvalid, overflow = run(
+                self._mesh, keys, specs, rows_per_shard, group_cap,
+                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            if int(overflow) == 0:
+                cols = list(key_cols) + list(agg_cols)
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 cols, ndev * group_cap, gvalid)
+            group_cap *= 2
+            slack *= 2.0
+            if not split:  # raw shuffle overflowed: skew was real after
+                run = dg.dist_groupby_distinct_split  # all -> go skew-proof
+                self._dist_agg_route = "distinct_split"
+                split = True
         return None
 
     def _exec_aggregate_dist_shuffled(self, node, source, chain, src_node,
@@ -789,6 +1006,7 @@ class Executor:
             rows_per_shard * 2))
         slack = 2.0
         attempts = 3 if self.config.exec.allow_retry else 1
+        self._dist_agg_route = "shuffled"
         for _ in range(attempts):
             key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_shuffled(
                 self._mesh, keys, specs, rows_per_shard, group_cap,
@@ -1326,7 +1544,74 @@ class Executor:
                 rhs_keys[i] = MaskedCol(data, mask)
         return rhs_keys
 
+    def _exec_loop_join(self, node: nd.Join, results) -> ExecTable:
+        """Cartesian (loop) join for key-less INNER joins: CROSS JOIN and
+        the non-equi ON fallback (reference: IRCodegen.cpp:513 loop-join
+        codegen; gated like the reference by JoinConfig.enable_loop_join
+        and the inner-table row cap)."""
+        jcfg = self.config.exec.join
+        if not jcfg.enable_loop_join:
+            raise ExecError(
+                "cross/loop join disabled (exec.join.enable_loop_join)")
+        assert node.join_type == nd.JoinType.INNER
+        lhs = self._materialize_input(node.inputs[0], results)
+        rhs = self._materialize_input(node.inputs[1], results)
+        if lhs.nrows == 0 or rhs.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+        if rhs.nrows > jcfg.loop_join_inner_table_max_num_rows:
+            raise ExecError(
+                f"loop-join inner table has {rhs.nrows} rows, above "
+                f"join.loop_join_inner_table_max_num_rows="
+                f"{jcfg.loop_join_inner_table_max_num_rows}")
+        ln, rn = lhs.nrows, rhs.nrows
+        wd = self.config.exec.watchdog
+        if wd.enable and ln * rn > wd.max_rows_per_step:
+            raise ExecError(
+                f"watchdog: loop join would produce {ln * rn} rows")
+        from .codecache import _h, expr_sig
+
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        key = _h(["loopjoin", _schema_sig(lhs), _schema_sig(rhs), ln, rn,
+                  "" if node.residual is None
+                  else expr_sig(node.residual, sig_ids)])
+
+        def build():
+            def fn(lcols, rcols, lmask, rmask):
+                li = jnp.repeat(jnp.arange(ln, dtype=jnp.int32), rn)
+                ri = jnp.tile(jnp.arange(rn, dtype=jnp.int32), ln)
+                gl = [MaskedCol(c.data[li], c.mask[li]
+                                if c.mask is not None else None)
+                      for c in lcols]
+                gr = [MaskedCol(c.data[ri], c.mask[ri]
+                                if c.mask is not None else None)
+                      for c in rcols]
+                rm = None
+                if lmask is not None:
+                    rm = lmask[li]
+                if rmask is not None:
+                    rm = rmask[ri] if rm is None else (rm & rmask[ri])
+                if node.residual is not None:
+                    resolve = lambda ref: (
+                        gl[ref.index] if ref.node is node.inputs[0]
+                        else gr[ref.index])
+                    cond = self.scalar.evaluate(node.residual, resolve)
+                    m = cond.data.astype(jnp.bool_)
+                    if cond.mask is not None:
+                        m = m & cond.mask
+                    rm = m if rm is None else (rm & m)
+                return gl + gr, rm
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, rm = fn(list(lhs.columns), list(rhs.columns),
+                      lhs.row_mask, rhs.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         ln * rn, rm)
+
     def _exec_join(self, node: nd.Join, results) -> ExecTable:
+        if not node.key_pairs:
+            return self._exec_loop_join(node, results)
         if self._mesh is not None:
             out = self._exec_join_dist(node, results)
             if out is not None:

@@ -105,6 +105,7 @@ class Column:
 
     def drop_device_cache(self, _from_manager: bool = False) -> None:
         self._device = None
+        self._device_pruned = None  # fragment-pruned gather cache
         if not _from_manager:
             from .memory import device_cache_manager
 

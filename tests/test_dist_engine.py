@@ -290,3 +290,111 @@ def test_dist_sum_distinct(pair, rng):
     q = "SELECT k, SUM(DISTINCT v) AS s FROM t GROUP BY k ORDER BY k"
     assert_frames_match(dist.sql(q).to_pandas(), solo.sql(q).to_pandas(),
                         ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter / DISTINCT-class skew-proof distribution (VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+def _skewed_frame(rng, n, hot_share=0.8):
+    """One key owns ``hot_share`` of all rows (Zipf-style heavy hitter)."""
+    return pd.DataFrame({
+        "k": np.where(rng.random(n) < hot_share, 7,
+                      rng.integers(100, 160, n)).astype(np.int64),
+        "v": rng.integers(0, 500, n).astype(np.int64),
+        "x": rng.normal(size=n),
+    })
+
+
+def test_dist_count_distinct_skewed_small_caps(rng):
+    """Zipf-skewed COUNT DISTINCT on the 8-device mesh with small group
+    caps: the pair-split route spreads the hot key by (key, value) hash,
+    so results are exact where a key-hash shuffle would overflow."""
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "exec.group_by.default_max_groups": 512})
+    solo = hdk_tpu.HDK()
+    n = 8 * 700
+    df = _skewed_frame(rng, n)
+    dist.import_pandas(df, name="zipf")
+    solo.import_pandas(df, name="zipf")
+
+    def q(s):
+        t = s.scan("zipf")
+        return t.agg("k", "count", t["v"].count(distinct=True).name("nd"),
+                     "sum(x)", "max(v)").run().to_pandas()
+
+    a, b = q(dist), q(solo)
+    assert dist._executor._dist_agg_route == "distinct_split"
+    assert_frames_match(a, b)
+
+
+def test_dist_distinct_split_uniform_keys(rng):
+    """The pair-split route must be exact on unskewed data too (forced
+    via heavy_hitter_threshold=0)."""
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "dist.heavy_hitter_threshold": 0.0})
+    solo = hdk_tpu.HDK()
+    n = 8 * 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 200, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    # null keys and null values exercise the 3VL corners
+    df.loc[df.index[:40], "v"] = pd.NA
+    df["v"] = df["v"].astype("Int64")
+    dist.import_pandas(df, name="u")
+    solo.import_pandas(df, name="u")
+    q = ("SELECT k, COUNT(DISTINCT v) AS nd, SUM(DISTINCT v) AS sd, "
+         "AVG(v) AS a FROM u GROUP BY k ORDER BY k")
+    a = dist.sql(q).to_pandas()
+    assert dist._executor._dist_agg_route == "distinct_split"
+    assert_frames_match(a, solo.sql(q).to_pandas(), ordered=True)
+
+
+def test_dist_distinct_raw_route_below_threshold(rng):
+    """With the hot-key probe under threshold the cheaper raw shuffle
+    runs (one all_to_all) and stays exact."""
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "dist.heavy_hitter_threshold": 1e9})
+    solo = hdk_tpu.HDK()
+    n = 8 * 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 64, n).astype(np.int64),
+        "v": rng.integers(0, 30, n).astype(np.int64),
+    })
+    dist.import_pandas(df, name="r")
+    solo.import_pandas(df, name="r")
+
+    def q(s):
+        t = s.scan("r")
+        return t.agg("k", t["v"].count(distinct=True).name("nd")
+                     ).run().to_pandas()
+
+    a, b = q(dist), q(solo)
+    assert dist._executor._dist_agg_route == "shuffled"
+    assert_frames_match(a, b)
+
+
+def test_dist_multi_operand_distinct_falls_back(rng):
+    """COUNT(DISTINCT a) + COUNT(DISTINCT b) (different operands) is not
+    pair-splittable; the raw shuffle handles it exactly."""
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    solo = hdk_tpu.HDK()
+    n = 8 * 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "a": rng.integers(0, 25, n).astype(np.int64),
+        "b": rng.integers(0, 90, n).astype(np.int64),
+    })
+    dist.import_pandas(df, name="m2")
+    solo.import_pandas(df, name="m2")
+
+    def q(s):
+        t = s.scan("m2")
+        return t.agg("k", t["a"].count(distinct=True).name("nda"),
+                     t["b"].count(distinct=True).name("ndb")
+                     ).run().to_pandas()
+
+    a, b = q(dist), q(solo)
+    assert dist._executor._dist_agg_route == "shuffled"
+    assert_frames_match(a, b)
