@@ -68,8 +68,6 @@ def node_sig(node: nd.Node, node_ids: dict) -> str:
         sf = ",".join(f"{f.field_index}:{f.desc}:{f.nulls_first}"
                       for f in node.sort_fields)
         return f"Sort({sf},{node.limit},{node.offset})"
-    if isinstance(node, nd.Shuffle):
-        return f"Shuffle({node.key_indices},{node.partitions},{node.is_count})"
     return kind
 
 

@@ -48,8 +48,6 @@ def _node_line(node: nd.Node) -> str:
         return "UnionAll"
     if isinstance(node, nd.LogicalValues):
         return f"Values({len(node.rows)} rows)"
-    if isinstance(node, nd.Shuffle):
-        return f"Shuffle(partitions={node.partitions}, count={node.is_count})"
     return type(node).__name__
 
 

@@ -65,9 +65,6 @@ def _rebuild_node(node: nd.Node, new_inputs, mapping) -> nd.Node:
         return nd.LogicalUnion(new_inputs, node.all)
     if isinstance(node, nd.LogicalValues):
         return node
-    if isinstance(node, nd.Shuffle):
-        return nd.Shuffle(new_inputs[0], node.key_indices, node.partitions,
-                          node.is_count, node.fn)
     raise TypeError(f"unknown node {node!r}")
 
 

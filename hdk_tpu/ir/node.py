@@ -2,7 +2,7 @@
 
 TPU-native analog of hdk::ir::Node (reference: omniscidb/IR/Node.h:72 —
 Scan:219, Project:291, Aggregate:373, Join:463, Filter:634, Sort:693,
-LogicalValues:785, LogicalUnion:849, Shuffle:886) and QueryDag
+LogicalValues:785, LogicalUnion:849) and QueryDag
 (IR/Node.h:~940).
 
 Differences from the reference, chosen for the JAX executor:
@@ -10,9 +10,9 @@ Differences from the reference, chosen for the JAX executor:
     residual condition (the reference keeps a single condition expr and
     later splits it in WorkUnitBuilder; splitting at construction keeps
     the physical hash-join contract visible in the IR).
-  * Shuffle is retained as an *internal* node inserted by the
-    partitioned-aggregation path and the distributed planner
-    (reference: IR/Node.h:871-933, ShuffleFunction{kHash, partitions}).
+  * The reference's Shuffle node (IR/Node.h:871-933) has no IR analog
+    here: shuffles are an execution-layer concern (parallel/shuffle.py
+    all_to_all inside shard_map), never a plan node.
 """
 
 from __future__ import annotations
@@ -173,7 +173,10 @@ class Join(Node):
                  join_type: JoinType = JoinType.INNER,
                  residual: Optional[Expr] = None,
                  suffix: str = "_r") -> None:
-        assert key_pairs, "equi-join requires at least one key pair"
+        # empty key_pairs = cartesian (loop) join, INNER only
+        # (reference: IRCodegen.cpp:513 loop-join fallback)
+        assert key_pairs or join_type == JoinType.INNER, (
+            "only INNER joins may be key-less (loop join)")
         super().__init__([lhs, rhs])
         self.key_pairs = list(key_pairs)
         self.join_type = join_type
@@ -275,41 +278,6 @@ class LogicalValues(Node):
     @property
     def output_types(self):
         return self._types
-
-
-class ShuffleFunction(enum.Enum):
-    """reference: IR/Node.h:871-881."""
-
-    HASH = "hash"
-
-
-class Shuffle(Node):
-    """Hash-partition scatter step (reference: IR/Node.h:886).  With
-    ``is_count`` it emits the per-partition histogram (step A of the
-    two-pass shuffle, RelAlgExecutor.cpp:748-764); otherwise it scatters
-    rows into partitions (step B, :766-794).  The distributed planner maps
-    this to an all_to_all over the mesh."""
-
-    def __init__(self, input_node: Node, key_indices: Sequence[int],
-                 partitions: int, is_count: bool = False,
-                 fn: ShuffleFunction = ShuffleFunction.HASH) -> None:
-        super().__init__([input_node])
-        self.key_indices = list(key_indices)
-        self.partitions = partitions
-        self.is_count = is_count
-        self.fn = fn
-
-    @property
-    def fields(self):
-        if self.is_count:
-            return ["partition_count"]
-        return self.inputs[0].fields
-
-    @property
-    def output_types(self):
-        if self.is_count:
-            return [t.int64(nullable=False)]
-        return self.inputs[0].output_types
 
 
 def _union_type(ts: List[t.Type]) -> t.Type:

@@ -10,6 +10,7 @@ Node/Expr IR the builder API produces.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -65,6 +66,16 @@ class Scope:
                 return pos, pos + len(fields)
             pos += len(fields)
         raise SqlError(f"unknown table alias {table!r}")
+
+
+@dataclass
+class _BoundPos:
+    """Placeholder for a column resolved by POSITION against whatever
+    node the enclosing expression finally binds to (decorrelated scalar
+    subquery values: left-prefix positions survive later join wraps)."""
+
+    pos: int
+    zero_if_null: bool = False  # COUNT over an empty correlated set -> 0
 
 
 class Binder:
@@ -132,10 +143,97 @@ class Binder:
                                        stmt.offset)
         return node
 
+    # -- correlated subquery decorrelation ------------------------------
+    def _try_bind(self, e, node, scope):
+        try:
+            return self.bind_expr(e, node, scope)
+        except SqlError:
+            return None
+
+    def _bind_correlated_select(self, q, outer_node, outer_scope,
+                                what: str):
+        """Decorrelate: bind subquery ``q`` extracting equality conjuncts
+        that reference the OUTER scope as correlation key pairs.
+
+        Returns (stmt, inner_node, inner_scope, corr) with corr =
+        [(outer_expr, inner_expr)].  Reference analog: the deep-copy
+        decorrelation rewrites in RelAlgDagBuilder
+        (CorrelatedSubqueryTest.cpp shapes)."""
+        if len(q.selects) != 1:
+            raise SqlError(f"correlated {what} subquery cannot be a UNION")
+        stmt = q.selects[0]
+        if (q.order_by or q.limit is not None or q.offset
+                or stmt.order_by or stmt.limit is not None):
+            raise SqlError(
+                f"correlated {what} subquery cannot use ORDER BY/LIMIT")
+        if stmt.from_table is None:
+            raise SqlError("SELECT without FROM is not supported")
+        node, scope = self._bind_table(stmt.from_table)
+        for join in stmt.joins:
+            if join.kind == "cross":
+                raise SqlError(
+                    f"correlated {what} subquery cross join unsupported")
+            rnode, rscope = self._bind_table(join.table)
+            node, scope = self._bind_join(node, scope, rnode, rscope,
+                                          join.kind, join.on)
+        corr, rest = [], []
+        for c in (self._conjuncts(stmt.where)
+                  if stmt.where is not None else []):
+            pair = None
+            if isinstance(c, A.Bin) and c.op == "==":
+                for inner_ast, outer_ast in ((c.lhs, c.rhs),
+                                             (c.rhs, c.lhs)):
+                    # standard scoping: a name resolvable inside the
+                    # subquery is NOT an outer reference
+                    if self._try_bind(outer_ast, node, scope) is not None:
+                        continue
+                    inner_ir = self._try_bind(inner_ast, node, scope)
+                    outer_ir = self._try_bind(outer_ast, outer_node,
+                                              outer_scope)
+                    if inner_ir is not None and outer_ir is not None:
+                        pair = (outer_ir, inner_ir)
+                        break
+            if pair is not None:
+                corr.append(pair)
+            else:
+                rest.append(c)
+        if not corr:
+            raise SqlError(
+                f"cannot decorrelate {what} subquery: no equality "
+                f"predicate links it to the outer query")
+        w = None
+        for c in rest:
+            w = c if w is None else A.Bin("and", w, c)
+        if w is not None:
+            # corr exprs bound pre-filter stay positionally valid
+            node = nd.Filter(node, self._as_bool(
+                self.bind_expr(w, node, scope)))
+        return stmt, node, scope, corr
+
+    def _correlated_in_subquery(self, q, outer_node, outer_scope):
+        """(sub_node, corr) for a correlated IN: outputs = [value] +
+        correlation columns."""
+        stmt, inode, iscope, corr = self._bind_correlated_select(
+            q, outer_node, outer_scope, "IN")
+        if stmt.group_by or any(self._contains_agg(i.expr)
+                                for i in stmt.items):
+            raise SqlError(
+                "correlated IN subquery with aggregation is unsupported")
+        items = [i for i in stmt.items if not isinstance(i.expr, A.Star)]
+        if len(items) != 1 or len(stmt.items) != 1:
+            raise SqlError("IN subquery must select exactly one column")
+        val = self.bind_expr(items[0].expr, inode, iscope)
+        exprs = [val] + [ie for _, ie in corr]
+        sub = nd.Project(inode, exprs,
+                         [f"c{i}" for i in range(len(exprs))])
+        return sub, corr
+
     def _rewrite_subquery_predicates(self, node, scope, where):
         """IN (SELECT ...) -> SEMI/ANTI join; uncorrelated EXISTS is
         evaluated eagerly (reference: subqueries execute first,
-        RelAlgExecutor.cpp:277-290)."""
+        RelAlgExecutor.cpp:277-290).  Correlated IN/EXISTS/scalar
+        subqueries decorrelate to SEMI/ANTI/LEFT joins on the extracted
+        equality keys."""
         rest = []
         for c in self._conjuncts(where):
             neg = False
@@ -145,8 +243,13 @@ class Binder:
                 inner = inner.operand
             if isinstance(inner, A.InSubquery):
                 anti = neg != inner.negated
-                sub = self.bind_query(inner.query)
-                if sub.size() != 1:
+                try:
+                    sub = self.bind_query(inner.query)
+                    corr = []
+                except SqlError:
+                    sub, corr = self._correlated_in_subquery(
+                        inner.query, node, scope)
+                if sub.size() != 1 + len(corr):
                     raise SqlError("IN subquery must select exactly one column")
                 lhs_key = self.bind_expr(inner.operand, node, scope)
                 if anti:
@@ -155,7 +258,7 @@ class Binder:
                     # (filtered); a NULL probe key is UNKNOWN too.  Plain
                     # ANTI join is NOT EXISTS semantics — correct only
                     # after excluding both NULL sources.
-                    if sub.output_types[0].nullable:
+                    if sub.output_types[0].nullable and not corr:
                         table = self.session._executor.execute(
                             nd.QueryDag(sub)).compact()
                         col = table.columns[0]
@@ -163,26 +266,142 @@ class Binder:
                                 and not bool(np.asarray(col.mask).all())):
                             rest.append(A.Lit(False))
                             continue
+                    if sub.output_types[0].nullable and corr:
+                        # per-group 3VL: an outer row whose correlated
+                        # value set contains a NULL yields UNKNOWN for
+                        # every non-matching probe — drop those rows via
+                        # an ANTI join against the null-valued subset
+                        sub_null = nd.Filter(sub, ir.UnOp(
+                            t.boolean(False), "isnull", sub.ref(0)))
+                        node = nd.Join(
+                            node, sub_null,
+                            [(oe, sub_null.ref(1 + i))
+                             for i, (oe, _) in enumerate(corr)],
+                            nd.JoinType.ANTI)
                     if lhs_key.type.nullable:
                         # Filter passes columns through positionally, so
                         # the join key refs stay valid unretargeted
                         node = nd.Filter(node, ir.UnOp(
                             t.boolean(False), "isnotnull", lhs_key))
                 jt = nd.JoinType.ANTI if anti else nd.JoinType.SEMI
-                node = nd.Join(node, sub, [(lhs_key, sub.ref(0))], jt)
+                keys = [(lhs_key, sub.ref(0))] + [
+                    (oe, sub.ref(1 + i)) for i, (oe, _) in enumerate(corr)]
+                node = nd.Join(node, sub, keys, jt)
                 continue
             if isinstance(inner, A.ExistsE):
                 want = not (neg != inner.negated)
-                sub = self.bind_query(inner.query)
+                try:
+                    sub = self.bind_query(inner.query)
+                except SqlError:
+                    # correlated EXISTS -> SEMI join on the correlation
+                    # keys (NOT EXISTS -> ANTI)
+                    stmt, inode, iscope, corr = self._bind_correlated_select(
+                        inner.query, node, scope, "EXISTS")
+                    if stmt.group_by or stmt.having is not None or any(
+                            self._contains_agg(i.expr)
+                            for i in stmt.items):
+                        raise SqlError("correlated EXISTS with aggregation "
+                                       "is unsupported")
+                    exprs = [ie for _, ie in corr]
+                    sub = nd.Project(inode, exprs,
+                                     [f"c{i}" for i in range(len(exprs))])
+                    node = nd.Join(
+                        node, sub,
+                        [(oe, sub.ref(i)) for i, (oe, _) in enumerate(corr)],
+                        nd.JoinType.SEMI if want else nd.JoinType.ANTI)
+                    continue
                 table = self.session._executor.execute(nd.QueryDag(sub))
                 if (table.live_count() > 0) != want:
                     # always-false predicate: empty result
                     rest.append(A.Lit(False))
                 continue
+            node, c = self._rewrite_correlated_scalars(node, scope, c)
             rest.append(c)
         out = None
         for c in rest:
             out = c if out is None else A.Bin("and", out, c)
+        return node, out
+
+    def _rewrite_correlated_scalars(self, node, scope, conj):
+        """Replace correlated scalar subqueries inside a WHERE conjunct
+        with LEFT-joined per-key aggregates: ``x > (SELECT agg(y) FROM t2
+        WHERE t2.k = t1.k)`` joins the grouped aggregate on k and
+        compares against the joined column (reference:
+        CorrelatedSubqueryTest.cpp scalar shapes)."""
+        import dataclasses as dc
+
+        def transform(e):
+            nonlocal node
+            if isinstance(e, A.ScalarSub):
+                try:
+                    self.bind_query(e.query)  # probe only: binds clean?
+                    return e  # uncorrelated: evaluated eagerly later
+                except SqlError:
+                    pass
+                stmt, inode, iscope, corr = self._bind_correlated_select(
+                    e.query, node, scope, "scalar")
+                if stmt.group_by or stmt.having is not None:
+                    raise SqlError(
+                        "correlated scalar subquery with GROUP BY/HAVING "
+                        "is unsupported")
+                items = [i for i in stmt.items
+                         if not isinstance(i.expr, A.Star)]
+                if len(items) != 1 or len(stmt.items) != 1:
+                    raise SqlError(
+                        "scalar subquery must select exactly one column")
+                item = items[0].expr
+                if self._contains_agg(item):
+                    if not (isinstance(item, A.Fn)
+                            and item.name in _AGG_FNS):
+                        raise SqlError(
+                            "correlated scalar subquery must be a single "
+                            "aggregate call")
+                    agg = self._bind_agg(item, inode, iscope)
+                else:
+                    # no aggregate: enforce one-row-per-key via
+                    # SINGLE_VALUE (reference: kSINGLE_VALUE wrap)
+                    val = self.bind_expr(item, inode, iscope)
+                    agg = ir.AggExpr(val.type.with_nullable(True),
+                                     ir.AggKind.SINGLE_VALUE, val)
+                ikeys = [ie for _, ie in corr]
+                sub = nd.Aggregate(
+                    inode, ikeys, [agg],
+                    [f"k{i}" for i in range(len(ikeys))] + ["v"])
+                left_size = len(node.fields)
+                node = nd.Join(
+                    node, sub,
+                    [(oe, sub.ref(i)) for i, (oe, _) in enumerate(corr)],
+                    nd.JoinType.LEFT)
+                # left-prefix positions stay stable under later SEMI/ANTI/
+                # LEFT wraps, so the value column late-binds by position
+                # against the FINAL node (see _BoundPos in bind_expr)
+                return _BoundPos(
+                    left_size + len(ikeys),
+                    zero_if_null=agg.kind in (ir.AggKind.COUNT,
+                                              ir.AggKind.COUNT_DISTINCT))
+            if isinstance(e, (A.Query, A.InSubquery, A.ExistsE)):
+                return e  # different scope: never descend
+            if isinstance(e, (ir.Expr, _BoundPos)) or not dc.is_dataclass(e):
+                return e
+            changed = False
+            updates = {}
+            for f in dc.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, (list, tuple)):
+                    nv = type(v)(transform(x) for x in v)
+                    if any(a is not b for a, b in zip(nv, v)):
+                        updates[f.name] = nv
+                        changed = True
+                else:
+                    nv = transform(v)
+                    if nv is not v:
+                        updates[f.name] = nv
+                        changed = True
+            if not changed:
+                return e
+            return dc.replace(e, **updates)
+
+        out = transform(conj)  # may wrap ``node`` in LEFT joins
         return node, out
 
     def _eval_scalar_subquery(self, q) -> ir.Expr:
@@ -225,9 +444,9 @@ class Binder:
         if on is None:
             raise SqlError(f"{kind.upper()} JOIN requires an ON condition")
         pairs, residual = self._split_on(on, lnode, lscope, rnode, rscope)
-        if not pairs:
-            raise SqlError("JOIN ON must contain at least one equality "
-                           "between the two sides")
+        if not pairs and kind != "inner":
+            raise SqlError(f"{kind.upper()} JOIN ON must contain at least "
+                           "one equality between the two sides")
         join = nd.Join(lnode, rnode, pairs, nd.JoinType(kind), residual)
         if kind in ("semi", "anti"):
             scope = Scope(list(lscope.entries))
@@ -357,10 +576,9 @@ class Binder:
                 else:
                     rest.append(c)
             remaining = rest
-            if not pairs:
-                raise SqlError(
-                    f"no join condition found in WHERE for table {alias!r} "
-                    "(cross products are not supported)")
+            # no equi conjunct: cartesian -> loop join (the executor
+            # enforces join.enable_loop_join + the inner-rows cap);
+            # leftover conjuncts stay in WHERE and filter the product
             node, scope = self._bind_join_built(node, scope, rnode, rscope,
                                                 pairs)
         new_where = None
@@ -570,6 +788,14 @@ class Binder:
 
         if isinstance(e, ir.Expr):
             return e
+        if isinstance(e, _BoundPos):
+            ref = node.ref(e.pos)
+            if e.zero_if_null:
+                zt = ref.type.with_nullable(False)
+                return ir.CaseExpr(zt, [(ir.UnOp(t.boolean(False), "isnull",
+                                                 ref), ir.Constant(zt, 0))],
+                                   ref)
+            return ref
         if isinstance(e, A.Lit):
             return self._bind_literal(e)
         if isinstance(e, A.Col):

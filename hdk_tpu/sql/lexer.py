@@ -18,6 +18,7 @@ KEYWORDS = {
     "limit", "offset", "as", "and", "or", "not", "in", "is", "null", "like",
     "ilike", "regexp", "between", "case", "when", "then", "else", "end",
     "cast", "extract", "join", "inner", "left", "right", "full", "outer",
+    "cross",
     "semi", "anti", "on", "union", "all", "asc", "desc", "nulls", "first",
     "last", "true", "false", "exists", "date", "time", "timestamp",
     "interval", "count", "with",

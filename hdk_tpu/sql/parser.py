@@ -202,6 +202,10 @@ class Parser:
         elif self.accept_kw("anti"):
             self.expect_kw("join")
             kind = "anti"
+        elif self.accept_kw("cross"):
+            self.expect_kw("join")
+            ref = self.parse_table_ref()
+            return A.JoinClause("cross", ref, None)
         elif self.accept_op(","):  # implicit cross join via comma + WHERE
             ref = self.parse_table_ref()
             return A.JoinClause("cross", ref, None)
