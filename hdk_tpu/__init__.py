@@ -143,6 +143,11 @@ class HDK:
                         else build_config(**config_kwargs))
         self._schema = SchemaRegistry()
         self._dicts = DictionaryRegistry()
+        from .utils import logger as _logger
+
+        _logger.configure(self._config.debug.log_severity,
+                          log_to_file=self._config.debug.log_to_file,
+                          log_dir=self._config.debug.log_dir)
         from .storage.memory import device_cache_manager
 
         device_cache_manager().set_budget(

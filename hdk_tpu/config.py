@@ -95,10 +95,13 @@ class CacheConfig:
 
 @dataclass
 class DebugConfig:
-    """reference: Shared/Config.h:176-190."""
+    """reference: Shared/Config.h:176-190 + Logger/Logger.h:95."""
 
     enable_debug_timer: bool = False
     log_dir: str = "hdk_tpu_log"
+    # severity ladder DEBUG4..DEBUG1 < INFO < WARNING < ERROR < FATAL
+    log_severity: str = "WARNING"
+    log_to_file: bool = False
     explain: bool = False
 
 

@@ -42,6 +42,9 @@ from ..config import Config
 from ..ir import expr as ir
 from ..ir import node as nd
 from ..utils.timer import DebugTimer
+from ..utils.logger import get_channel
+
+_LOG = get_channel("exec")
 from . import groupby as gb
 from . import join as jn
 from . import ranges as rng
@@ -276,10 +279,19 @@ class Executor:
 
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
+        from ..utils import logger as hlog
+
+        with hlog.query_context():
+            return self._execute_logged(dag)
+
+    def _execute_logged(self, dag: nd.QueryDag) -> ExecTable:
         import time as _time
 
         results: Dict[int, ExecTable] = {}
         order = dag.topo_order()
+        _LOG.debug1("query: %d nodes, root=%s", len(order),
+                    type(dag.root).__name__)
+        t_query = _time.monotonic()
         # agg->sort fusion (reference: ORDER BY over an aggregate is the
         # taxi-Q4 bread-and-butter, taxi_reduced_bench.cpp:76-84): when a
         # Sort directly consumes an Aggregate it alone uses, both compile
@@ -327,7 +339,26 @@ class Executor:
                 if deadline is not None and _time.monotonic() > deadline:
                     raise ExecError("watchdog: query time budget exceeded")
             with DebugTimer(f"step:{type(node).__name__}#{node.id}"):
+                t0 = _time.monotonic()
                 results[node.id] = self._exec_step(node, results)
+                if _LOG.enabled_for("DEBUG1"):
+                    extras = ""
+                    if self._dist_agg_route and isinstance(
+                            node, nd.Aggregate):
+                        extras += f" route={self._dist_agg_route}"
+                    if self._frag_prune_stats and isinstance(
+                            node, (nd.Aggregate, nd.Sort, nd.Join,
+                                   *_CHAIN_NODES)):
+                        extras += (" frags={selected}/{total}".format(
+                            **self._frag_prune_stats))
+                    _LOG.debug1(
+                        "step %s#%d: %d rows, %.1f ms%s",
+                        type(node).__name__, node.id,
+                        results[node.id].nrows,
+                        (_time.monotonic() - t0) * 1e3, extras)
+        _LOG.info("query done: %.1f ms, %d rows",
+                  (_time.monotonic() - t_query) * 1e3,
+                  results[dag.root.id].nrows)
         return results[dag.root.id]
 
     # ------------------------------------------------------------------
@@ -879,6 +910,9 @@ class Executor:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
                                  cols, ndev * group_cap, gvalid)
+            _LOG.warning("dist agg overflow (%d): widening to "
+                         "group_cap=%d slack=%.1f", int(overflow),
+                         group_cap * 2, slack * 2.0)
             group_cap *= 2
             slack *= 2.0
         return None
@@ -971,6 +1005,9 @@ class Executor:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
                                  cols, ndev * group_cap, gvalid)
+            _LOG.warning("dist agg overflow (%d): widening to "
+                         "group_cap=%d slack=%.1f", int(overflow),
+                         group_cap * 2, slack * 2.0)
             group_cap *= 2
             slack *= 2.0
             if not split:  # raw shuffle overflowed: skew was real after
@@ -1015,6 +1052,9 @@ class Executor:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
                                  cols, ndev * group_cap, gvalid)
+            _LOG.warning("dist agg overflow (%d): widening to "
+                         "group_cap=%d slack=%.1f", int(overflow),
+                         group_cap * 2, slack * 2.0)
             group_cap *= 2
             slack *= 2.0
         return None

@@ -43,10 +43,10 @@ def test_watchdog_row_budget():
 
 
 def test_config_tree():
-    cfg = build_config(fragment_size=123, bigint_count=True,
+    cfg = build_config(fragment_size=123, hll_precision=12,
                        **{"exec.watchdog.enable": True})
     assert cfg.storage.fragment_size == 123
-    assert cfg.exec.group_by.bigint_count is True
+    assert cfg.exec.group_by.hll_precision == 12
     assert cfg.exec.watchdog.enable is True
     with pytest.raises(ValueError):
         build_config(bogus_option=1)
