@@ -115,6 +115,11 @@ class QueryResult:
 
         return self.to_arrow().slice(0, n)
 
+    def tail(self, n: int = 10):
+        """Last n rows (reference: ResultSetTableToken.h:44-45 tail)."""
+        arr = self.to_arrow()
+        return arr.slice(max(0, arr.num_rows - n), n)
+
     @property
     def scan(self) -> QueryNode:
         """Chain this result as an input (reference: hdk.py:2518)."""

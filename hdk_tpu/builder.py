@@ -360,7 +360,8 @@ class QueryExpr:
         e = self.expr
         if isinstance(e, ir.WindowFunction):
             wf = ir.WindowFunction(e.type, e.kind, e.args, parts,
-                                   e.order_keys, e.order_desc, e.arg1)
+                                   e.order_keys, e.order_desc, e.arg1,
+                                   e.frame)
         elif isinstance(e, ir.AggExpr):
             kind = ir.WindowKind(e.kind.value)  # count/sum/min/max/avg
             args = [e.operand] if e.operand is not None else []
@@ -383,7 +384,7 @@ class QueryExpr:
                 order.append(_to_expr(k))
                 descs.append(False)
         wf = ir.WindowFunction(e.type, e.kind, e.args, e.partition_keys,
-                               order, descs, e.arg1)
+                               order, descs, e.arg1, e.frame)
         return QueryExpr(wf, self._name)
 
     def lag(self, n: int = 1) -> "QueryExpr":
@@ -409,6 +410,30 @@ class QueryExpr:
         wf = ir.WindowFunction(self.type.with_nullable(True),
                                ir.WindowKind.LAST_VALUE, [self.expr], [], [])
         return QueryExpr(wf, "last_value")
+
+    def nth_value(self, n: int) -> "QueryExpr":
+        """n-th row of the window frame, 1-based (reference:
+        WindowContext NTH_VALUE)."""
+        assert n >= 1
+        wf = ir.WindowFunction(self.type.with_nullable(True),
+                               ir.WindowKind.NTH_VALUE, [self.expr], [], [],
+                               (), n)
+        return QueryExpr(wf, "nth_value")
+
+    def frame(self, unit: str, start, end) -> "QueryExpr":
+        """Attach an explicit ROWS/RANGE frame to a window expression.
+
+        ``start``/``end``: "unbounded_preceding", "current_row",
+        "unbounded_following", or ("preceding"|"following", offset).
+        """
+        e = self.expr
+        assert isinstance(e, ir.WindowFunction), "frame() needs a window fn"
+        norm = lambda b: (b, None) if isinstance(b, str) else tuple(b)
+        fr = ir.WindowFrame(unit, norm(start), norm(end))
+        wf = ir.WindowFunction(e.type.with_nullable(True), e.kind, e.args,
+                               e.partition_keys, e.order_keys, e.order_desc,
+                               e.arg1, fr)
+        return QueryExpr(wf, self._name)
 
 
 def _expr_base_name(e: ir.Expr) -> Optional[str]:

@@ -38,7 +38,7 @@ def expr_sig(e: ir.Expr, node_ids: dict) -> str:
     extra = []
     for attr in ("kind", "value", "field", "pattern", "escape",
                  "case_insensitive", "is_regexp", "values", "distinct",
-                 "arg1", "interpolation"):
+                 "arg1", "interpolation", "order_desc", "frame"):
         if hasattr(e, attr):
             extra.append(f"{attr}={getattr(e, attr)}")
     ops = ",".join(expr_sig(o, node_ids) for o in e.operands())

@@ -154,7 +154,7 @@ class ScalarCompiler:
         return compute_window(
             e.kind, args, parts, orders, e.order_desc, e.arg1, nrows,
             getattr(self, "_row_mask", None),
-            jnp.dtype(e.type.physical_dtype()))
+            jnp.dtype(e.type.physical_dtype()), frame=e.frame)
 
     # ------------------------------------------------------------------
     def _function(self, e: ir.FunctionCall, ev) -> MaskedCol:

@@ -13,15 +13,24 @@ with segmented combine), and gathers — fully fused by XLA, no
 per-partition loops.  Results scatter back to original row positions.
 
 Frame semantics (matching the reference's defaults):
-  * rank family / ntile: standard SQL.
-  * navigation (lag/lead/first/last): whole partition.
+  * rank family / ntile: standard SQL (frames never apply).
+  * navigation (lag/lead/first/last): whole partition by default.
   * windowed aggregates: whole partition without ORDER BY; cumulative
     (RANGE UNBOUNDED PRECEDING .. CURRENT ROW, ties share the value of
     their tie-group end) with ORDER BY.
+
+Explicit frames (reference: WindowContext.h:67-140 frame bound types):
+ROWS and RANGE BETWEEN with numeric offsets.  Per-row absolute frame
+bounds [lo, hi] come from position arithmetic (ROWS) or a vectorized
+in-partition binary search on the single ORDER BY key (RANGE); then
+SUM/COUNT/AVG are padded-cumsum differences, MIN/MAX are O(n log n)
+sparse-table range queries, and FIRST/LAST/NTH_VALUE gather at
+lo/hi/lo+n-1 — all fused, no per-row loops.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import jax
@@ -30,6 +39,57 @@ import jax.numpy as jnp
 from ..ir.expr import WindowKind
 from .groupby import _minmax_identity, _orderable_int64
 from .masked import MaskedCol, combine_masks
+
+
+def _bitlen(w):
+    """floor(log2(w)) + 1 for positive int64 (0 -> 0)."""
+    pos = jnp.zeros_like(w)
+    cur = w
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = cur >> s
+        take = hi > 0
+        pos = pos + jnp.where(take, s, 0)
+        cur = jnp.where(take, hi, cur)
+    return jnp.where(w > 0, pos + 1, 0)
+
+
+def _span_bisect(sorted_vals, targets, lo0, hi0, left: bool):
+    """Vectorized per-row binary search restricted to [lo0, hi0):
+    first index where sorted_vals >= target (left) / > target (right)."""
+    n = sorted_vals.shape[0]
+    steps = max(1, int(math.ceil(math.log2(max(n, 2)))) + 1)
+    lo, hi = lo0, hi0
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        mv = sorted_vals[jnp.clip(mid, 0, n - 1)]
+        go_right = (mv < targets) if left else (mv <= targets)
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def _rmq(filled, lo, hi, is_min):
+    """Range min/max over [lo, hi] (hi >= lo) via a sparse table:
+    levels T[j][i] = agg over [i, i + 2^j)."""
+    combine = jnp.minimum if is_min else jnp.maximum
+    ident = _minmax_identity(filled.dtype, is_min)
+    n = filled.shape[0]
+    levels = [filled]
+    span = 1
+    while span * 2 <= n:
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [prev[span:], jnp.full((span,), ident, prev.dtype)])
+        levels.append(combine(prev, shifted))
+        span *= 2
+    table = jnp.stack(levels)
+    length = jnp.maximum(hi - lo + 1, 1)
+    j = (_bitlen(length) - 1).astype(jnp.int32)
+    pow2 = jnp.left_shift(jnp.int64(1), j.astype(jnp.int64))
+    a = table[j, jnp.clip(lo, 0, n - 1)]
+    b = table[j, jnp.clip(hi - pow2 + 1, 0, n - 1)]
+    return combine(a, b)
 
 
 def _seg_scan(vals, reset, combine):
@@ -54,6 +114,7 @@ def compute_window(
     nrows: int,
     row_mask: Optional[jnp.ndarray],
     out_dtype,
+    frame=None,
 ) -> MaskedCol:
     # ---- global sort: (validity, partition keys, order keys) ----------
     perm = jnp.arange(nrows, dtype=jnp.int32)
@@ -106,6 +167,52 @@ def compute_window(
     tie_gid = jnp.cumsum(ob.astype(jnp.int32)) - 1
     tie_end = jax.ops.segment_max(pos, tie_gid, num_segments=n_seg,
                                   indices_are_sorted=True)[tie_gid]
+    pend = start + cnt - 1  # absolute partition end per row
+
+    def frame_bounds():
+        """Per-row absolute frame span [lo, hi] (inclusive; hi < lo =
+        empty frame)."""
+        if frame.unit == "rows":
+            def side(bound):
+                bk, v = bound
+                if bk == "unbounded_preceding":
+                    return start
+                if bk == "unbounded_following":
+                    return pend
+                if bk == "current_row":
+                    return pos
+                off = jnp.int64(int(v))
+                return pos - off if bk == "preceding" else pos + off
+            return (jnp.maximum(side(frame.start), start),
+                    jnp.minimum(side(frame.end), pend))
+        # RANGE: offsets on the single ORDER BY key; v' = +-v so the
+        # sorted direction is ascending in v'-space and "preceding"
+        # is always v' - offset
+        if len(order_cols) != 1:
+            raise NotImplementedError(
+                "RANGE frame with offsets requires exactly one ORDER BY "
+                "key (reference: WindowContext frame validation)")
+        oc = order_cols[0]
+        sgn = -1.0 if order_desc[0] else 1.0
+        v = oc.data.astype(jnp.float64) * sgn
+        if oc.mask is not None:  # nulls sort last: +inf in v'-space
+            v = jnp.where(oc.mask, v, jnp.inf)
+        sv = v[perm]
+
+        def side(bound, is_start):
+            bk, off = bound
+            if bk == "unbounded_preceding":
+                return start
+            if bk == "unbounded_following":
+                return pend
+            if bk == "current_row":
+                return tie_start if is_start else tie_end
+            tgt = sv - float(off) if bk == "preceding" else sv + float(off)
+            if is_start:  # first idx in partition with v' >= tgt
+                return _span_bisect(sv, tgt, start, pend + 1, left=True)
+            # last idx with v' <= tgt
+            return _span_bisect(sv, tgt, start, pend + 1, left=False) - 1
+        return side(frame.start, True), side(frame.end, False)
 
     def scatter_back(sorted_vals, sorted_mask=None) -> MaskedCol:
         out = jnp.zeros((nrows,), sorted_vals.dtype).at[perm].set(sorted_vals)
@@ -146,19 +253,69 @@ def compute_window(
         mask = in_part if sm is None else (in_part & sm[src])
         return scatter_back(vals, mask)
 
-    if kind in (WindowKind.FIRST_VALUE, WindowKind.LAST_VALUE):
+    if kind in (WindowKind.FIRST_VALUE, WindowKind.LAST_VALUE,
+                WindowKind.NTH_VALUE):
         sa = arg.data[perm]
         sm = arg.mask[perm] if arg.mask is not None else None
-        if kind == WindowKind.FIRST_VALUE:
-            idx = start
+        if frame is not None:
+            lo, hi = frame_bounds()
         else:
-            idx = jax.ops.segment_max(pos, pgid, num_segments=n_seg,
-                                      indices_are_sorted=True)[pgid]
-        vals = sa[jnp.clip(idx, 0, nrows - 1)]
-        mask = sm[jnp.clip(idx, 0, nrows - 1)] if sm is not None else None
+            lo, hi = start, pend
+        if kind == WindowKind.FIRST_VALUE:
+            idx = lo
+        elif kind == WindowKind.LAST_VALUE:
+            idx = hi
+        else:  # NTH_VALUE(x, n): n-th row of the frame, 1-based
+            idx = lo + jnp.int64(int(arg1) - 1)
+        in_frame = (idx >= lo) & (idx <= hi)
+        idx = jnp.clip(idx, 0, nrows - 1)
+        vals = sa[idx]
+        mask = in_frame if sm is None else (in_frame & sm[idx])
         return scatter_back(vals, mask)
 
-    # ---- windowed aggregates -----------------------------------------
+    # ---- windowed aggregates over an explicit frame -------------------
+    if frame is not None:
+        lo, hi = frame_bounds()
+        nonempty = hi >= lo
+        loc = jnp.clip(lo, 0, nrows - 1)
+        hic = jnp.clip(hi, 0, nrows - 1)
+        if kind == WindowKind.COUNT:
+            if arg is None or arg.mask is None:
+                ones = jnp.ones((nrows,), jnp.int64)
+            else:
+                ones = arg.mask[perm].astype(jnp.int64)
+            cpad = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                    jnp.cumsum(ones)])
+            c = cpad[hic + 1] - cpad[loc]
+            return scatter_back(jnp.where(nonempty, c, 0))
+        fa = arg.data[perm]
+        fm = arg.mask[perm] if arg.mask is not None else None
+        facc = (jnp.float64 if jnp.issubdtype(fa.dtype, jnp.floating)
+                else jnp.int64)
+        fvals = (fa.astype(facc) if fm is None
+                 else jnp.where(fm, fa, 0).astype(facc))
+        fnn1 = (jnp.ones((nrows,), jnp.int64) if fm is None
+                else fm.astype(jnp.int64))
+        npad = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                jnp.cumsum(fnn1)])
+        fnn = jnp.where(nonempty, npad[hic + 1] - npad[loc], 0)
+        if kind in (WindowKind.SUM, WindowKind.AVG):
+            spad = jnp.concatenate([jnp.zeros((1,), facc),
+                                    jnp.cumsum(fvals)])
+            s = spad[hic + 1] - spad[loc]
+            if kind == WindowKind.AVG:
+                return scatter_back(
+                    s.astype(jnp.float64) / jnp.maximum(fnn, 1), fnn > 0)
+            return scatter_back(s, fnn > 0)
+        if kind in (WindowKind.MIN, WindowKind.MAX):
+            is_min = kind == WindowKind.MIN
+            ident = _minmax_identity(fa.dtype, is_min)
+            filled = fa if fm is None else jnp.where(fm, fa, ident)
+            r = _rmq(filled, loc, hic, is_min)
+            return scatter_back(r, fnn > 0)
+        raise NotImplementedError(f"window frame for {kind.value}")
+
+    # ---- windowed aggregates (default frames) -------------------------
     cumulative = len(order_cols) > 0
     if kind == WindowKind.COUNT and arg is None:
         ones = jnp.ones((nrows,), jnp.int64)

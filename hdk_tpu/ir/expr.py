@@ -105,6 +105,7 @@ class WindowKind(enum.Enum):
     LEAD = "lead"
     FIRST_VALUE = "first_value"
     LAST_VALUE = "last_value"
+    NTH_VALUE = "nth_value"
     # windowed aggregates
     COUNT = "count"
     SUM = "sum"
@@ -441,13 +442,42 @@ class FunctionCall(Expr):
         return f"{self.name}({', '.join(a.to_str() for a in self.args)})"
 
 
+class WindowFrame:
+    """Explicit ROWS/RANGE frame (reference: WindowContext.h:67-140
+    WindowFrameBoundType).  ``start``/``end`` are (bound_kind, value)
+    with bound_kind in {"unbounded_preceding", "preceding",
+    "current_row", "following", "unbounded_following"}; value is the
+    numeric offset for preceding/following, else None."""
+
+    UNITS = ("rows", "range")
+    BOUNDS = ("unbounded_preceding", "preceding", "current_row",
+              "following", "unbounded_following")
+
+    def __init__(self, unit: str, start, end) -> None:
+        assert unit in self.UNITS, unit
+        for kind, val in (start, end):
+            assert kind in self.BOUNDS, kind
+            assert (val is None) == (kind not in ("preceding", "following"))
+        self.unit = unit
+        self.start = tuple(start)
+        self.end = tuple(end)
+
+    def __repr__(self) -> str:
+        return f"{self.unit} between {self.start} and {self.end}"
+
+    def __eq__(self, other):
+        return (isinstance(other, WindowFrame) and other.unit == self.unit
+                and other.start == self.start and other.end == self.end)
+
+
 class WindowFunction(Expr):
     """reference: IR/Expr.h WindowFunction; WindowContext semantics
     (SURVEY.md A.6)."""
 
     def __init__(self, typ: t.Type, kind: WindowKind, args: Sequence[Expr],
                  partition_keys: Sequence[Expr], order_keys: Sequence[Expr],
-                 order_desc: Sequence[bool] = (), arg1=None) -> None:
+                 order_desc: Sequence[bool] = (), arg1=None,
+                 frame: "Optional[WindowFrame]" = None) -> None:
         self.type = typ
         self.kind = kind
         self.args = tuple(args)
@@ -455,6 +485,7 @@ class WindowFunction(Expr):
         self.order_keys = tuple(order_keys)
         self.order_desc = tuple(order_desc) or tuple(False for _ in order_keys)
         self.arg1 = arg1
+        self.frame = frame
 
     def operands(self):
         return self.args + self.partition_keys + self.order_keys
@@ -464,6 +495,7 @@ class WindowFunction(Expr):
         return WindowFunction(
             self.type, self.kind, ops[:na], ops[na:na + np_],
             ops[na + np_:na + np_ + no], self.order_desc, self.arg1,
+            self.frame,
         )
 
     def to_str(self):

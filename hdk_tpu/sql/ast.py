@@ -112,12 +112,21 @@ class ScalarSub:
 
 
 @dataclass
+class IntervalLit:
+    """INTERVAL '<n>' <unit> — only valid in datetime +/- arithmetic."""
+
+    value: int
+    unit: str
+
+
+@dataclass
 class Over:
-    """fn(...) OVER (PARTITION BY ... ORDER BY ...)."""
+    """fn(...) OVER (PARTITION BY ... ORDER BY ... [ROWS|RANGE frame])."""
 
     fn: "Fn"
     partition_by: List[object]
     order_by: List["OrderItem"]
+    frame: Optional[tuple] = None  # (unit, (kind, val), (kind, val))
 
 
 @dataclass
@@ -159,6 +168,9 @@ class SelectStmt:
     joins: List[JoinClause] = field(default_factory=list)
     where: Optional[object] = None
     group_by: List[object] = field(default_factory=list)
+    # GROUPING SETS / ROLLUP / CUBE: list of grouping-key lists
+    # (group_by holds the union of keys); None = plain GROUP BY
+    group_sets: Optional[List[List[object]]] = None
     having: Optional[object] = None
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
@@ -167,10 +179,12 @@ class SelectStmt:
 
 @dataclass
 class Query:
-    """UNION ALL chain of selects (order/limit live on the members)."""
+    """Set-op chain of selects: ``set_ops[i]`` combines ``selects[i+1]``
+    (union_all | union | except | intersect; INTERSECT binds tighter)."""
 
     selects: List[SelectStmt]
-    # trailing ORDER BY / LIMIT applying to the union result
+    # trailing ORDER BY / LIMIT applying to the combined result
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: int = 0
+    set_ops: List[str] = field(default_factory=list)

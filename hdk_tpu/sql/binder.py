@@ -92,12 +92,70 @@ class Binder:
 
     def bind_query(self, q: A.Query) -> nd.Node:
         nodes = [self.bind_select(s) for s in q.selects]
-        node = nodes[0] if len(nodes) == 1 else nd.LogicalUnion(nodes)
+        ops = list(getattr(q, "set_ops", []) or
+                   ["union_all"] * (len(nodes) - 1))
+        # INTERSECT binds tighter than UNION/EXCEPT (SQL precedence)
+        while "intersect" in ops:
+            i = ops.index("intersect")
+            nodes[i] = self._bind_set_op(nodes[i], nodes[i + 1], "intersect")
+            del nodes[i + 1], ops[i]
+        node = nodes[0]
+        run: List[nd.Node] = [node]
+        for op, rhs in zip(ops, nodes[1:]):
+            if op == "union_all":
+                run.append(rhs)
+                continue
+            node = run[0] if len(run) == 1 else nd.LogicalUnion(run)
+            if op == "union":
+                u = nd.LogicalUnion([node, rhs])
+                keys = [u.ref(i) for i in range(u.size())]
+                node = nd.Aggregate(u, keys, [], list(u.fields))
+            else:  # except
+                node = self._bind_set_op(node, rhs, "except")
+            run = [node]
+        node = run[0] if len(run) == 1 else nd.LogicalUnion(run)
         if q.order_by or q.limit is not None or q.offset:
             scope = Scope([(None, list(node.fields))])
             node = self._apply_order_limit(node, scope, q.order_by, q.limit,
                                            q.offset)
         return node
+
+    def _bind_set_op(self, lhs: nd.Node, rhs: nd.Node,
+                     kind: str) -> nd.Node:
+        """EXCEPT/INTERSECT with set semantics via tagged-union grouping
+        (NULLs compare equal, as SQL set ops require — GROUP BY gives
+        that for free, where a join would need null-safe keys).
+        Reference capability: Calcite LogicalMinus/LogicalIntersect."""
+        if lhs.size() != rhs.size():
+            raise SqlError(
+                f"{kind.upper()} operands must have the same column count "
+                f"({lhs.size()} vs {rhs.size()})")
+        fields = list(lhs.fields)
+        tag_t = t.int64(False)
+
+        def tag(node, v):
+            exprs = [node.ref(i) for i in range(node.size())]
+            exprs.append(ir.Constant(tag_t, v))
+            return nd.Project(node, exprs, fields + ["__tag"])
+
+        u = nd.LogicalUnion([tag(lhs, 0), tag(rhs, 1)])
+        n = len(fields)
+        keys = [u.ref(i) for i in range(n)]
+        aggs = [ir.AggExpr(t.int64(False), ir.AggKind.SUM, u.ref(n)),
+                ir.AggExpr(t.int64(False), ir.AggKind.COUNT, None)]
+        agg = nd.Aggregate(u, keys, aggs, fields + ["__s", "__c"])
+        s = agg.ref(n)
+        c = agg.ref(n + 1)
+        if kind == "except":
+            cond = ir.BinOp(t.boolean(False), ir.BinOpKind.EQ, s,
+                            ir.Constant(tag_t, 0))
+        else:  # intersect: rows from both sides present
+            cond = ir.BinOp(t.boolean(False), ir.BinOpKind.LT, s, c)
+            cond = ir.BinOp(t.boolean(False), ir.BinOpKind.AND, cond,
+                            ir.BinOp(t.boolean(False), ir.BinOpKind.GE, s,
+                                     ir.Constant(tag_t, 1)))
+        filt = nd.Filter(agg, cond)
+        return nd.Project(filt, [filt.ref(i) for i in range(n)], fields)
 
     # ------------------------------------------------------------------
     def bind_select(self, stmt: A.SelectStmt) -> nd.Node:
@@ -130,7 +188,12 @@ class Binder:
                     or any(self._contains_agg(o.expr) for o in stmt.order_by))
 
         if has_aggs:
-            node, scope, out_names = self._bind_aggregate(stmt, node, scope)
+            if getattr(stmt, "group_sets", None) and len(stmt.group_sets) > 1:
+                node, scope, out_names = self._bind_grouping_sets(
+                    stmt, node, scope)
+            else:
+                node, scope, out_names = self._bind_aggregate(
+                    stmt, node, scope)
         else:
             node, scope, out_names = self._bind_projection(stmt, node, scope)
 
@@ -634,7 +697,34 @@ class Binder:
         return proj, Scope([(None, names)]), names
 
     # ------------------------------------------------------------------
-    def _bind_aggregate(self, stmt, node, scope):
+    def _bind_grouping_sets(self, stmt, node, scope):
+        """GROUP BY ROLLUP/CUBE/GROUPING SETS: one aggregation branch per
+        grouping set, absent keys projected as typed NULLs, UNION ALL of
+        the branches (the Calcite LogicalAggregate expansion; reference
+        capability: Calcite grouping-sets rewrite)."""
+        import copy
+
+        branches = []
+        out_names: List[str] = []
+        for gs in stmt.group_sets:
+            sub = copy.copy(stmt)
+            sub.group_by = list(gs)
+            sub.group_sets = None
+            gs_sigs = {expr_sig(self.bind_expr(k, node, scope), {})
+                       for k in gs}
+            null_sigs = {}
+            for k in stmt.group_by:
+                b = self.bind_expr(k, node, scope)
+                sig = expr_sig(b, {})
+                if sig not in gs_sigs:
+                    null_sigs[sig] = b.type
+            n2, _s2, out_names = self._bind_aggregate(
+                sub, node, scope, null_sigs=null_sigs)
+            branches.append(n2)
+        u = nd.LogicalUnion(branches)
+        return u, Scope([(None, out_names)]), out_names
+
+    def _bind_aggregate(self, stmt, node, scope, null_sigs=None):
         items = self._expand_items(stmt, node, scope)
         item_names = [n for _, n in items]
 
@@ -696,10 +786,14 @@ class Binder:
             if isinstance(e, A.Fn) and e.name in _AGG_FNS:
                 idx = bind_agg_fn(e)
                 return agg_node.ref(n_keys + idx)
-            # whole expr matches a group key?
+            # whole expr matches a group key (or a key NULLed out by the
+            # current grouping set)?
             try:
                 bound = self.bind_expr(e, node, scope)
                 sig = expr_sig(bound, {})
+                if null_sigs and sig in null_sigs:
+                    return ir.Constant(null_sigs[sig].with_nullable(True),
+                                       None)
                 if sig in key_sigs:
                     return agg_node.ref(key_sigs[sig])
             except SqlError:
@@ -710,7 +804,7 @@ class Binder:
                                   col_resolver=lambda name, table:
                                   self._agg_col_resolver(name, table, node,
                                                          scope, key_sigs,
-                                                         agg_node),
+                                                         agg_node, null_sigs),
                                   agg_rewriter=lambda fe: agg_node.ref(
                                       n_keys + bind_agg_fn(fe)))
 
@@ -729,10 +823,13 @@ class Binder:
         proj = nd.Project(agg_for_proj, out_exprs, out_names)
         return proj, Scope([(None, out_names)]), out_names
 
-    def _agg_col_resolver(self, name, table, node, scope, key_sigs, agg_node):
+    def _agg_col_resolver(self, name, table, node, scope, key_sigs,
+                          agg_node, null_sigs=None):
         pos = scope.resolve(name, table)
         bound = node.ref(pos)
         sig = expr_sig(bound, {})
+        if null_sigs and sig in null_sigs:
+            return ir.Constant(null_sigs[sig].with_nullable(True), None)
         if sig in key_sigs:
             return agg_node.ref(key_sigs[sig])
         raise SqlError(f"column {name!r} must appear in GROUP BY or inside "
@@ -809,6 +906,9 @@ class Binder:
                 l, r = b(e.lhs), b(e.rhs)
                 return ir.BinOp(t.boolean(l.type.nullable or r.type.nullable),
                                 kind, self._as_bool(l), self._as_bool(r))
+            if e.op in ("+", "-") and (isinstance(e.lhs, A.IntervalLit)
+                                       or isinstance(e.rhs, A.IntervalLit)):
+                return self._bind_interval_arith(e, b)
             qe = QueryExpr(b(e.lhs))._bin(ir.BinOpKind(e.op),
                                           QueryExpr(b(e.rhs)))
             return qe.expr
@@ -881,12 +981,47 @@ class Binder:
         "lead": ir.WindowKind.LEAD,
         "first_value": ir.WindowKind.FIRST_VALUE,
         "last_value": ir.WindowKind.LAST_VALUE,
+        "nth_value": ir.WindowKind.NTH_VALUE,
         "count": ir.WindowKind.COUNT,
         "sum": ir.WindowKind.SUM,
         "avg": ir.WindowKind.AVG,
         "min": ir.WindowKind.MIN,
         "max": ir.WindowKind.MAX,
     }
+
+    _INTERVAL_FIELDS = {
+        "year": ir.DateTimeField.YEAR, "quarter": ir.DateTimeField.QUARTER,
+        "month": ir.DateTimeField.MONTH, "week": ir.DateTimeField.WEEK,
+        "day": ir.DateTimeField.DAY, "hour": ir.DateTimeField.HOUR,
+        "minute": ir.DateTimeField.MINUTE,
+        "second": ir.DateTimeField.SECOND,
+    }
+
+    def _bind_interval_arith(self, e: A.Bin, b) -> ir.Expr:
+        """datetime +/- INTERVAL -> DateAddExpr (reference: Calcite
+        lowers interval arithmetic to DATETIME_PLUS/kDATE_ADD; DateAdd.cpp
+        calendar semantics for month/year fields)."""
+        if isinstance(e.lhs, A.IntervalLit) and isinstance(
+                e.rhs, A.IntervalLit):
+            raise SqlError("interval +/- interval is not supported")
+        if isinstance(e.lhs, A.IntervalLit):
+            if e.op == "-":
+                raise SqlError("INTERVAL - datetime is not valid SQL")
+            iv, other = e.lhs, e.rhs
+        else:
+            iv, other = e.rhs, e.lhs
+        dt = b(other)
+        if not dt.type.is_datetime():
+            raise SqlError(
+                "INTERVAL arithmetic requires a DATE/TIME/TIMESTAMP operand")
+        n = iv.value if e.op == "+" else -iv.value
+        field = self._INTERVAL_FIELDS[iv.unit]
+        out_t = dt.type
+        if isinstance(out_t, t.DateType) and iv.unit in (
+                "hour", "minute", "second"):
+            out_t = t.timestamp(t.TimeUnit.SECOND, out_t.nullable)
+        return ir.DateAddExpr(out_t, field,
+                              ir.Constant(t.int64(False), n), dt)
 
     def _bind_over(self, e: A.Over, b) -> ir.Expr:
         kind = self._WINDOW_KINDS.get(e.fn.name)
@@ -903,6 +1038,15 @@ class Binder:
             lit = raw_args.pop(1)
             if not (isinstance(lit, A.Lit) and isinstance(lit.value, int)):
                 raise SqlError("LAG/LEAD offset must be an integer literal")
+            arg1 = lit.value
+        if kind == ir.WindowKind.NTH_VALUE:
+            if len(raw_args) != 2:
+                raise SqlError("NTH_VALUE takes (expr, n)")
+            lit = raw_args.pop(1)
+            if not (isinstance(lit, A.Lit) and isinstance(lit.value, int)
+                    and lit.value >= 1):
+                raise SqlError("NTH_VALUE n must be a positive integer "
+                               "literal")
             arg1 = lit.value
         args = [b(a) for a in raw_args]
         parts = [b(p) for p in e.partition_by]
@@ -922,7 +1066,36 @@ class Binder:
                      else at.with_nullable(True))
         else:
             out_t = at.with_nullable(True)
-        return ir.WindowFunction(out_t, kind, args, parts, orders, descs, arg1)
+        frame = None
+        if e.frame is not None:
+            _FRAMELESS = (ir.WindowKind.ROW_NUMBER, ir.WindowKind.RANK,
+                          ir.WindowKind.DENSE_RANK, ir.WindowKind.NTILE,
+                          ir.WindowKind.PERCENT_RANK, ir.WindowKind.CUME_DIST,
+                          ir.WindowKind.LAG, ir.WindowKind.LEAD)
+            if kind in _FRAMELESS:
+                raise SqlError(
+                    f"{e.fn.name.upper()} does not accept a frame clause")
+            unit, lo, hi = e.frame
+            if unit == "range" and any(
+                    k in ("preceding", "following") for k, _ in (lo, hi)):
+                if len(orders) != 1:
+                    raise SqlError("RANGE frame with offsets requires "
+                                   "exactly one ORDER BY key")
+                if not (orders[0].type.is_integer() or orders[0].type.is_fp()
+                        or orders[0].type.is_datetime()):
+                    raise SqlError("RANGE frame offsets need a numeric or "
+                                   "datetime ORDER BY key")
+            if unit == "rows" and not orders and kind not in (
+                    ir.WindowKind.FIRST_VALUE, ir.WindowKind.LAST_VALUE,
+                    ir.WindowKind.NTH_VALUE):
+                pass  # ROWS without ORDER BY: order is arbitrary but legal
+            frame = ir.WindowFrame(unit, lo, hi)
+            # frames over a nullable result: value may be absent
+            out_t = out_t.with_nullable(True)
+            if kind == ir.WindowKind.COUNT:
+                out_t = t.int64(False)
+        return ir.WindowFunction(out_t, kind, args, parts, orders, descs,
+                                 arg1, frame)
 
     def _bind_case(self, e: A.Case, b) -> ir.Expr:
         branches = []

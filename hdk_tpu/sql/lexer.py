@@ -19,7 +19,8 @@ KEYWORDS = {
     "ilike", "regexp", "between", "case", "when", "then", "else", "end",
     "cast", "extract", "join", "inner", "left", "right", "full", "outer",
     "cross",
-    "semi", "anti", "on", "union", "all", "asc", "desc", "nulls", "first",
+    "semi", "anti", "on", "union", "all", "except", "intersect",
+    "asc", "desc", "nulls", "first",
     "last", "true", "false", "exists", "date", "time", "timestamp",
     "interval", "count", "with",
 }

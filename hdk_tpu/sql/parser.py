@@ -88,11 +88,23 @@ class Parser:
 
     def parse_query(self) -> A.Query:
         selects = [self.parse_select()]
-        while self.cur.is_kw("union"):
-            self.advance()
-            self.expect_kw("all")
+        set_ops: List[str] = []
+        while True:
+            if self.cur.is_kw("union"):
+                self.advance()
+                set_ops.append("union_all" if self.accept_kw("all")
+                               else "union")
+            elif self.cur.is_kw("except", "intersect"):
+                op = self.advance().value.lower()
+                if self.accept_kw("all"):
+                    raise SqlError(f"{op.upper()} ALL is not supported "
+                                   "(set semantics only)", self.sql,
+                                   self.cur.pos)
+                set_ops.append(op)
+            else:
+                break
             selects.append(self.parse_select())
-        q = A.Query(selects)
+        q = A.Query(selects, set_ops=set_ops)
         # trailing ORDER BY/LIMIT after a union applies to the whole union
         if len(selects) > 1:
             last = selects[-1]
@@ -122,10 +134,54 @@ class Parser:
             stmt.where = self.parse_expr()
         if self.accept_kw("group"):
             self.expect_kw("by")
-            while True:
-                stmt.group_by.append(self.parse_expr())
-                if not self.accept_op(","):
-                    break
+            low = (self.cur.value.lower()
+                   if self.cur.kind == "ident" else None)
+            if low in ("rollup", "cube"):
+                self.advance()
+                self.expect_op("(")
+                keys = [self.parse_expr()]
+                while self.accept_op(","):
+                    keys.append(self.parse_expr())
+                self.expect_op(")")
+                stmt.group_by = list(keys)
+                if low == "rollup":
+                    # (a,b,c) -> [(a,b,c), (a,b), (a), ()]
+                    stmt.group_sets = [keys[:i]
+                                       for i in range(len(keys), -1, -1)]
+                else:  # cube: every subset
+                    stmt.group_sets = [
+                        [k for j, k in enumerate(keys) if (m >> j) & 1]
+                        for m in range((1 << len(keys)) - 1, -1, -1)]
+            elif low == "grouping" and \
+                    self.toks[self.i + 1].value.lower() == "sets":
+                self.advance()
+                self.advance()
+                self.expect_op("(")
+                sets = []
+                while True:
+                    self.expect_op("(")
+                    gs = []
+                    if not self.accept_op(")"):
+                        gs.append(self.parse_expr())
+                        while self.accept_op(","):
+                            gs.append(self.parse_expr())
+                        self.expect_op(")")
+                    sets.append(gs)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                seen = []
+                for gs in sets:  # keys union, first-seen order
+                    for k in gs:
+                        if repr(k) not in [repr(s) for s in seen]:
+                            seen.append(k)
+                stmt.group_by = seen
+                stmt.group_sets = sets
+            else:
+                while True:
+                    stmt.group_by.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
         if self.accept_kw("having"):
             stmt.having = self.parse_expr()
         if self.accept_kw("order"):
@@ -358,8 +414,24 @@ class Parser:
             lit = self.advance()
             return A.Lit(lit.value, kind=tok.value)
         if tok.is_kw("interval"):
-            raise SqlError("INTERVAL literals: use DATE_ADD instead",
-                           self.sql, tok.pos)
+            self.advance()
+            vt = self.advance()
+            if vt.kind in ("string", "number"):
+                try:
+                    val = int(str(vt.value))
+                except ValueError:
+                    raise SqlError("INTERVAL value must be an integer",
+                                   self.sql, vt.pos)
+            else:
+                raise SqlError("expected INTERVAL '<n>' <unit>",
+                               self.sql, vt.pos)
+            ut = self.advance()
+            unit = str(ut.value).lower().rstrip("s")  # DAYS -> day
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second"):
+                raise SqlError(f"unknown INTERVAL unit {ut.value!r}",
+                               self.sql, ut.pos)
+            return A.IntervalLit(val, unit)
         if tok.is_kw("exists"):
             self.advance()
             self.expect_op("(")
@@ -448,8 +520,50 @@ class Parser:
                 order.append(item)
                 if not self.accept_op(","):
                     break
+        frame = None
+        unit = None
+        if self.cur.kind == "ident" and self.cur.value.lower() in ("rows",
+                                                                   "range"):
+            unit = self.advance().value.lower()
+        if unit is not None:
+            def bound():
+                if self.cur.kind == "ident" and \
+                        self.cur.value.lower() == "unbounded":
+                    self.advance()
+                    word = self.advance().value.lower()
+                    if word not in ("preceding", "following"):
+                        raise SqlError("expected PRECEDING/FOLLOWING",
+                                       self.sql, self.cur.pos)
+                    return (f"unbounded_{word}", None)
+                if self.cur.is_kw("current") or (
+                        self.cur.kind == "ident"
+                        and self.cur.value.lower() == "current"):
+                    self.advance()
+                    row = self.advance().value.lower()
+                    if row != "row":
+                        raise SqlError("expected CURRENT ROW",
+                                       self.sql, self.cur.pos)
+                    return ("current_row", None)
+                v = self.parse_expr()
+                if not isinstance(v, A.Lit):
+                    raise SqlError("frame offset must be a literal",
+                                   self.sql, self.cur.pos)
+                word = self.advance().value.lower()
+                if word not in ("preceding", "following"):
+                    raise SqlError("expected PRECEDING/FOLLOWING",
+                                   self.sql, self.cur.pos)
+                return (word, v.value)
+
+            if self.accept_kw("between"):
+                lo = bound()
+                self.expect_kw("and")
+                hi = bound()
+            else:
+                lo = bound()
+                hi = ("current_row", None)
+            frame = (unit, lo, hi)
         self.expect_op(")")
-        return A.Over(fn, partition, order)
+        return A.Over(fn, partition, order, frame)
 
     def parse_case(self):
         self.expect_kw("case")

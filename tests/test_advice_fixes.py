@@ -162,7 +162,7 @@ def test_identity_cache_rejects_reused_ids():
     # simulate CPython id reuse: a dies, a new buffer lands on its id
     b = jnp.arange(8)
     ent = cache._d.pop(("sig", (id(a),)))
-    cache._d[("sig", (id(b),))] = (ent[0], ent[1])  # stale weakref to a
+    cache._d[("sig", (id(b),))] = ent  # stale weakref to a
     del a
     gc.collect()
     assert cache.get("sig", [b]) is None, "stale entry must miss"

