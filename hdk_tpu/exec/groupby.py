@@ -129,19 +129,49 @@ def _minmax_identity(dtype, is_min: bool):
     return jnp.asarray(info.max if is_min else info.min, dtype)
 
 
+
+# below this many segments a scatter-based segment reduction serializes
+# on one accumulator cell (measured: SUM into 1 segment over 1e8 rows =
+# 9.7 s vs 0.03 s as a direct vector reduction) — use masked full-column
+# reductions instead, one vector pass per segment
+_FEW_SEGMENTS = 4
+
+
 def _seg_sum(vals, gid, n, sorted_):
+    if n <= _FEW_SEGMENTS:
+        zero = jnp.zeros((), vals.dtype)
+        return jnp.stack([
+            jnp.sum(jnp.where(_bcast(gid == g, vals), vals, zero), axis=0)
+            for g in range(n)])
     return jax.ops.segment_sum(vals, gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
 
 def _seg_min(vals, gid, n, sorted_):
+    if n <= _FEW_SEGMENTS:
+        ident = _minmax_identity(vals.dtype, True)
+        return jnp.stack([
+            jnp.min(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
+            for g in range(n)])
     return jax.ops.segment_min(vals, gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
 
 def _seg_max(vals, gid, n, sorted_):
+    if n <= _FEW_SEGMENTS:
+        ident = _minmax_identity(vals.dtype, False)
+        return jnp.stack([
+            jnp.max(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
+            for g in range(n)])
     return jax.ops.segment_max(vals, gid, num_segments=n,
                                indices_are_sorted=sorted_)
+
+
+def _bcast(mask, vals):
+    """Broadcast a row mask against possibly multi-dim values."""
+    if vals.ndim > mask.ndim:
+        return mask.reshape(mask.shape + (1,) * (vals.ndim - mask.ndim))
+    return mask
 
 
 @dataclass
@@ -702,23 +732,25 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
                else _span_sums(valid.astype(jnp.int64), starts, ends))
 
     if spec.distinct and k in (AggKind.SUM, AggKind.AVG):
-        # dedupe within the already-sorted group spans: stable value-then-
-        # group re-sort keeps spans identical (as in COUNT_DISTINCT)
+        # dedupe within the already-sorted group spans: one payload-
+        # carrying (gid, value) sort keeps spans identical and moves the
+        # accumulator along (no gathers; ops/sortops.py)
+        from ..ops import sortops as so
+
         vals64 = _orderable_int64(v.data)
         vkey = (vals64 if valid is None
                 else jnp.where(valid, vals64, jnp.iinfo(jnp.int64).max))
-        p2 = jnp.argsort(vkey, stable=True)
-        p2 = p2[jnp.argsort(gid_sorted[p2], stable=True)]
-        sv = vkey[p2]
-        gb2 = gid_sorted[p2]
+        pay = [v.fill(0).astype(_acc_dtype(v))]
+        if valid is not None:
+            pay.append(valid)
+        (gb2, sv), spay = so.sort_with_payload([gid_sorted, vkey], pay)
         first = jnp.concatenate([
             jnp.ones((1,), jnp.bool_),
             (sv[1:] != sv[:-1]) | (gb2[1:] != gb2[:-1]),
         ])
         if valid is not None:
-            first = first & valid[p2]
-        acc = v.fill(0).astype(_acc_dtype(v))[p2]
-        s = _span_sums(jnp.where(first, acc, 0), starts, ends)
+            first = first & spay[1]
+        s = _span_sums(jnp.where(first, spay[0], 0), starts, ends)
         cnt = _span_sums(first.astype(jnp.int64), starts, ends)
         if k == AggKind.SUM:
             return AggResult([s, cnt])
@@ -755,22 +787,21 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
         return AggResult([means, weights])
 
     if k == AggKind.COUNT_DISTINCT:
-        # stable re-sort by value then by gid keeps group spans identical
+        # one (gid, value) payload sort keeps group spans identical and
+        # marks distinct-run starts (ops/sortops.py, gather-free)
+        from ..ops import sortops as so
+
         vals64 = _orderable_int64(v.data)
         vkey = (vals64 if valid is None
                 else jnp.where(valid, vals64, jnp.iinfo(jnp.int64).max))
-        p2 = jnp.argsort(vkey, stable=True)
-        p2 = p2[jnp.argsort(gid_sorted[p2], stable=True)]
-        sv = vkey[p2]
-        svalid = valid[p2] if valid is not None else None
+        pay = [valid] if valid is not None else []
+        (gb2, sv), spay = so.sort_with_payload([gid_sorted, vkey], pay)
         first = jnp.concatenate([
-            jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
-        # a new group always starts a fresh run
-        gb2 = gid_sorted[p2]
-        first = first | jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), gb2[1:] != gb2[:-1]])
-        if svalid is not None:
-            first = first & svalid  # nulls don't count as a distinct value
+            jnp.ones((1,), jnp.bool_),
+            (sv[1:] != sv[:-1]) | (gb2[1:] != gb2[:-1]),
+        ])
+        if valid is not None:
+            first = first & spay[0]  # nulls don't count as distinct
         return AggResult([_span_sums(first.astype(jnp.int64), starts, ends)])
 
     if k == AggKind.CORR:
@@ -874,61 +905,81 @@ def groupby_sort(
     buffers sized ``entry_cap``; the first ``n_groups`` entries are real
     groups in composite/lexicographic key order.
     """
+    from ..ops import sortops as so
+
     nrows = keys[0].data.shape[0]
     composite = try_pack_keys(keys, key_ranges)
 
+    # ---- ONE variadic payload-carrying sort (ops/sortops.py): the
+    # operand columns ride the radix passes instead of being gathered
+    # through HBM afterwards (6.5x at 1e8 rows) ----------------------
     if composite is not None:
         sort_key = composite
         if row_valid is not None:
             sort_key = jnp.where(row_valid, sort_key,
                                  jnp.iinfo(jnp.int64).max)
-        perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
-        sc = sort_key[perm]
-        boundary = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), sc[1:] != sc[:-1]])
+        skeys = [sort_key]
     else:
-        perm = jnp.arange(nrows, dtype=jnp.int32)
-        sort_keys = []
+        skeys = []
+        if row_valid is not None:  # bool key: valid rows sort first
+            skeys.append(~row_valid)
         for key in keys:
             kv = _orderable_int64(key.data)
             if key.mask is not None:  # nulls group at the high end
                 kv = jnp.where(key.mask, kv, jnp.iinfo(jnp.int64).max)
-            sort_keys.append(kv)
-        for kv in reversed(sort_keys):
-            perm = perm[jnp.argsort(kv[perm], stable=True)]
-        if row_valid is not None:
-            invalid_key = (~row_valid).astype(jnp.int32)
-            perm = perm[jnp.argsort(invalid_key[perm], stable=True)]
-        boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
-        for kv in sort_keys:
-            skv = kv[perm]
-            boundary = boundary | jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), skv[1:] != skv[:-1]])
-        if row_valid is not None:
-            sv = row_valid[perm].astype(jnp.int32)
-            boundary = boundary | jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
+            skeys.append(kv)
+    pay = so.PayloadSet()
+    pay.add(jax.lax.iota(jnp.int32, nrows))  # perm, for rep extraction
+    rv_slot = (pay.add(row_valid)
+               if composite is not None and row_valid is not None else None)
+    spec_slots = []
+    for spec in specs:
+        slots = []
+        for col in (spec.operand, spec.operand2):
+            if col is None:
+                slots.append(None)
+            else:
+                slots.append((pay.add(col.data), pay.add(col.mask)))
+        spec_slots.append(slots)
+    sorted_keys, sorted_pay = so.sort_with_payload(skeys, pay.arrays)
+    perm = sorted_pay[0]
 
-    gid_sorted = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    if row_valid is None:
-        n_groups = gid_sorted[-1] + 1 if nrows > 0 else jnp.asarray(0, jnp.int32)
+    if composite is not None:
+        boundary = so.changed(sorted_keys[0])
+        valid_sorted = sorted_pay[rv_slot] if rv_slot is not None else None
+    else:
+        boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
+        for sk in sorted_keys:
+            boundary = boundary | so.changed(sk)
+        valid_sorted = (~sorted_keys[0]) if row_valid is not None else None
+
+    gid_u = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    total_b = gid_u[-1] + 1 if nrows > 0 else jnp.asarray(0, jnp.int32)
+    if valid_sorted is None:
+        n_groups = total_b
     else:
         # valid groups form a prefix (validity dominates the sort order)
-        n_groups = jnp.max(jnp.where(row_valid[perm], gid_sorted + 1, 0))
-    gid_sorted = jnp.minimum(gid_sorted, entry_cap - 1)  # overflow guard
+        n_groups = jnp.max(jnp.where(valid_sorted, gid_u + 1, 0))
+    gid_sorted = jnp.minimum(gid_u, entry_cap - 1)  # overflow guard
+    if valid_sorted is not None:
+        # dead rows -> trash segment past the cap (never pollute a group)
+        gid_sorted = jnp.where(valid_sorted, gid_sorted, entry_cap)
 
-    # group row-spans without scatter: gid_sorted ascends, so spans come
-    # from ONE binary search over cap+1 query points (end of group g ==
-    # start of group g+1)
-    grp = jnp.arange(entry_cap + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(gid_sorted, grp, side="left",
-                              method="sort").astype(jnp.int64)
-    starts = bounds[:-1]
-    ends = bounds[1:]
+    # group row-spans: boundary positions via stable bool argsort (11x
+    # over searchsorted at 1e8); end of group g == start of group g+1
+    starts, ends = so.boundary_spans(boundary, total_b, entry_cap)
+
+    def slot_col(slots) -> Optional[MaskedCol]:
+        if slots is None:
+            return None
+        di, mi = slots
+        return MaskedCol(sorted_pay[di],
+                         sorted_pay[mi] if mi is not None else None)
 
     agg_cols = []
-    for spec in specs:
-        sspec = _permute_spec(spec, perm)
+    for spec, slots in zip(specs, spec_slots):
+        sspec = dataclasses.replace(spec, operand=slot_col(slots[0]),
+                                    operand2=slot_col(slots[1]))
         res = _agg_sorted(sspec, gid_sorted, starts, ends, entry_cap)
         agg_cols.append(res.finalize(sspec, None))
 
