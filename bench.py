@@ -98,30 +98,18 @@ def engine_suite(data):
     return {"q1": q1, "q2": q2, "q3": q3, "q4": q4}
 
 
-def _settle(result):
-    """Block until the result's device computation finished (jax dispatch
-    is async; without this the timer measures only enqueue latency)."""
-    if hasattr(result, "block"):
-        result.block()
-    return result
-
-
-def time_fn(fn, warmup: int = 1, iters: int = 3) -> float:
-    for _ in range(warmup):
-        _settle(fn())
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _settle(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def measure(suite, rows: int):
+    """Per-query latency + pipelined throughput (utils/benchtime.py:
+    on the tunneled dev TPU only a host readback proves completion;
+    throughput amortizes the tunnel round-trip, latency includes it)."""
+    from hdk_tpu.utils.benchtime import measure as timed
+
     out = {}
     for name, fn in suite.items():
-        secs = time_fn(fn)
-        out[name] = {"seconds": secs, "rows_per_sec": rows / secs}
+        m = timed(fn)
+        out[name] = {"seconds": m["throughput_s"],
+                     "latency_seconds": m["latency_s"],
+                     "rows_per_sec": rows / m["throughput_s"]}
     return out
 
 
@@ -154,12 +142,14 @@ def main():
     value = geomean([q["rows_per_sec"] for q in ours.values()])
     vs = value / baseline["geomean_rows_per_sec"]
     detail = {name: round(q["rows_per_sec"] / 1e6, 2) for name, q in ours.items()}
+    lat = {name: round(q["latency_seconds"] * 1e3, 1) for name, q in ours.items()}
     print(json.dumps({
         "metric": "taxi_q1q4_geomean_rows_per_sec",
         "value": round(value, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs, 3),
         "detail_Mrows_per_sec": detail,
+        "detail_latency_ms": lat,
         "baseline_oracle": baseline.get("oracle", "pandas"),
         "rows": rows,
     }))

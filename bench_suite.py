@@ -23,18 +23,13 @@ import numpy as np
 
 
 def bench_query(fn, iters=3, warmup=1):
-    for _ in range(warmup):
-        r = fn()
-        if hasattr(r, "block"):
-            r.block()
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        r = fn()
-        if hasattr(r, "block"):
-            r.block()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    """Pipelined throughput timing (hdk_tpu.utils.benchtime: a host
+    readback is the only trustworthy completion signal on the tunneled
+    dev TPU; the batched final sync amortizes its round-trip)."""
+    from hdk_tpu.utils.benchtime import measure as timed
+
+    m = timed(fn, warmup=max(warmup, 1), iters=max(iters, 3))
+    return float(m["throughput_s"])
 
 
 def bench_join(hdk, scale: float):

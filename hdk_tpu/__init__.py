@@ -90,13 +90,23 @@ class QueryResult:
 
     def block(self) -> "QueryResult":
         """Wait for all device computation behind this result (jax
-        dispatch is async; benchmarks must block before stopping timers)."""
+        dispatch is async; benchmarks must block before stopping timers).
+
+        ``block_until_ready`` alone is not trusted: on remote-tunneled
+        platforms it can return before queued work executes (observed on
+        the dev TPU tunnel).  A one-element host readback of each buffer
+        forces true completion of every producing program."""
+        import jax as _jax
+
+        tips = []
         for c in self._table.columns:
             c.data.block_until_ready()
+            tips.append(c.data[-1:] if c.data.shape[0] else c.data)
             if c.mask is not None:
-                c.mask.block_until_ready()
+                tips.append(c.mask[-1:] if c.mask.shape[0] else c.mask)
         if self._table.row_mask is not None:
-            self._table.row_mask.block_until_ready()
+            tips.append(self._table.row_mask[-1:])
+        _jax.device_get(tips)
         return self
 
     @property
@@ -157,9 +167,39 @@ class HDK:
 
         device_cache_manager().set_budget(
             self._config.storage.device_cache_budget_bytes)
-        self._executor = Executor(self._schema, self._dicts, self._config)
+        from .udf import UdfRegistry
+
+        self._udfs = UdfRegistry()
+        self._executor = Executor(self._schema, self._dicts, self._config,
+                                  udfs=self._udfs)
         self._tmp_counter = 0
         self._lock = threading.Lock()
+
+    # -- UDFs ---------------------------------------------------------------
+    def register_udf(self, name: str, fn, arg_types, ret_type,
+                     null_propagation: bool = True):
+        """Register a jax-traceable scalar UDF callable from SQL and the
+        builder (reference: UdfCompiler.h:30; here the function traces
+        into the fused XLA program — see udf.py)."""
+        return self._udfs.register(name, fn, arg_types, ret_type,
+                                   null_propagation=null_propagation)
+
+    def call(self, name: str, *args) -> "QueryExpr":
+        """Builder-side call of a registered UDF or scalar builtin."""
+        from .builder import QueryExpr
+        from .ir.expr import FunctionCall
+
+        exprs = [a.expr if isinstance(a, QueryExpr) else a for a in args]
+        udf = self._udfs.get(name)
+        if udf is not None:
+            nullable = any(e.type.nullable for e in exprs)
+            out_t = udf.ret_type.with_nullable(
+                udf.ret_type.nullable or (udf.null_propagation and nullable))
+            return QueryExpr(FunctionCall(out_t, name.lower(), exprs))
+        from . import types as _t
+
+        nullable = any(e.type.nullable for e in exprs)
+        return QueryExpr(FunctionCall(_t.fp64(nullable), name.lower(), exprs))
 
     @property
     def config(self) -> Config:

@@ -65,6 +65,11 @@ class ExecConfig:
     enable_fragment_skipping: bool = True
     allow_retry: bool = True  # overflow / out-of-slots retry ladder
     interpret_pallas: bool = False  # run pallas kernels interpreted
+    # opt-in: route mid-size COUNT group-bys through the Pallas one-hot
+    # kernel (ops/pallas_groupby.py).  Default off: the factored one-hot
+    # MXU contraction (ops/onehot.py) measured 3x faster (9 ms vs 30 ms
+    # at E=2816, 1e7 rows) — the kernel stays for A/B comparison
+    prefer_pallas_groupby: bool = False
     streaming_topn_max: int = 100000
     # (parallel_top_min dissolved: CPU-thread top-k tiling has no TPU
     # analog — lax.top_k is a single fused device op)
@@ -112,6 +117,7 @@ class DistConfig:
 
     enable: bool = False  # shard scans over all local devices
     mesh_axis: str = "frag"
+    num_devices: int = 0  # 0 = all visible devices (scaling benches cap it)
     # (shuffle_partitions_per_device dissolved: all_to_all exchanges one
     # buffer per (src, dst) pair; multi-partition-per-device is a GPU
     # cache-tiling concern with no ICI analog)
@@ -124,6 +130,15 @@ class DistConfig:
     # (reference analog: per-device hash-table replicas,
     # PerfectJoinHashTable.cpp:370-400); larger builds shuffle-partition
     broadcast_join_threshold: int = 1 << 22
+    # multi-host (pod-slice / DCN) job membership: when enabled, the
+    # session joins via jax.distributed.initialize before building the
+    # mesh (parallel/mesh.init_distributed).  On TPU pod slices all
+    # three values auto-detect — leave the defaults; on CPU/GPU
+    # clusters set them (or the JAX_* env equivalents)
+    multi_host: bool = False
+    coordinator_address: str = ""  # "" = auto-detect
+    num_processes: int = 0         # 0 = auto-detect
+    process_id: int = -1           # -1 = auto-detect
 
 
 @dataclass

@@ -265,11 +265,12 @@ _TWO_PHASE_KINDS = frozenset({
 class Executor:
     """Per-session engine (reference: Executor singleton, Execute.h:229)."""
 
-    def __init__(self, schema, dicts, config: Config) -> None:
+    def __init__(self, schema, dicts, config: Config, udfs=None) -> None:
         self.schema = schema
         self.dicts = dicts
         self.config = config
-        self.scalar = ScalarCompiler(dicts)
+        self.udfs = udfs
+        self.scalar = ScalarCompiler(dicts, udfs=udfs)
         self.code_cache = CodeCache()
         # probed perfect-hash layouts keyed by (plan, input buffers) —
         # avoids re-syncing min/max for repeated queries over the same
@@ -290,12 +291,20 @@ class Executor:
         # reference's per-device kernels + host reduce, SURVEY.md P1-P8)
         self._mesh = None
         if config.dist.enable:
-            devs = jax.devices()
-            if len(devs) > 1:
-                from jax.sharding import Mesh
+            from ..parallel import mesh as pmesh
 
-                self._mesh = Mesh(np.asarray(devs),
-                                  (config.dist.mesh_axis,))
+            if config.dist.multi_host:
+                # pod-slice / DCN: join the multi-controller job first so
+                # jax.devices() spans every host (parallel/mesh.py)
+                pmesh.init_distributed(
+                    coordinator_address=config.dist.coordinator_address
+                    or None,
+                    num_processes=config.dist.num_processes or None,
+                    process_id=(config.dist.process_id
+                                if config.dist.process_id >= 0 else None))
+            ndev = config.dist.num_devices or None
+            if len(jax.devices()) > 1 and (ndev is None or ndev > 1):
+                self._mesh = pmesh.make_mesh(ndev, axis=config.dist.mesh_axis)
 
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
@@ -475,9 +484,14 @@ class Executor:
                 for l, r in n.key_pairs:
                     scan_expr(l)
                     scan_expr(r)
+        # UDF registry generation: re-registering a name must invalidate
+        # compiled steps that traced the old function body (udf.py)
+        udf_sig = (f"/u{self.udfs.generation}"
+                   if self.udfs is not None and self.udfs else "")
         if not ids:
-            return ""
-        return ";".join(f"d{i}:{len(self.dicts.get(i))}" for i in sorted(ids))
+            return udf_sig
+        return ";".join(f"d{i}:{len(self.dicts.get(i))}"
+                        for i in sorted(ids)) + udf_sig
 
     def _used_columns(self, src_node: nd.Node, chain: List[nd.Node],
                       terminal_exprs: List[ir.Expr]) -> List[int]:
@@ -890,6 +904,44 @@ class Executor:
         return ExecTable(list(sort_node.fields),
                          list(sort_node.output_types), cols, nbuf, window)
 
+    def _jitted_dist_groupby(self, run, plan_key, node, rows_per_shard,
+                             group_cap, slack, shared_salt=False):
+        """ONE compiled program for a whole distributed group-by route
+        (parallel/dist_groupby.py).  shard_map without jit executes one
+        eager dispatch per primitive — measured 45 s/query for the
+        pair-split route at 5e5 rows on a 2-device mesh vs a single
+        fused program.  AggSpecs are rebuilt inside the trace so the
+        jitted callable caches on the plan key."""
+        import dataclasses as _dc
+        from ..parallel import dist_groupby as dg
+
+        key = (plan_key
+               + f"|{run.__name__}/{rows_per_shard}/{group_cap}/{slack}")
+
+        def build():
+            def fn(keys, operands, rm):
+                specs = [
+                    gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
+                               a.interpolation, op2,
+                               **self._sketch_kwargs())
+                    for a, (op, op2) in zip(node.aggs, operands)
+                ]
+                if shared_salt:
+                    # the split route requires all distinct-class specs
+                    # to reference the same operand value
+                    salt = next(s.operand for s in specs
+                                if dg._is_distinct_class(s))
+                    specs = [_dc.replace(s, operand=salt)
+                             if dg._is_distinct_class(s) else s
+                             for s in specs]
+                return run(self._mesh, keys, specs, rows_per_shard,
+                           group_cap, axis=self.config.dist.mesh_axis,
+                           slack=slack, row_valid=rm)
+
+            return jax.jit(fn)
+
+        return self.code_cache.get_or_build(key, build)
+
     def _exec_aggregate_dist(self, node, source, chain, src_node, used,
                              size, plan_key):
         """Two-phase distributed aggregation over the session mesh
@@ -907,11 +959,6 @@ class Executor:
                                                 size, nrows0)))
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
-        specs = [
-            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
-                       a.interpolation, op2, **self._sketch_kwargs())
-            for a, (op, op2) in zip(node.aggs, operands)
-        ]
         rows_per_shard = max(1, nrows0 // ndev)
         group_cap = max(64, min(
             self.config.exec.group_by.default_max_groups // ndev,
@@ -923,9 +970,10 @@ class Executor:
         attempts = 3 if self.config.exec.allow_retry else 1
         self._dist_agg_route = "two_phase"
         for _ in range(attempts):
-            key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_two_phase(
-                self._mesh, keys, specs, rows_per_shard, group_cap,
-                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            fn = self._jitted_dist_groupby(
+                dg.dist_groupby_two_phase, plan_key, node, rows_per_shard,
+                group_cap, slack)
+            key_cols, agg_cols, gvalid, overflow = fn(keys, operands, rm)
             if int(overflow) == 0:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
@@ -983,7 +1031,6 @@ class Executor:
         runs (one all_to_all); above it the skew-proof pair-split route
         (parallel/dist_groupby.dist_groupby_distinct_split) spreads hot
         keys by (key, value) hash.  None -> GSPMD fallback."""
-        import dataclasses
         from ..parallel import dist_groupby as dg
 
         ndev = self._mesh.devices.size
@@ -995,17 +1042,6 @@ class Executor:
                                                 size, nrows0)))
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
-        specs = [
-            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
-                       a.interpolation, op2, **self._sketch_kwargs())
-            for a, (op, op2) in zip(node.aggs, operands)
-        ]
-        # one shared salt array: the split route requires all
-        # distinct-class specs to reference the same operand object
-        salt = next(s.operand for s in specs
-                    if dg._is_distinct_class(s))
-        specs = [dataclasses.replace(s, operand=salt)
-                 if dg._is_distinct_class(s) else s for s in specs]
         rows_per_shard = max(1, nrows0 // ndev)
         group_cap = max(64, min(
             self.config.exec.group_by.default_max_groups // ndev,
@@ -1018,9 +1054,10 @@ class Executor:
         slack = 2.0
         attempts = 3 if self.config.exec.allow_retry else 1
         for _ in range(attempts):
-            key_cols, agg_cols, gvalid, overflow = run(
-                self._mesh, keys, specs, rows_per_shard, group_cap,
-                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            fn = self._jitted_dist_groupby(
+                run, plan_key, node, rows_per_shard, group_cap, slack,
+                shared_salt=(run is dg.dist_groupby_distinct_split))
+            key_cols, agg_cols, gvalid, overflow = fn(keys, operands, rm)
             if int(overflow) == 0:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
@@ -1052,11 +1089,6 @@ class Executor:
                                                 size, nrows0)))
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
-        specs = [
-            gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
-                       a.interpolation, op2, **self._sketch_kwargs())
-            for a, (op, op2) in zip(node.aggs, operands)
-        ]
         rows_per_shard = max(1, nrows0 // ndev)
         group_cap = max(64, min(
             self.config.exec.group_by.default_max_groups // ndev,
@@ -1065,9 +1097,10 @@ class Executor:
         attempts = 3 if self.config.exec.allow_retry else 1
         self._dist_agg_route = "shuffled"
         for _ in range(attempts):
-            key_cols, agg_cols, gvalid, overflow = dg.dist_groupby_shuffled(
-                self._mesh, keys, specs, rows_per_shard, group_cap,
-                axis=self.config.dist.mesh_axis, slack=slack, row_valid=rm)
+            fn = self._jitted_dist_groupby(
+                dg.dist_groupby_shuffled, plan_key, node, rows_per_shard,
+                group_cap, slack)
+            key_cols, agg_cols, gvalid, overflow = fn(keys, operands, rm)
             if int(overflow) == 0:
                 cols = list(key_cols) + list(agg_cols)
                 return ExecTable(list(node.fields), list(node.output_types),
@@ -1159,8 +1192,12 @@ class Executor:
                              nrows: int) -> Optional[str]:
         """Route eligible COUNT-class perfect-hash aggregations through
         the Pallas one-hot-matmul kernel (ops/pallas_groupby.py) in the
-        window where XLA's paths lose: 512 < entries <= ~4096.  f32
-        accumulation is exact for counts below 2^24 rows."""
+        512 < entries <= ~4096 window.  Opt-in (exec.prefer_pallas_groupby):
+        the factored one-hot contraction (ops/onehot.py) measured 3x
+        faster, so the default path is XLA.  f32 accumulation is exact
+        for counts below 2^24 rows."""
+        if not self.config.exec.prefer_pallas_groupby:
+            return None
         if layout is None or layout.entry_count <= gb.DENSE_SCATTER_LIMIT:
             return None
         if nrows >= (1 << 24):

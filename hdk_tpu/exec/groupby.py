@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from .. import types as t
 from ..ir.expr import AggKind
+from ..ops import onehot
 from .masked import MaskedCol, combine_masks
 
 
@@ -138,12 +139,27 @@ _FEW_SEGMENTS = 4
 
 
 def _seg_sum(vals, gid, n, sorted_):
+    """Segment sum, TPU-tiered: masked vector reductions for a handful
+    of segments, blocked one-hot MXU contraction up to
+    ``onehot.SEGMENT_LIMIT`` (scatter with 64-bit payloads serializes:
+    measured 735-960 ms/1e7 rows vs 5-54 ms for the contraction —
+    ops/onehot.py), XLA scatter beyond.
+
+    Accumulates in 64-bit and RETURNS int64/float64 regardless of the
+    input width — pass operands at their NATIVE width so the one-hot
+    tier decomposes into as few bf16-exact limbs as possible (a bool
+    count column is 1 limb; pre-widening it to int64 would cost 8)."""
+    acc_t = (jnp.float64 if jnp.issubdtype(vals.dtype, jnp.floating)
+             else jnp.int64)
     if n <= _FEW_SEGMENTS:
-        zero = jnp.zeros((), vals.dtype)
+        v64 = vals.astype(acc_t)
+        zero = jnp.zeros((), acc_t)
         return jnp.stack([
-            jnp.sum(jnp.where(_bcast(gid == g, vals), vals, zero), axis=0)
+            jnp.sum(jnp.where(_bcast(gid == g, v64), v64, zero), axis=0)
             for g in range(n)])
-    return jax.ops.segment_sum(vals, gid, num_segments=n,
+    if n <= onehot.SEGMENT_LIMIT:
+        return onehot.seg_sum(vals, gid, n)
+    return jax.ops.segment_sum(vals.astype(acc_t), gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
 
@@ -153,6 +169,9 @@ def _seg_min(vals, gid, n, sorted_):
         return jnp.stack([
             jnp.min(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
             for g in range(n)])
+    if n <= onehot.SEGMENT_LIMIT:
+        return onehot.seg_min(vals, gid, n,
+                              _minmax_identity(vals.dtype, True))
     return jax.ops.segment_min(vals, gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
@@ -163,6 +182,9 @@ def _seg_max(vals, gid, n, sorted_):
         return jnp.stack([
             jnp.max(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
             for g in range(n)])
+    if n <= onehot.SEGMENT_LIMIT:
+        return onehot.seg_max(vals, gid, n,
+                              _minmax_identity(vals.dtype, False))
     return jax.ops.segment_max(vals, gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
@@ -243,7 +265,9 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
     num = n + 1  # one discard segment at the end
 
     def ones_like_rows():
-        return jnp.ones(gid.shape, jnp.int64)
+        # native bool width: the one-hot tier spends 1 bf16 limb on a
+        # 0/1 column where an int64 pre-cast would cost 8
+        return jnp.ones(gid.shape, jnp.bool_)
 
     if k == AggKind.COUNT and spec.operand is None:
         cnt = _seg_sum(ones_like_rows(), gid, num, sorted_)[:n]
@@ -254,31 +278,33 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
     valid = v.mask if v.mask is not None else None
 
     if k == AggKind.COUNT:
-        ones = ones_like_rows() if valid is None else valid.astype(jnp.int64)
+        ones = ones_like_rows() if valid is None else valid
         return AggResult([_seg_sum(ones, gid, num, sorted_)[:n]])
 
-    nonnull = (ones_like_rows() if valid is None else valid.astype(jnp.int64))
+    nonnull = (ones_like_rows() if valid is None else valid)
     nonnull_per_group = _seg_sum(nonnull, gid, num, sorted_)[:n]
 
     if spec.distinct and k in (AggKind.SUM, AggKind.AVG):
         # SUM/AVG(DISTINCT x): dedupe (group, value) pairs, then reduce
         # the first of each run (reference: distinct agg cells)
         first = _distinct_first_mask(v, gid, num)
-        acc = jnp.where(first, v.fill(0).astype(_acc_dtype(v)), 0)
+        zero = jnp.zeros((), v.data.dtype)
+        acc = jnp.where(first, v.fill(0), zero)
         s = _seg_sum(acc, gid, num, sorted_)[:n]
-        cnt = _seg_sum(first.astype(jnp.int64), gid, num, sorted_)[:n]
+        cnt = _seg_sum(first, gid, num, sorted_)[:n]
         if k == AggKind.SUM:
             return AggResult([s, cnt])
         return AggResult([s.astype(jnp.float64), cnt])
 
     if k in (AggKind.SUM, AggKind.AVG, AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
-        acc = v.fill(0).astype(_acc_dtype(v))
+        acc = v.fill(0)  # native width; _seg_sum widens the accumulator
         s = _seg_sum(acc, gid, num, sorted_)[:n]
         if k == AggKind.SUM:
             return AggResult([s, nonnull_per_group])
         if k == AggKind.AVG:
             return AggResult([s.astype(jnp.float64), nonnull_per_group])
-        sq = _seg_sum((acc * acc).astype(jnp.float64), gid, num, sorted_)[:n]
+        sq = _seg_sum((acc.astype(_acc_dtype(v)) ** 2).astype(jnp.float64),
+                      gid, num, sorted_)[:n]
         return AggResult([s.astype(jnp.float64), sq, nonnull_per_group])
 
     if k in (AggKind.MIN, AggKind.SAMPLE, AggKind.SINGLE_VALUE):
@@ -343,12 +369,12 @@ def _group_topk_unsorted(v: MaskedCol, gid, n: int, num: int, kk: int,
     p2 = jnp.argsort(vals64, stable=True)
     p2 = p2[jnp.argsort(key_g[p2], stable=True)]
     sv = v.data[p2]
-    counts = _seg_sum((valid.astype(jnp.int64) if valid is not None
-                       else jnp.ones(gid.shape, jnp.int64))[p2],
+    counts = _seg_sum((valid if valid is not None
+                       else jnp.ones(gid.shape, jnp.bool_))[p2],
                       key_g[p2], num, True)
     starts_all = jnp.concatenate([
         jnp.zeros((1,), jnp.int64),
-        jnp.cumsum(_seg_sum(jnp.ones(gid.shape, jnp.int64), key_g[p2],
+        jnp.cumsum(_seg_sum(jnp.ones(gid.shape, jnp.bool_), key_g[p2],
                             num, True))[:-1]])
     starts = starts_all[:n]
     cnt = counts[:n]
@@ -413,7 +439,7 @@ def _count_distinct(v: MaskedCol, gid, n: int, num: int):
         jnp.ones((1,), jnp.bool_),
         (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1]),
     ])
-    return _seg_sum(first.astype(jnp.int64), sg, num, True)[:n]
+    return _seg_sum(first, sg, num, True)[:n]
 
 
 def _group_quantile(v: MaskedCol, gid, n: int, num: int, q: float,
@@ -428,7 +454,7 @@ def _group_quantile(v: MaskedCol, gid, n: int, num: int, q: float,
     perm = perm[jnp.argsort(key_g[perm], stable=True)]
     sg = key_g[perm]
     sv = fvals[perm]
-    counts = _seg_sum(jnp.ones(sg.shape, jnp.int64), sg, num, True)
+    counts = _seg_sum(jnp.ones(sg.shape, jnp.bool_), sg, num, True)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int64),
                               jnp.cumsum(counts)[:-1]])
     cnt = counts[:n]
@@ -636,11 +662,11 @@ def groupby_perfect(
         key_cols = _perfect_key_columns(keys, layout)
         return key_cols, agg_cols, exists
 
-    # XLA's scatter-add is fast only for small entry counts (dense
-    # lowering); beyond that, sort-by-gid + span sums is ~50x faster on
-    # TPU (measured: scatter 106 Mrows/s vs sort ~180 Mrows/s + O(N)
-    # cumsums at E=4096).  Both are exact.
-    if n > DENSE_SCATTER_LIMIT:
+    # tiering: up to onehot.SEGMENT_LIMIT entries the blocked one-hot
+    # MXU contraction (ops/onehot.py, bit-exact) wins — measured 5-54 ms
+    # at 1e7 rows vs 735-960 ms scatter and ~170 ms sort; beyond it the
+    # E-independent sort + span sums takes over.  Both are exact.
+    if n > onehot.SEGMENT_LIMIT:
         perm = jnp.argsort(gid, stable=True).astype(jnp.int32)
         gids = gid[perm]
         grp = jnp.arange(n + 1, dtype=jnp.int32)
@@ -655,7 +681,7 @@ def groupby_perfect(
             res = _agg_sorted(sspec, gids, starts, ends, n)
             agg_cols.append(res.finalize(sspec, None))
     else:
-        exists = _seg_sum(jnp.ones(gid.shape, jnp.int64), gid, n + 1,
+        exists = _seg_sum(jnp.ones(gid.shape, jnp.bool_), gid, n + 1,
                           False)[:n] > 0
         agg_cols = []
         for spec in specs:

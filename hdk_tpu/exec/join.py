@@ -39,9 +39,11 @@ import numpy as np
 from .groupby import _orderable_int64
 from .masked import MaskedCol, combine_masks
 
-def _i64(u: int) -> jnp.ndarray:
-    """uint64 literal as its two's-complement int64 value."""
-    return jnp.asarray(np.uint64(u).astype(np.int64))
+def _i64(u: int) -> np.int64:
+    """uint64 literal as its two's-complement int64 value (a host numpy
+    scalar — a device array here would initialise the XLA backend at
+    import time, breaking jax.distributed.initialize ordering)."""
+    return np.uint64(u).astype(np.int64)
 
 
 # disjoint null sentinels per side => null never matches null

@@ -2,24 +2,35 @@
 
 Reference: QueryEngine/RelAlgOptimizer.cpp (1682 LoC) — mark-noops,
 eliminate-identical-copies, fold-filters, eliminate-dead-columns,
-coalesce — and QueryOptimizer/CanonicalizeQuery.cpp (builder-DAG
-canonicalization).  Documented in docs/source/execution/optimizer.rst.
+coalesce — plus QueryRewrite.cpp (expression rewrites) and
+FromTableReordering.cpp (cardinality-ordered joins).  Documented in
+docs/source/execution/optimizer.rst.
 
 Implemented passes (each a pure rewrite producing a new DAG):
   * eliminate_identity_projections — drop no-op Projects
     (RelAlgOptimizer.cpp mark-noops / eliminate-copies);
   * fold_filters — merge adjacent Filters into one AND condition
     (RelAlgOptimizer.cpp fold-filters);
+  * push_down_filters — move filter conjuncts below Project / Join /
+    Sort / Union / Aggregate-keys (RelAlgOptimizer.cpp
+    pushDownFilterPredicates; hoisted filters shrink join probes and
+    enable fragment skipping at the scan);
+  * reorder_join_inputs — put the estimated-bigger side on the probe
+    (lhs) of INNER hash joins (FromTableReordering.cpp, fed by
+    exec/cost.py estimates);
+  * rewrite_in_values — contiguous integer IN lists become range
+    predicates (QueryRewrite.cpp style rewrite; ranges feed fragment
+    skipping, an isin list cannot);
   * constant folding happens implicitly at trace time (XLA), so the
     reference's fold pass is unnecessary here.
 
-Dead-column elimination is planned with the column-pruning executor
-work (tracked for a later milestone).
+Dead columns are pruned at execution (executor._used_columns + lazy
+scan/join columns), not as a plan rewrite.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List, Optional
 
 from .. import types as t
 from ..config import Config
@@ -109,7 +120,243 @@ def fold_filters(dag: nd.QueryDag) -> nd.QueryDag:
     return _transform(dag, visit)
 
 
+# ---------------------------------------------------------------------------
+# filter pushdown
+# ---------------------------------------------------------------------------
+
+def _split_conjuncts(e: ir.Expr) -> List[ir.Expr]:
+    if isinstance(e, ir.BinOp) and e.kind == ir.BinOpKind.AND:
+        return _split_conjuncts(e.lhs) + _split_conjuncts(e.rhs)
+    return [e]
+
+
+def _and_all(conjuncts: List[ir.Expr]) -> ir.Expr:
+    out = conjuncts[0]
+    for c in conjuncts[1:]:
+        out = ir.BinOp(t.boolean(out.type.nullable or c.type.nullable),
+                       ir.BinOpKind.AND, out, c)
+    return out
+
+
+def _refs_only_node(e: ir.Expr, node: nd.Node) -> bool:
+    """True when every ColumnRef in ``e`` points at ``node`` directly
+    (refs through filter aliases stay put — conservative)."""
+    if isinstance(e, ir.ColumnRef):
+        return e.node is node
+    return all(_refs_only_node(o, node) for o in e.operands())
+
+
+def _ref_indices(e: ir.Expr, out: set) -> None:
+    if isinstance(e, ir.ColumnRef):
+        out.add(e.index)
+    for o in e.operands():
+        _ref_indices(o, out)
+
+
+def _contains_window(e: ir.Expr) -> bool:
+    if isinstance(e, ir.WindowFunction):
+        return True
+    return any(_contains_window(o) for o in e.operands())
+
+
+def _subst_refs(e: ir.Expr, node: nd.Node, repl) -> ir.Expr:
+    """Replace ColumnRef(node, i) by repl(i)."""
+    if isinstance(e, ir.ColumnRef) and e.node is node:
+        return repl(e.index)
+    ops = [_subst_refs(o, node, repl) for o in e.operands()]
+    return e.rebuild(*ops) if ops else e
+
+
+def _push_once(f: nd.Filter) -> Optional[nd.Node]:
+    """One pushdown step for a Filter, or None."""
+    inp = f.inputs[0]
+    if not _refs_only_node(f.condition, inp):
+        return None
+
+    if isinstance(inp, nd.Project):
+        # Filter(Project(X)) -> Project(Filter(X)) with the condition's
+        # refs substituted by the projected exprs.  Never past window
+        # functions: they see all rows by definition.
+        if any(_contains_window(e) for e in inp.exprs):
+            return None
+        cond = _subst_refs(f.condition, inp, lambda i: inp.exprs[i])
+        return nd.Project(nd.Filter(inp.inputs[0], cond), inp.exprs,
+                          inp.fields)
+
+    if isinstance(inp, nd.Sort):
+        # commutes only without a limit/offset window
+        if inp.limit is not None or inp.offset:
+            return None
+        cond = _subst_refs(f.condition, inp,
+                           lambda i: inp.inputs[0].ref(i))
+        return nd.Sort(nd.Filter(inp.inputs[0], cond), inp.sort_fields,
+                       inp.limit, inp.offset)
+
+    if isinstance(inp, nd.Aggregate):
+        # key-referencing conjuncts commute with GROUP BY (the
+        # reference's HAVING-to-WHERE hoist); agg-referencing ones stay
+        nkeys = len(inp.keys)
+        push, keep = [], []
+        for c in _split_conjuncts(f.condition):
+            idx: set = set()
+            _ref_indices(c, idx)
+            (push if idx and max(idx) < nkeys else keep).append(c)
+        if not push:
+            return None
+        cond = _subst_refs(_and_all(push), inp, lambda i: inp.keys[i])
+        agg = nd.Aggregate(nd.Filter(inp.inputs[0], cond), inp.keys,
+                           inp.aggs, inp.fields)
+        return nd.Filter(agg, _subst_refs(
+            _and_all(keep), inp, lambda i: agg.ref(i))) if keep else agg
+
+    if isinstance(inp, nd.Join):
+        lhs, rhs = inp.inputs
+        n_l = lhs.size()
+        rhs_ok = inp.join_type == nd.JoinType.INNER
+        l_push, r_push, keep = [], [], []
+        for c in _split_conjuncts(f.condition):
+            idx: set = set()
+            _ref_indices(c, idx)
+            if idx and max(idx) < n_l:
+                l_push.append(c)
+            elif rhs_ok and idx and min(idx) >= n_l:
+                r_push.append(c)
+            else:
+                keep.append(c)
+        if not l_push and not r_push:
+            return None
+        new_l, new_r = lhs, rhs
+        if l_push:
+            cond = _subst_refs(_and_all(l_push), inp, lambda i: lhs.ref(i))
+            new_l = nd.Filter(lhs, cond)
+        if r_push:
+            cond = _subst_refs(_and_all(r_push), inp,
+                               lambda i: rhs.ref(i - n_l))
+            new_r = nd.Filter(rhs, cond)
+        def remap_side(e):
+            def repl(i):
+                return (new_l.ref(i) if i < n_l else new_r.ref(i - n_l))
+            return _subst_refs(e, inp, repl)
+        pairs = [(remap_side(l), remap_side(r)) for l, r in inp.key_pairs]
+        residual = (remap_side(inp.residual)
+                    if inp.residual is not None else None)
+        join = nd.Join(new_l, new_r, pairs, inp.join_type, residual)
+        if keep:
+            return nd.Filter(join, _subst_refs(
+                _and_all(keep), inp, lambda i: join.ref(i)))
+        return join
+
+    if isinstance(inp, nd.LogicalUnion):
+        # replicate into every branch when branch schemas match the
+        # union's (common-type promotion would retype the condition)
+        idx: set = set()
+        _ref_indices(f.condition, idx)
+        for b in inp.inputs:
+            if any(b.output_types[i] != inp.output_types[i] for i in idx):
+                return None
+        branches = [
+            nd.Filter(b, _subst_refs(f.condition, inp,
+                                     lambda i, b=b: b.ref(i)))
+            for b in inp.inputs
+        ]
+        return nd.LogicalUnion(branches, inp.all)
+
+    return None
+
+
+def push_down_filters(dag: nd.QueryDag) -> nd.QueryDag:
+    """Iterate single pushdown steps to a fixpoint (a filter hoisted
+    below a Project may then sink below the Join underneath it)."""
+    for _ in range(16):
+        changed = [False]
+
+        def visit(node: nd.Node):
+            if isinstance(node, nd.Filter):
+                repl = _push_once(node)
+                if repl is not None:
+                    changed[0] = True
+                    return repl
+            return None
+
+        dag = _transform(dag, visit)
+        if not changed[0]:
+            break
+        dag = fold_filters(dag)
+    return dag
+
+
+# ---------------------------------------------------------------------------
+# join input reordering (cardinality-based)
+# ---------------------------------------------------------------------------
+
+def reorder_join_inputs(dag: nd.QueryDag) -> nd.QueryDag:
+    """Swap INNER join inputs when the build side (rhs) is estimated
+    bigger than the probe (reference: FromTableReordering.cpp); a
+    Project on top restores the original column order."""
+    from . import cost
+
+    def visit(node: nd.Node):
+        if not isinstance(node, nd.Join) or not cost.should_swap_join(node):
+            return None
+        lhs, rhs = node.inputs
+        n_l = lhs.size()
+        pairs = [(r, l) for l, r in node.key_pairs]
+        swapped = nd.Join(rhs, lhs, pairs, node.join_type, node.residual,
+                          suffix="_l")
+        # swapped output = rhs ++ lhs; restore lhs ++ rhs order
+        n_r = rhs.size()
+        exprs = [swapped.ref(n_r + i) for i in range(n_l)] + [
+            swapped.ref(i) for i in range(n_r)]
+        if node.residual is not None:
+            def repl(i):
+                return (swapped.ref(n_r + i) if i < n_l
+                        else swapped.ref(i - n_l))
+            swapped.residual = _subst_refs(node.residual, node, repl)
+        return nd.Project(swapped, exprs, node.fields)
+
+    return _transform(dag, visit)
+
+
+# ---------------------------------------------------------------------------
+# IN-list rewrites
+# ---------------------------------------------------------------------------
+
+def rewrite_in_values(dag: nd.QueryDag) -> nd.QueryDag:
+    """``x IN (3,4,5,6)`` -> ``x BETWEEN 3 AND 6`` for contiguous
+    integer lists (QueryRewrite.cpp style): two compares instead of an
+    isin, and range predicates drive fragment skipping."""
+    def rewrite_expr(e: ir.Expr) -> ir.Expr:
+        ops = [rewrite_expr(o) for o in e.operands()]
+        e2 = e.rebuild(*ops) if ops else e
+        if (isinstance(e2, ir.InValues) and len(e2.values) >= 2
+                and e2.operand.type.is_integer()
+                and all(isinstance(v, int) for v in e2.values)):
+            vs = sorted(set(e2.values))
+            if vs[-1] - vs[0] == len(vs) - 1:
+                bt = t.boolean(e2.operand.type.nullable)
+                ct = e2.operand.type.with_nullable(False)
+                return ir.BinOp(
+                    bt, ir.BinOpKind.AND,
+                    ir.BinOp(bt, ir.BinOpKind.GE, e2.operand,
+                             ir.Constant(ct, vs[0])),
+                    ir.BinOp(bt, ir.BinOpKind.LE, e2.operand,
+                             ir.Constant(ct, vs[-1])))
+        return e2
+
+    def visit(node: nd.Node):
+        if isinstance(node, nd.Filter):
+            cond = rewrite_expr(node.condition)
+            if cond is not node.condition:
+                return nd.Filter(node.inputs[0], cond)
+        return None
+
+    return _transform(dag, visit)
+
+
 def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = eliminate_identity_projections(dag)
     dag = fold_filters(dag)
+    dag = rewrite_in_values(dag)
+    dag = push_down_filters(dag)
+    dag = reorder_join_inputs(dag)
     return dag

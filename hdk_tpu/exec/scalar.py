@@ -84,8 +84,9 @@ class ExecError(RuntimeError):
 class ScalarCompiler:
     """Evaluates expression trees over resolved input columns."""
 
-    def __init__(self, dicts) -> None:
+    def __init__(self, dicts, udfs=None) -> None:
         self.dicts = dicts  # DictionaryRegistry, for string ops
+        self.udfs = udfs    # UdfRegistry (udf.py) or None
 
     def evaluate(self, expr: ir.Expr, resolver: Resolver,
                  row_mask=None) -> MaskedCol:
@@ -158,11 +159,19 @@ class ScalarCompiler:
 
     # ------------------------------------------------------------------
     def _function(self, e: ir.FunctionCall, ev) -> MaskedCol:
-        """Scalar builtins (reference: ExtensionFunctions.hpp)."""
+        """Scalar builtins (reference: ExtensionFunctions.hpp) and
+        registered UDFs (udf.py; reference: UdfCompiler.h:30) — a UDF
+        traces into the same fused XLA program as any builtin."""
         vals = [ev(a) for a in e.args]
         mask = combine_masks(*[v.mask for v in vals])
         xs = [v.data for v in vals]
         out_dt = _np_to_jnp_dtype(e.type)
+        udf = self.udfs.get(e.name) if self.udfs is not None else None
+        if udf is not None:
+            if udf.null_propagation:
+                return MaskedCol(udf.fn(*xs).astype(out_dt), mask)
+            data, out_mask = udf.fn(*xs, mask)
+            return MaskedCol(data.astype(out_dt), out_mask)
         fn = _FUNCTIONS.get(e.name)
         if fn is None:
             raise ExecError(f"unknown function {e.name!r}")

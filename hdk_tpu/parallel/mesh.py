@@ -17,9 +17,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 FRAG_AXIS = "frag"
 
+_distributed_initialized = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> None:
+    """Join a multi-host (pod-slice / DCN) job before building meshes.
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize`` — on a
+    TPU pod slice every argument auto-detects from the TPU metadata
+    server, so ``init_distributed()`` with no arguments is correct
+    there; on CPU/GPU clusters pass coordinator/count/id explicitly (or
+    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    After this, ``jax.devices()`` spans all hosts and ``make_mesh``
+    builds a global mesh whose collectives ride ICI within a slice and
+    DCN across slices.  The reference is single-node (SURVEY.md §2.8) —
+    this is capability the TPU design adds.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    # NOTE: must not touch jax.devices()/process_count() here — any
+    # backend-initialising call before jax.distributed.initialize is an
+    # error; the distributed client handle is the safe probe
+    from jax._src import distributed as _jdist
+
+    if getattr(_jdist.global_state, "client", None) is not None:
+        _distributed_initialized = True
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = FRAG_AXIS) -> Mesh:
-    devs = jax.devices()
+    """Mesh over all addressable devices — global across hosts after
+    ``init_distributed`` (devices sorted by id so every process builds
+    the identical mesh, a requirement for multi-controller jit)."""
+    devs = sorted(jax.devices(), key=lambda d: d.id)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))

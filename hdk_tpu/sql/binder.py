@@ -1193,6 +1193,19 @@ class Binder:
             return ir.KeyForString(b(e.args[0]))
         if name == "length" or name == "char_length":
             raise SqlError("string LENGTH is not supported on device columns")
+        # registered UDF (udf.py; reference: UdfCompiler.h)
+        udfs = getattr(self.session, "_udfs", None)
+        udf = udfs.get(name) if udfs is not None else None
+        if udf is not None:
+            args = [b(a) for a in e.args]
+            if len(args) != len(udf.arg_types):
+                raise SqlError(
+                    f"{name}() takes {len(udf.arg_types)} arguments, "
+                    f"got {len(args)}")
+            nullable = any(a.type.nullable for a in args)
+            out_t = udf.ret_type.with_nullable(
+                udf.ret_type.nullable or (udf.null_propagation and nullable))
+            return ir.FunctionCall(out_t, name, args)
         # generic scalar builtin
         args = [b(a) for a in e.args]
         out_t = self._fn_type(name, args)

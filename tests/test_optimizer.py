@@ -1,0 +1,165 @@
+"""DAG optimizer passes: filter pushdown, join reordering, IN rewrites
+(reference: RelAlgOptimizer.cpp, FromTableReordering.cpp,
+QueryRewrite.cpp)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture(scope="module")
+def big(hdk):
+    rng = np.random.default_rng(3)
+    n = 5000
+    return hdk.import_pydict({
+        "k": rng.integers(0, 50, n),
+        "v": rng.normal(size=n),
+        "g": rng.integers(0, 8, n),
+    }, name="opt_big")
+
+
+@pytest.fixture(scope="module")
+def small(hdk):
+    return hdk.import_pydict({
+        "k": list(range(50)),
+        "w": [i * 0.5 for i in range(50)],
+    }, name="opt_small")
+
+
+def _df(t):
+    return t.run().to_pandas()
+
+
+def test_filter_pushes_below_project(hdk, big):
+    q = big.proj(k2=big["k"] * 2, v=big["v"])
+    f = q.filter(q["k2"] > 40)
+    plan = hdk.explain(f)
+    # Filter must sit below the Project after pushdown
+    assert plan.index("Project") < plan.index("Filter")
+    res = _df(f)
+    pdf = pd.DataFrame({"k2": np.asarray(big.run().to_pandas()["k"]) * 2,
+                        "v": big.run().to_pandas()["v"]})
+    assert_frames_match(res, pdf[pdf.k2 > 40].reset_index(drop=True),
+                        approx_cols=("v",))
+
+
+def test_filter_not_pushed_past_window(hdk):
+    rng = np.random.default_rng(5)
+    w = hdk.import_pydict({"v": rng.normal(size=200)}, name="opt_win")
+    q = w.proj(r=hdk.row_number().over().order_by(w["v"], w["rowid"]),
+               v=w["v"])
+    f = q.filter(q["r"] <= 10)
+    plan = hdk.explain(f)
+    assert plan.index("Filter") < plan.index("Project")
+    assert len(_df(f)) == 10
+
+
+def test_filter_splits_into_join_sides(hdk, big, small):
+    j = big.join(small, "k", "k")
+    f = j.filter((j["v"] > 0.0) & (j["w"] < 20.0))
+    plan = hdk.explain(f)
+    lines = plan.splitlines()
+    # both conjuncts sank below the join: no Filter above it
+    assert lines[0].startswith("Join")
+    assert sum(1 for ln in lines if "Filter" in ln) == 2
+    bdf = big.run().to_pandas()
+    sdf = small.run().to_pandas()
+    exp = bdf.merge(sdf.rename(columns={"k": "k_r"}),
+                    left_on="k", right_on="k_r")
+    exp = exp[(exp.v > 0.0) & (exp.w < 20.0)].reset_index(drop=True)
+    assert_frames_match(_df(f), exp, approx_cols=("v", "w"))
+
+
+def test_left_join_keeps_rhs_conjunct_above(hdk, big, small):
+    j = big.join(small, "k", "k", how="left")
+    f = j.filter((j["v"] > 0.0) & (j["w"] < 5.0))
+    plan = hdk.explain(f)
+    lines = plan.splitlines()
+    # the w-conjunct (rhs side) must stay above the LEFT join
+    assert lines[0].startswith("Filter")
+    bdf = big.run().to_pandas()
+    sdf = small.run().to_pandas()
+    exp = bdf.merge(sdf.rename(columns={"k": "k_r"}),
+                    left_on="k", right_on="k_r", how="left")
+    exp = exp[(exp.v > 0.0) & (exp.w < 5.0)].reset_index(drop=True)
+    assert_frames_match(_df(f), exp, approx_cols=("v", "w"))
+
+
+def test_having_on_keys_hoists_below_aggregate(hdk, big):
+    a = big.agg("g", "count", "sum(v)")
+    f = a.filter(a["g"] >= 4)
+    plan = hdk.explain(f)
+    assert plan.index("Aggregate") < plan.index("Filter")
+    bdf = big.run().to_pandas()
+    exp = (bdf[bdf.g >= 4].groupby("g")
+           .agg(count=("g", "size"), v_sum=("v", "sum")).reset_index())
+    assert_frames_match(_df(f), exp, approx_cols=("v_sum",))
+
+
+def test_having_on_aggregate_stays(hdk, big):
+    a = big.agg("g", "count")
+    f = a.filter(a["count"] > 600)
+    plan = hdk.explain(f)
+    assert plan.index("Filter") < plan.index("Aggregate")
+    bdf = big.run().to_pandas()
+    exp = bdf.groupby("g").agg(count=("g", "size")).reset_index()
+    exp = exp[exp["count"] > 600].reset_index(drop=True)
+    assert_frames_match(_df(f), exp)
+
+
+def test_in_list_becomes_range(hdk, big):
+    f = big.filter(big["k"].in_values([7, 8, 9, 10]))
+    plan = hdk.explain(f)
+    assert " in " not in plan and ">=" in plan and "<=" in plan
+    bdf = big.run().to_pandas()
+    exp = bdf[bdf.k.isin([7, 8, 9, 10])].reset_index(drop=True)
+    assert_frames_match(_df(f), exp, approx_cols=("v",))
+
+
+def test_non_contiguous_in_list_kept(hdk, big):
+    f = big.filter(big["k"].in_values([7, 9, 30]))
+    plan = hdk.explain(f)
+    assert " in " in plan
+    bdf = big.run().to_pandas()
+    exp = bdf[bdf.k.isin([7, 9, 30])].reset_index(drop=True)
+    assert_frames_match(_df(f), exp, approx_cols=("v",))
+
+
+def test_join_inputs_reorder_by_cardinality(hdk, big, small):
+    j = small.join(big, "k", "k")  # small probe, big build -> swap
+    plan = hdk.explain(j)
+    lines = plan.splitlines()
+    assert lines[0].startswith("Project")
+    assert "opt_big" in lines[2] and "opt_small" in lines[3]
+    sdf = small.run().to_pandas()
+    bdf = big.run().to_pandas()
+    exp = sdf.merge(bdf.rename(columns={"k": "k_r"}),
+                    left_on="k", right_on="k_r")
+    assert_frames_match(_df(j), exp[list(_df(j).columns)],
+                        approx_cols=("v", "w"))
+
+
+def test_estimate_rows():
+    from hdk_tpu.exec import cost
+    from hdk_tpu.ir import node as nd
+
+    class FakeTable:
+        nrows = 1000
+        def column_names(self):
+            return []
+
+    scan = nd.Scan.__new__(nd.Scan)
+    nd.Node.__init__(scan, [])
+    scan.table = FakeTable()
+    scan._fields, scan._types = [], []
+    assert cost.estimate_rows(scan) == 1000.0
+    srt = nd.Sort(scan, [], limit=10)
+    assert cost.estimate_rows(srt) == 10.0

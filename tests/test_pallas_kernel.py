@@ -35,7 +35,7 @@ def test_engine_routes_count_groupby_through_kernel(rng):
     import hdk_tpu
     from harness import assert_frames_match
 
-    session = hdk_tpu.HDK(**{"exec.interpret_pallas": True})
+    session = hdk_tpu.HDK(**{"exec.interpret_pallas": True, "exec.prefer_pallas_groupby": True})
     n = 30000
     df = pd.DataFrame({
         "a": rng.integers(0, 40, n).astype(np.int64),
@@ -69,7 +69,7 @@ def test_kernel_fused_with_sort(rng):
     import hdk_tpu
     from harness import assert_frames_match
 
-    session = hdk_tpu.HDK(**{"exec.interpret_pallas": True})
+    session = hdk_tpu.HDK(**{"exec.interpret_pallas": True, "exec.prefer_pallas_groupby": True})
     n = 20000
     df = pd.DataFrame({
         "a": rng.integers(0, 30, n).astype(np.int64),
