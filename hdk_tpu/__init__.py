@@ -69,6 +69,25 @@ from .utils.timer import enable_debug_timer, timer_report  # noqa: E402
 __version__ = "0.1.0"
 
 
+class _ResultSpillHandle:
+    """DeviceCacheManager entry for a QueryResult's device buffers.
+    LRU eviction offloads the result to host memory — the CPU tier of
+    the reference's 3-level DataMgr hierarchy (DataMgr/DataMgr.h)."""
+
+    def __init__(self, result: "QueryResult") -> None:
+        import weakref
+
+        from .storage.memory import device_cache_manager
+
+        self._ref = weakref.ref(result)
+        weakref.finalize(result, device_cache_manager().note_drop, self)
+
+    def drop_device_cache(self, _from_manager: bool = False) -> None:
+        r = self._ref()
+        if r is not None:
+            r.offload()
+
+
 class QueryResult:
     """Executed query result; also a queryable temp table
     (reference: ExecutionResult + ResultSetTableToken, hdk.py:2518
@@ -78,15 +97,80 @@ class QueryResult:
         self._session = session
         self._table = table  # may carry a lazy row_mask; compacted on use
         self._registered = None
+        self._host_spill = None  # host copy while offloaded (DataMgr tier)
+        self._spill_handle = _ResultSpillHandle(self)
+        self._note_resident()
+
+    # -- spill-to-host (reference: DataMgr 3-level hierarchy — GPU /
+    # CPU / disk buffer pools, omniscidb/DataMgr/DataMgr.h.  Here the
+    # device tier is HBM under the DeviceCacheManager budget; results
+    # evicted by LRU offload to host numpy and transparently reload) --
+    def _nbytes(self) -> int:
+        total = 0
+        for c in self._table.columns:
+            if c is None:
+                continue
+            total += c.data.size * c.data.dtype.itemsize
+            if c.mask is not None:
+                total += c.mask.size
+        return total
+
+    def _note_resident(self) -> None:
+        from .storage.memory import device_cache_manager
+
+        if type(self._table.columns) is not list:
+            # lazy column containers (join outputs, pruned scans): sizing
+            # them would force their gathers — leave untracked until the
+            # result materializes through normal use
+            return
+        device_cache_manager().note_use(self._spill_handle, self._nbytes())
+
+    def offload(self) -> "QueryResult":
+        """Move this result's buffers to host memory (spill tier);
+        device copies are dropped and restored on next use."""
+        if self._table is not None:
+            import jax as _jax
+
+            t = self._table
+            self._host_spill = (
+                list(t.fields), list(t.types), t.nrows,
+                [(None if c is None else
+                  (_jax.device_get(c.data),
+                   None if c.mask is None else _jax.device_get(c.mask)))
+                 for c in t.columns],
+                None if t.row_mask is None else _jax.device_get(t.row_mask))
+            self._table = None
+        return self
+
+    def _ensure_device(self) -> ExecTable:
+        t = self._table
+        if t is None:
+            import jax.numpy as jnp
+            from .exec.masked import MaskedCol
+
+            fields, types, nrows, cols_h, rm_h = self._host_spill
+            cols = [None if c is None else
+                    MaskedCol(jnp.asarray(c[0]),
+                              None if c[1] is None else jnp.asarray(c[1]))
+                    for c in cols_h]
+            t = ExecTable(fields, types, cols, nrows,
+                          None if rm_h is None else jnp.asarray(rm_h))
+            self._table = t
+            self._host_spill = None
+            # note_use may re-evict immediately under a tiny budget —
+            # callers hold the local handle, so this read still works
+            self._note_resident()
+        return t
 
     def _dense(self) -> ExecTable:
-        if self._table.row_mask is not None:
-            self._table = self._table.compact()
-        return self._table
+        t = self._ensure_device()
+        if t.row_mask is not None:
+            self._table = t = t.compact()
+        return t
 
     @property
     def row_count(self) -> int:
-        return self._table.live_count()
+        return self._ensure_device().live_count()
 
     def block(self) -> "QueryResult":
         """Wait for all device computation behind this result (jax
@@ -98,20 +182,24 @@ class QueryResult:
         forces true completion of every producing program."""
         import jax as _jax
 
+        t = self._ensure_device()
         tips = []
-        for c in self._table.columns:
+        for c in t.columns:
             c.data.block_until_ready()
             tips.append(c.data[-1:] if c.data.shape[0] else c.data)
             if c.mask is not None:
                 tips.append(c.mask[-1:] if c.mask.shape[0] else c.mask)
-        if self._table.row_mask is not None:
-            tips.append(self._table.row_mask[-1:])
+        if t.row_mask is not None:
+            tips.append(t.row_mask[-1:])
         _jax.device_get(tips)
         return self
 
     @property
     def schema(self):
-        return list(zip(self._table.fields, self._table.types))
+        t = self._table
+        if t is None:
+            return list(zip(self._host_spill[0], self._host_spill[1]))
+        return list(zip(t.fields, t.types))
 
     def to_arrow(self):
         """reference: ResultSetTableToken::toArrow (_sql.pyx:80-83)."""

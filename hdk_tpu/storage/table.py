@@ -90,18 +90,22 @@ class Column:
         BufferMgr slabs)."""
         from .memory import device_cache_manager
 
-        if self._device is None:
+        got = self._device
+        if got is None:
             with self._lock:
-                if self._device is None:
+                got = self._device
+                if got is None:
                     import jax.numpy as jnp
 
                     data = jnp.asarray(self.data)
                     mask = jnp.asarray(self.validity) if self.validity is not None else None
-                    self._device = (data, mask)
+                    got = self._device = (data, mask)
         nbytes = self.data.nbytes + (
             self.validity.nbytes if self.validity is not None else 0)
+        # note_use may evict THIS column when the budget is smaller than
+        # one column — return the local handle, not self._device
         device_cache_manager().note_use(self, nbytes)
-        return self._device
+        return got
 
     def drop_device_cache(self, _from_manager: bool = False) -> None:
         self._device = None
