@@ -117,7 +117,10 @@ def compute_window(
     frame=None,
 ) -> MaskedCol:
     # ---- global sort: (validity, partition keys, order keys) ----------
-    perm = jnp.arange(nrows, dtype=jnp.int32)
+    # ONE variadic payload-carrying sort (ops/sortops.py): the row index
+    # rides the radix passes and the sorted keys come back directly —
+    # no per-key argsort+gather round trips
+    from ..ops import sortops as so
 
     def keyof(col: MaskedCol, desc: bool = False, nulls_high: bool = True):
         kv = _orderable_int64(col.data)
@@ -130,44 +133,56 @@ def compute_window(
 
     order_keys = [keyof(c, d) for c, d in zip(order_cols, order_desc)]
     part_keys = [keyof(c) for c in part_cols]
-    for kv in reversed(order_keys):
-        perm = perm[jnp.argsort(kv[perm], stable=True)]
-    for kv in reversed(part_keys):
-        perm = perm[jnp.argsort(kv[perm], stable=True)]
-    if row_mask is not None:  # dead rows cluster at the end
-        perm = perm[jnp.argsort((~row_mask[perm]).astype(jnp.int32),
-                                stable=True)]
+    sort_keys = (([(~row_mask)] if row_mask is not None else [])
+                 + part_keys + order_keys)
+    skeys, (perm,) = so.sort_with_payload(
+        sort_keys, [jnp.arange(nrows, dtype=jnp.int32)])
+    n_valid_keys = 1 if row_mask is not None else 0
+    sorted_part = skeys[n_valid_keys:n_valid_keys + len(part_keys)]
+    sorted_order = skeys[n_valid_keys + len(part_keys):]
 
     pos = jnp.arange(nrows, dtype=jnp.int64)
     first_row = pos == 0
 
-    def boundary(keys):
+    def boundary(sorted_keys):
         b = first_row
-        for kv in keys:
-            sk = kv[perm]
+        for sk in sorted_keys:
             b = b | jnp.concatenate(
                 [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
         return b
 
-    pb = boundary(part_keys)  # partition boundary
+    pb = boundary(sorted_part)  # partition boundary
     if row_mask is not None:
-        sv = row_mask[perm]
+        sv = skeys[0]  # sorted invalid flag
         pb = pb | jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
-    ob = pb | boundary(order_keys)  # order-tie boundary
+    ob = pb | boundary(sorted_order)  # order-tie boundary
 
+    # partition / tie spans from the boundary bitmaps (sortops: stable
+    # bool argsort; sorted-segment scatter ops serialize on TPU and are
+    # never used here)
     pgid = jnp.cumsum(pb.astype(jnp.int32)) - 1
-    n_seg = nrows + 1
-    start = _seg_scan(jnp.where(pb, pos, 0), pb, lambda a, b: a)  # abs start
-    cnt = jax.ops.segment_sum(jnp.ones((nrows,), jnp.int64), pgid,
-                              num_segments=n_seg,
-                              indices_are_sorted=True)[pgid]
+    n_parts = (pgid[-1] + 1) if nrows > 0 else jnp.asarray(0, jnp.int32)
+    pstarts, pends = so.boundary_spans(pb, n_parts, nrows)
+    start = pstarts[pgid]  # absolute partition start per row
+    pend = pends[pgid] - 1  # absolute partition end per row
+    cnt = pend - start + 1
     pos0 = pos - start  # 0-based within partition
-    tie_start = _seg_scan(jnp.where(ob, pos, 0), ob, lambda a, b: a)
     tie_gid = jnp.cumsum(ob.astype(jnp.int32)) - 1
-    tie_end = jax.ops.segment_max(pos, tie_gid, num_segments=n_seg,
-                                  indices_are_sorted=True)[tie_gid]
-    pend = start + cnt - 1  # absolute partition end per row
+    n_ties = (tie_gid[-1] + 1) if nrows > 0 else jnp.asarray(0, jnp.int32)
+    tstarts, tends = so.boundary_spans(ob, n_ties, nrows)
+    tie_start = tstarts[tie_gid]
+    tie_end = tends[tie_gid] - 1
+
+    def part_sum(vals):
+        """Per-row partition sum: prefix-difference over contiguous
+        spans (O(N) cumsum; the sorted-segment replacement for
+        segment_sum)."""
+        acc = (jnp.float64 if jnp.issubdtype(vals.dtype, jnp.floating)
+               else jnp.int64)
+        pref = jnp.concatenate([jnp.zeros((1,), acc),
+                                jnp.cumsum(vals.astype(acc))])
+        return pref[pend + 1] - pref[start]
 
     def frame_bounds():
         """Per-row absolute frame span [lo, hi] (inclusive; hi < lo =
@@ -332,8 +347,7 @@ def compute_window(
                 else sm.astype(jnp.int64))
         if cumulative:
             return scatter_back(_seg_scan(ones, pb, jnp.add)[tie_end])
-        return scatter_back(jax.ops.segment_sum(
-            ones, pgid, num_segments=n_seg, indices_are_sorted=True)[pgid])
+        return scatter_back(part_sum(ones))
 
     acc_dt = (jnp.float64 if jnp.issubdtype(sa.dtype, jnp.floating)
               else jnp.int64)
@@ -347,10 +361,8 @@ def compute_window(
             s = _seg_scan(vals0, pb, jnp.add)[tie_end]
             nn = _seg_scan(nonnull, pb, jnp.add)[tie_end]
         else:
-            s = jax.ops.segment_sum(vals0, pgid, num_segments=n_seg,
-                                    indices_are_sorted=True)[pgid]
-            nn = jax.ops.segment_sum(nonnull, pgid, num_segments=n_seg,
-                                     indices_are_sorted=True)[pgid]
+            s = part_sum(vals0)
+            nn = part_sum(nonnull)
         if kind == WindowKind.AVG:
             avg = s.astype(jnp.float64) / jnp.maximum(nn, 1)
             return scatter_back(avg, nn > 0)
@@ -365,11 +377,8 @@ def compute_window(
             r = _seg_scan(filled, pb, combine)[tie_end]
             nn = _seg_scan(nonnull, pb, jnp.add)[tie_end]
         else:
-            seg = (jax.ops.segment_min if is_min else jax.ops.segment_max)
-            r = seg(filled, pgid, num_segments=n_seg,
-                    indices_are_sorted=True)[pgid]
-            nn = jax.ops.segment_sum(nonnull, pgid, num_segments=n_seg,
-                                     indices_are_sorted=True)[pgid]
+            r = _rmq(filled, start, pend, is_min)
+            nn = part_sum(nonnull)
         return scatter_back(r, nn > 0)
 
     raise NotImplementedError(f"window function {kind}")
