@@ -63,6 +63,12 @@ class ExecConfig:
     # fragment skipping via per-fragment min/max stats (reference:
     # Execute.h:540 skipFragmentPair); exec/prune.py
     enable_fragment_skipping: bool = True
+    # fragment-streamed aggregation: scans whose used columns exceed
+    # this many bytes execute per fragment-group chunk with partial-slot
+    # merging, so tables larger than HBM stream through the device
+    # (reference: QueryFragmentDescriptor.h:64 per-fragment kernels).
+    # 0 = auto (half the device cache budget)
+    scan_stream_bytes: int = 0
     allow_retry: bool = True  # overflow / out-of-slots retry ladder
     interpret_pallas: bool = False  # run pallas kernels interpreted
     # opt-in: route mid-size COUNT group-bys through the Pallas one-hot

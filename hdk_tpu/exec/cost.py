@@ -84,6 +84,13 @@ def _ndv_bound(agg: nd.Aggregate) -> Optional[float]:
 
     prod = 1.0
     for k in agg.keys:
+        if k.type.is_dict_encoded_string():
+            # dictionary size bounds string NDV exactly
+            from ..ir.expr import ColumnRef
+
+            if isinstance(k, ColumnRef):
+                prod *= max(_dict_size_bound(k), 1)
+                continue
         r = rng.infer_range(k)
         if r is None:
             return None
@@ -92,6 +99,22 @@ def _ndv_bound(agg: nd.Aggregate) -> Optional[float]:
         if prod > 1e18:
             return prod
     return prod
+
+
+def _dict_size_bound(ref) -> int:
+    """Code-range upper bound for a dict-encoded key (codes are dense,
+    so max_code + 1 >= NDV; falls back to a large constant)."""
+    r = None
+    try:
+        from . import ranges as rng
+
+        r = rng.infer_range(ref)
+    except Exception:
+        pass
+    if r is not None:
+        lo, hi, has_nulls = r
+        return int(hi - lo + 1) + (1 if has_nulls else 0)
+    return 1 << 20
 
 
 def should_swap_join(join: nd.Join, threshold: float = 1.5) -> bool:

@@ -285,6 +285,8 @@ class Executor:
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
         self._frag_prune_stats = None  # last fragment-skip counters
+        self._frag_stream_chunks = None  # last fragment-stream chunk count
+        self._deadline = None  # per-query watchdog deadline
         # multi-device mode: scans shard rows over the mesh and XLA/GSPMD
         # parallelizes each fused step, inserting collectives (the
         # "annotate shardings, let XLA do the rest" recipe; replaces the
@@ -341,6 +343,7 @@ class Executor:
         wd = self.config.exec.watchdog
         deadline = (_time.monotonic() + wd.time_limit_ms / 1e3
                     if wd.enable and wd.time_limit_ms else None)
+        self._deadline = deadline
         for node in order:
             if node.id in fused_aggs and node.id not in results:
                 continue  # fused into the consuming Sort
@@ -701,6 +704,16 @@ class Executor:
         used = self._used_columns(src_node, chain, terminal_exprs)
         nrows0 = source.nrows
         size = len(source.fields)
+
+        # fragment-streamed execution for over-budget scans (static
+        # perfect layouts only: a dynamic range probe would itself
+        # materialize the whole column on device)
+        if layout is not None and key_ranges is None:
+            plan = self._fragment_stream_plan(node, source, chain,
+                                              src_node, used)
+            if plan is not None:
+                return self._exec_aggregate_fragmented(
+                    node, source, chain, src_node, used, size, layout, plan)
 
         pmode = self._pallas_groupby_mode(node, layout, nrows0)
 
@@ -1134,6 +1147,165 @@ class Executor:
 
         return fn
 
+    # -- fragment-streamed aggregation (reference: per-fragment kernels,
+    # QueryFragmentDescriptor.h:64): a scan whose used columns exceed
+    # the budget executes chunk-by-chunk over fragment groups with ONE
+    # compiled program and elementwise partial-slot merging — a table
+    # larger than HBM streams through the device, and the watchdog gets
+    # a check point per chunk.
+    def _fragment_stream_plan(self, node, source, chain, src_node, used):
+        """None, or (table, chunks, chunk_rows): consecutive-fragment
+        chunks covering the scan, all padded to ``chunk_rows``."""
+        from ..parallel.dist_groupby import _COMBINE
+
+        if self._mesh is not None or source.row_mask is not None:
+            return None
+        if not isinstance(src_node, nd.Scan):
+            return None
+        if not all(a.kind in _COMBINE and not a.distinct
+                   and a.kind != ir.AggKind.APPROX_QUANTILE
+                   for a in node.aggs):
+            return None
+        table = src_node.table
+        frags = table.fragments
+        if len(frags) < 2 or table.nrows == 0:
+            return None
+        bpr = 0  # bytes per row over used columns
+        for i in used:
+            col = table.column(source.fields[i])
+            bpr += col.data.dtype.itemsize + (
+                1 if col.validity is not None else 0)
+        budget = (self.config.exec.scan_stream_bytes
+                  or self.config.storage.device_cache_budget_bytes // 2)
+        if bpr * table.nrows <= budget:
+            return None
+        target = max(1, budget // max(bpr, 1))
+        chunks = []
+        cur_start = None
+        cur_rows = 0
+        for (r0, r1) in frags:
+            if cur_start is None:
+                cur_start, cur_rows = r0, r1 - r0
+            elif cur_rows + (r1 - r0) > target:
+                chunks.append((cur_start, r0))
+                cur_start, cur_rows = r0, r1 - r0
+            else:
+                cur_rows += r1 - r0
+        chunks.append((cur_start, frags[-1][1]))
+        if len(chunks) < 2:
+            return None
+        chunk_rows = max(r1 - r0 for r0, r1 in chunks)
+        return table, chunks, chunk_rows
+
+    def _exec_aggregate_fragmented(self, node, source, chain, src_node,
+                                   used, size, layout, plan) -> ExecTable:
+        from ..parallel.dist_groupby import _COMBINE
+
+        table, chunks, chunk_rows = plan
+        self._frag_stream_chunks = len(chunks)
+        n = layout.entry_count if layout is not None else 1
+        key = chain_key(
+            _schema_sig(source), chain, node,
+            self._dict_generation_sig(chain, node)
+            + f"fragstream/{n}/{chunk_rows}/u{used}"
+            + (f"/l{layout.mins}{layout.sizes}" if layout else ""))
+
+        def build():
+            def fn(sub_cols, pad_valid):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(
+                    src_node, source_cols, chain, pad_valid,
+                    nrows=chunk_rows)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                specs = self._build_specs(node, resolve, chunk_rows)
+                if layout is not None:
+                    keys = [
+                        _broadcast(self.scalar.evaluate(k, resolve),
+                                   chunk_rows)
+                        for k in node.keys
+                    ]
+                    gid, in_range = gb.perfect_gid(keys, layout, rm)
+                else:
+                    live = (jnp.ones((chunk_rows,), jnp.bool_)
+                            if rm is None else rm)
+                    gid = jnp.where(live, 0, 1).astype(jnp.int32)
+                    in_range = live
+                slots = [gb._agg_slots(s, gid, in_range, n, False).slots
+                         for s in specs]
+                exists = gb._seg_sum(in_range, gid, n + 1, False)[:n] > 0
+                return slots, exists
+
+            return jax.jit(fn)
+
+        def combine_build():
+            def fn(acc, slots, acc_exists, exists):
+                out = []
+                for a_spec, acc_s, new_s in zip(node.aggs, acc, slots):
+                    rules = _COMBINE[a_spec.kind]
+                    merged = []
+                    for rule, a, b in zip(rules, acc_s, new_s):
+                        if rule == "sum":
+                            merged.append(a + b)
+                        elif rule == "min":
+                            merged.append(jnp.minimum(a, b))
+                        else:
+                            merged.append(jnp.maximum(a, b))
+                    out.append(merged)
+                return out, acc_exists | exists
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        combine = self.code_cache.get_or_build(key + "|comb", combine_build)
+        acc = exists = None
+        for (r0, r1) in chunks:
+            rows = r1 - r0
+            sub_cols = []
+            for i in used:
+                col = table.column(source.fields[i])
+                data = np.asarray(col.data[r0:r1])
+                mask = (np.asarray(col.validity[r0:r1])
+                        if col.validity is not None else None)
+                if rows < chunk_rows:
+                    pad = chunk_rows - rows
+                    data = np.concatenate(
+                        [data, np.zeros((pad,), data.dtype)])
+                    if mask is not None:
+                        mask = np.concatenate(
+                            [mask, np.zeros((pad,), np.bool_)])
+                sub_cols.append(MaskedCol(
+                    jnp.asarray(data),
+                    jnp.asarray(mask) if mask is not None else None))
+            pad_valid = (None if rows == chunk_rows else
+                         jnp.arange(chunk_rows) < rows)
+            slots, ex = fn(sub_cols, pad_valid)
+            if acc is None:
+                acc, exists = slots, ex
+            else:
+                acc, exists = combine(acc, slots, exists, ex)
+            self._check_watchdog_budget()
+
+        agg_cols = []
+        for a, slots in zip(node.aggs, acc):
+            spec = gb.AggSpec(a.kind, None, a.type, a.distinct, a.arg1,
+                              a.interpolation, **self._sketch_kwargs())
+            agg_cols.append(gb.AggResult(list(slots)).finalize(spec, None))
+        if layout is not None:
+            key_cols = gb.perfect_key_columns_from_types(
+                [k.type for k in node.keys], layout)
+            return ExecTable(list(node.fields), list(node.output_types),
+                             key_cols + agg_cols, n, exists)
+        cols = [MaskedCol(c.data, c.mask) for c in agg_cols]
+        return ExecTable(list(node.fields), list(node.output_types), cols, 1)
+
+    def _check_watchdog_budget(self) -> None:
+        """Mid-step deadline check between fragment chunks — finer
+        granularity than the reference's between-kernel checks allow us
+        otherwise (DynamicWatchdog.h:26-28; an XLA program itself is
+        not interruptible, but the chunk loop is)."""
+        if self._deadline is not None and _time.monotonic() > self._deadline:
+            raise ExecError("watchdog: query time budget exceeded")
+
     def _agg_nogroup(self, node: nd.Aggregate, source: ExecTable,
                      chain, src_node) -> ExecTable:
         terminal_exprs = [a.operand for a in node.aggs
@@ -1144,6 +1316,11 @@ class Executor:
                         + f"nogroup/u{used}/n{source.nrows}")
         nrows0 = source.nrows
         size = len(source.fields)
+        plan = self._fragment_stream_plan(node, source, chain, src_node,
+                                          used)
+        if plan is not None:
+            return self._exec_aggregate_fragmented(
+                node, source, chain, src_node, used, size, None, plan)
 
         def build():
             def fn(sub_cols, row_mask):
@@ -1556,8 +1733,15 @@ class Executor:
         ])
         axis = self.config.dist.mesh_axis
 
-        broadcast = (rhs.live_count()
-                     <= self.config.dist.broadcast_join_threshold)
+        # strategy choice from the cost model (exec/cost.py): broadcast
+        # replicates the build side over ICI; partition moves each side
+        # once (reference analog: per-device replicas vs partitioned
+        # fragments, PerfectJoinHashTable.cpp:370-400)
+        from . import cost as _cost
+
+        broadcast = _cost.dist_join_strategy(
+            lhs.live_count(), rhs.live_count(), ndev,
+            self.config.dist.broadcast_join_threshold) == "broadcast"
         if broadcast:
             rhs_d = rhs.compact()
             if rhs_d.nrows == 0:

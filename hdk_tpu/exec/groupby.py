@@ -621,6 +621,53 @@ def _groupby_pallas_counts(gid, specs: Sequence[AggSpec], n: int,
     return agg_cols, exists
 
 
+def perfect_gid(keys: Sequence[MaskedCol], layout: PerfectHashLayout,
+                row_mask: Optional[jnp.ndarray]
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense positional group id per row; out-of-range / dead rows map
+    to the discard segment ``entry_count`` (reference cross-product
+    index formula off = (key - min) * stride, GroupByRuntime.cpp:199)."""
+    n = layout.entry_count
+    gid = jnp.zeros(keys[0].data.shape, jnp.int64)
+    stride = 1
+    # row-major over keys, first key outermost (docs/results.rst)
+    for key, mn, size in zip(reversed(list(keys)),
+                             reversed(layout.mins), reversed(layout.sizes)):
+        idx = key.data.astype(jnp.int64) - mn
+        if key.mask is not None:
+            idx = jnp.where(key.mask, idx, size - 1)
+        gid = gid + idx * stride
+        stride *= size
+    in_range = (gid >= 0) & (gid < n)
+    if row_mask is not None:
+        in_range = in_range & row_mask
+    return jnp.where(in_range, gid, n).astype(jnp.int32), in_range
+
+
+def perfect_key_columns_from_types(key_types: Sequence[t.Type],
+                                   layout: PerfectHashLayout
+                                   ) -> List[MaskedCol]:
+    """Reconstruct dense-entry key columns from the layout alone (no
+    evaluated key arrays needed — fragment-streamed execution builds
+    keys once after all chunks merge)."""
+    n = layout.entry_count
+    entry = jnp.arange(n, dtype=jnp.int64)
+    strides = []
+    acc = 1
+    for size in reversed(layout.sizes):
+        strides.append(acc)
+        acc *= size
+    strides = list(reversed(strides))
+    out: List[MaskedCol] = []
+    for typ, mn, size, st in zip(key_types, layout.mins, layout.sizes,
+                                 strides):
+        idx = (entry // st) % size
+        is_null_slot = idx == (size - 1)
+        data = (idx + mn).astype(jnp.dtype(typ.physical_dtype()))
+        out.append(MaskedCol(data, ~is_null_slot if typ.nullable else None))
+    return out
+
+
 def groupby_perfect(
     keys: Sequence[MaskedCol],
     layout: PerfectHashLayout,
@@ -640,21 +687,7 @@ def groupby_perfect(
     kernel (caller checks ``pallas_count_mode``).
     """
     n = layout.entry_count
-    gid = jnp.zeros(keys[0].data.shape, jnp.int64)
-    stride = 1
-    # row-major over keys, first key outermost (reference cross-product
-    # index formula, docs/results.rst)
-    for key, mn, size in zip(reversed(list(keys)),
-                             reversed(layout.mins), reversed(layout.sizes)):
-        idx = key.data.astype(jnp.int64) - mn
-        if key.mask is not None:
-            idx = jnp.where(key.mask, idx, size - 1)
-        gid = gid + idx * stride
-        stride *= size
-    in_range = (gid >= 0) & (gid < n)
-    if row_mask is not None:
-        in_range = in_range & row_mask
-    gid = jnp.where(in_range, gid, n).astype(jnp.int32)
+    gid, in_range = perfect_gid(keys, layout, row_mask)
 
     if pallas_mode is not None and n > DENSE_SCATTER_LIMIT:
         agg_cols, exists = _groupby_pallas_counts(

@@ -1,0 +1,83 @@
+"""Fragment-streamed aggregation: over-budget scans execute per
+fragment-group chunk with partial-slot merging (reference: per-fragment
+kernels, QueryFragmentDescriptor.h:64) — a table larger than the device
+budget streams through."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture()
+def hdk():
+    # tiny fragments + a tiny stream budget force multi-chunk execution
+    return hdk_tpu.HDK(**{"storage.fragment_size": 1000,
+                          "exec.scan_stream_bytes": 32_000})
+
+
+@pytest.fixture()
+def data():
+    rng = np.random.default_rng(11)
+    n = 20_000
+    return pd.DataFrame({
+        "g": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.normal(size=n),
+        "i": rng.integers(-50, 50, n).astype(np.int32),
+    })
+
+
+@pytest.fixture()
+def ht(hdk, data):
+    return hdk.import_pandas(data, name="fs_t")
+
+
+def _chunks(hdk):
+    return hdk._executor._frag_stream_chunks
+
+
+def test_grouped_agg_streams_chunks(hdk, ht, data):
+    res = ht.agg("g", "count", "sum(v)", "min(i)", "max(i)",
+                 "avg(v)").run().to_pandas()
+    assert _chunks(hdk) and _chunks(hdk) > 1
+    exp = data.groupby("g").agg(
+        count=("g", "size"), v_sum=("v", "sum"), i_min=("i", "min"),
+        i_max=("i", "max"), v_avg=("v", "mean")).reset_index()
+    assert_frames_match(res, exp, approx_cols=("v_sum", "v_avg"))
+
+
+def test_filtered_grouped_stream(hdk, ht, data):
+    res = ht.filter(ht["i"] > 0).agg("g", "count", "sum(i)").run().to_pandas()
+    assert _chunks(hdk) and _chunks(hdk) > 1
+    d = data[data.i > 0]
+    exp = d.groupby("g").agg(count=("g", "size"),
+                             i_sum=("i", "sum")).reset_index()
+    exp["i_sum"] = exp["i_sum"].astype(np.int64)
+    assert_frames_match(res, exp)
+
+
+def test_nogroup_stream(hdk, ht, data):
+    res = ht.agg([], "count", "sum(v)", "min(i)").run().to_pandas()
+    assert _chunks(hdk) and _chunks(hdk) > 1
+    assert res["count"].iloc[0] == len(data)
+    np.testing.assert_allclose(res["v_sum"].iloc[0], data.v.sum())
+    assert res["i_min"].iloc[0] == data.i.min()
+
+
+def test_stream_matches_unstreamed(hdk, data):
+    big = hdk_tpu.HDK()  # default budget: whole-column execution
+    a = big.import_pandas(data, name="fs_ref")
+    exp = a.agg("g", "count", "sum(i)", "stddev(v)").run().to_pandas()
+    ht2 = hdk.import_pandas(data, name="fs_t2")
+    res = ht2.agg("g", "count", "sum(i)", "stddev(v)").run().to_pandas()
+    assert_frames_match(res, exp, approx_cols=("v_stddev",))
+
+
+def test_holistic_aggs_bypass_stream(hdk, ht, data):
+    res = ht.agg("g", "count_distinct(i)").run().to_pandas()
+    exp = data.groupby("g").agg(
+        i_count_distinct=("i", "nunique")).reset_index()
+    exp["i_count_distinct"] = exp["i_count_distinct"].astype(np.int64)
+    assert_frames_match(res, exp)
