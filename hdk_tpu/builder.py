@@ -251,6 +251,13 @@ class QueryExpr:
     def regexp(self, pattern: str) -> "QueryExpr":
         return QueryExpr(ir.LikeExpr(self.expr, pattern, None, False, True))
 
+    def lower(self) -> "QueryExpr":
+        """reference: IR/Expr.h Lower (dict-code translation on device)."""
+        return QueryExpr(ir.FunctionCall(self.expr.type, "lower", [self.expr]))
+
+    def upper(self) -> "QueryExpr":
+        return QueryExpr(ir.FunctionCall(self.expr.type, "upper", [self.expr]))
+
     def key_for_string(self) -> "QueryExpr":
         return QueryExpr(ir.KeyForString(self.expr))
 

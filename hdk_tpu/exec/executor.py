@@ -917,6 +917,23 @@ class Executor:
         return ExecTable(list(sort_node.fields),
                          list(sort_node.output_types), cols, nbuf, window)
 
+    def _dist_group_cap(self, node, ndev: int, rows_per_shard: int) -> int:
+        """Per-shard group capacity: bounded by the NDV estimate when key
+        ranges bound it (exec/cost.py — the cost-model partition-sizing
+        seam, reference: RelAlgExecutor.cpp:691-860 partition sizing);
+        undershoot is safe (overflow feeds the widen-and-retry ladder)."""
+        from . import cost as _cost
+
+        cap = max(64, min(
+            self.config.exec.group_by.default_max_groups // ndev,
+            rows_per_shard * 2))
+        ndv = _cost._ndv_bound(node)
+        if ndv is not None and ndv < cap * ndev:
+            # keys hash-partition across shards; 2x slack absorbs
+            # imbalance before the retry ladder has to act
+            cap = max(64, min(cap, int(ndv // ndev * 2 + 64)))
+        return cap
+
     def _jitted_dist_groupby(self, run, plan_key, node, rows_per_shard,
                              group_cap, slack, shared_salt=False):
         """ONE compiled program for a whole distributed group-by route
@@ -973,9 +990,7 @@ class Executor:
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
         rows_per_shard = max(1, nrows0 // ndev)
-        group_cap = max(64, min(
-            self.config.exec.group_by.default_max_groups // ndev,
-            rows_per_shard * 2))
+        group_cap = self._dist_group_cap(node, ndev, rows_per_shard)
         # widen-and-retry ladder: shuffle-slot or receiver group-cap
         # overflow doubles the capacities and re-runs (reference:
         # Execute.cpp:2291 slot widening); exhausted -> GSPMD fallback
@@ -1056,9 +1071,7 @@ class Executor:
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
         rows_per_shard = max(1, nrows0 // ndev)
-        group_cap = max(64, min(
-            self.config.exec.group_by.default_max_groups // ndev,
-            rows_per_shard * 2))
+        group_cap = self._dist_group_cap(node, ndev, rows_per_shard)
         hot = self._probe_hot_key_share(keys, nrows0)
         split = hot > self.config.dist.heavy_hitter_threshold / ndev
         run = (dg.dist_groupby_distinct_split if split
@@ -1103,9 +1116,7 @@ class Executor:
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
         rows_per_shard = max(1, nrows0 // ndev)
-        group_cap = max(64, min(
-            self.config.exec.group_by.default_max_groups // ndev,
-            rows_per_shard * 2))
+        group_cap = self._dist_group_cap(node, ndev, rows_per_shard)
         slack = 2.0
         attempts = 3 if self.config.exec.allow_retry else 1
         self._dist_agg_route = "shuffled"

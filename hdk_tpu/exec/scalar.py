@@ -172,10 +172,29 @@ class ScalarCompiler:
                 return MaskedCol(udf.fn(*xs).astype(out_dt), mask)
             data, out_mask = udf.fn(*xs, mask)
             return MaskedCol(data.astype(out_dt), out_mask)
+        if e.name in ("lower", "upper") and e.args[0].type.is_dict_encoded_string():
+            return self._string_transform(e.name, e.args[0], vals[0])
         fn = _FUNCTIONS.get(e.name)
         if fn is None:
             raise ExecError(f"unknown function {e.name!r}")
         return MaskedCol(fn(*xs).astype(out_dt), mask)
+
+    def _string_transform(self, name: str, arg: ir.Expr,
+                          v: MaskedCol) -> MaskedCol:
+        """LOWER/UPPER on dict codes via a host-built code->code
+        translation into the SAME dictionary (reference: IR/Expr.h Lower
+        + StringDictionary transient additions).  Transformed strings
+        intern with get_or_add; the translation table is a trace-time
+        constant keyed by the dictionary generation."""
+        d = self.dicts.get(arg.type.dict_id)  # type: ignore[attr-defined]
+        xf = str.lower if name == "lower" else str.upper
+        mapping = np.asarray(
+            [d.get_or_add(xf(s)) for s in d.all_strings()], dtype=np.int32)
+        if mapping.size == 0:
+            return v
+        table = jnp.asarray(mapping)
+        codes = jnp.clip(v.data.astype(jnp.int32), 0, mapping.size - 1)
+        return MaskedCol(table[codes], v.mask)
 
     # ------------------------------------------------------------------
     def _constant(self, e: ir.Constant) -> MaskedCol:

@@ -1213,6 +1213,10 @@ class Binder:
 
     def _fn_type(self, name: str, args: List[ir.Expr]) -> t.Type:
         nullable = any(a.type.nullable for a in args)
+        if name in ("lower", "upper"):
+            if not args[0].type.is_dict_encoded_string():
+                raise SqlError(f"{name.upper()} requires a string column")
+            return args[0].type
         if name in ("sign",):
             return t.int32(nullable)
         if name in ("abs", "greatest", "least"):

@@ -153,3 +153,22 @@ def test_empty_filter_result(ht):
     out = ht.filter(ht["i"] > 100).run()
     assert out.row_count == 0
     assert out.to_pandas().shape[0] == 0
+
+
+def test_lower_upper(hdk):
+    ht = hdk.import_pydict({
+        "s": ["Apple", "BANANA", None, "Cherry", "apple"],
+    }, name="lu_t")
+    out = ht.proj(lo=ht["s"].lower(), up=ht["s"].upper()).run().to_pandas()
+    lo = [None if pd.isna(x) else x for x in out["lo"]]
+    up = [None if pd.isna(x) else x for x in out["up"]]
+    assert lo == ["apple", "banana", None, "cherry", "apple"]
+    assert up == ["APPLE", "BANANA", None, "CHERRY", "APPLE"]
+    # SQL path + grouping by the transformed column
+    res = hdk.sql(
+        "SELECT LOWER(s) AS l, COUNT(*) AS n FROM lu_t "
+        "GROUP BY LOWER(s) ORDER BY l").to_pandas()
+    l = [None if pd.isna(x) else x for x in res["l"]]
+    assert l in ([None, "apple", "banana", "cherry"],
+                 ["apple", "banana", "cherry", None])
+    assert sorted(res["n"].tolist()) == [1, 1, 1, 2]
