@@ -76,6 +76,10 @@ class ExecConfig:
     # MXU contraction (ops/onehot.py) measured 3x faster (9 ms vs 30 ms
     # at E=2816, 1e7 rows) — the kernel stays for A/B comparison
     prefer_pallas_groupby: bool = False
+    # opt-in: integer one-hot contractions run the VMEM-factored Pallas
+    # kernel (ops/pallas_hist.py) instead of the XLA einsum — one HBM
+    # pass over keys+slots; validate on real TPU before defaulting on
+    pallas_onehot: bool = False
     streaming_topn_max: int = 100000
     # (parallel_top_min dissolved: CPU-thread top-k tiling has no TPU
     # analog — lax.top_k is a single fused device op)

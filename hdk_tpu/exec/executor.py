@@ -271,6 +271,10 @@ class Executor:
         self.config = config
         self.udfs = udfs
         self.scalar = ScalarCompiler(dicts, udfs=udfs)
+        from ..ops import onehot as _onehot
+
+        _onehot.configure(pallas=config.exec.pallas_onehot,
+                          interpret=config.exec.interpret_pallas)
         self.code_cache = CodeCache()
         # probed perfect-hash layouts keyed by (plan, input buffers) —
         # avoids re-syncing min/max for repeated queries over the same

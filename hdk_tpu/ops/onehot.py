@@ -48,6 +48,18 @@ import jax.numpy as jnp
 _BLOCK = 8192   # rows per block; int block partials <= 255 * 8192 < 2^24
 _LANE = 128     # lo-side width (TPU lane count)
 
+# opt-in Pallas backend for the integer contraction (ops/pallas_hist.py:
+# builds the one-hot factors in VMEM, one HBM pass over gid+slots).
+# Configured per session via Executor.__init__ -> configure()
+_PALLAS = False
+_INTERPRET = False
+
+
+def configure(pallas: bool = False, interpret: bool = False) -> None:
+    global _PALLAS, _INTERPRET
+    _PALLAS = pallas
+    _INTERPRET = interpret
+
 # above this many segments the contraction's N*E work term loses to the
 # E-independent radix sort + span sums (measured crossover ~4-8k at 1e7
 # rows for the full aggregate mix; counts alone stay flat to 4096+)
@@ -152,7 +164,14 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
     out: List[Optional[jnp.ndarray]] = [None] * len(columns)
     for i, s in f64_out.items():
         out[i] = s
-    if int_slots:
+    if int_slots and _PALLAS and _pallas_ok(n, len(int_slots), gid):
+        tot = _pallas_int_sums(gid2.reshape(-1), int_slots, n)
+        for i, ids in int_plan:
+            acc = jnp.zeros((n,), jnp.int64)
+            for k, sid in enumerate(ids):
+                acc = acc + (tot[sid] << (8 * k))
+            out[i] = acc
+    elif int_slots:
         A, B = _onehots(gid2, n, jnp.bfloat16)
         stacked = jnp.stack(int_slots, axis=1)  # (nb, L, B)
         if A is None:
@@ -184,6 +203,30 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
         for i, sid in flt_plan:
             out[i] = tot[sid]
     return out  # type: ignore[return-value]
+
+
+def _pallas_ok(n: int, n_slots: int, gid: jnp.ndarray) -> bool:
+    from . import pallas_hist as ph
+
+    return ph.supported(n, n_slots, min(gid.shape[0], ph.ROW_CHUNK_LIMIT))
+
+
+def _pallas_int_sums(gid: jnp.ndarray, int_slots: List[jnp.ndarray],
+                     n: int) -> jnp.ndarray:
+    """(L, n) int64 via the VMEM-one-hot kernel, chunked so the int32
+    in-kernel accumulator cannot overflow (pallas_hist contract)."""
+    from . import pallas_hist as ph
+
+    slots = jnp.stack([s.reshape(-1) for s in int_slots], axis=1)
+    flat_g = gid.astype(jnp.int32)
+    total = None
+    for c0 in range(0, flat_g.shape[0], ph.ROW_CHUNK_LIMIT):
+        part = ph.seg_sums_exact(
+            flat_g[c0:c0 + ph.ROW_CHUNK_LIMIT],
+            slots[c0:c0 + ph.ROW_CHUNK_LIMIT], n,
+            interpret=_INTERPRET).astype(jnp.int64)
+        total = part if total is None else total + part
+    return total
 
 
 def seg_sum(vals: jnp.ndarray, gid: jnp.ndarray, n: int) -> jnp.ndarray:

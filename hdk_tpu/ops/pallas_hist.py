@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: FACTORED one-hot histogram (grouped COUNT/SUM).
+
+The XLA formulation of the factored contraction (ops/onehot.py) still
+materializes the two thin one-hot operands through HBM; this kernel
+builds them inside VMEM per row block, so the only HBM traffic is one
+pass over (gid, value-slots) plus the tiny output:
+
+    hi = gid // 128, lo = gid % 128
+    A[hi_n, B]  = (hi == iota)          (bf16, built in VMEM)
+    Bm[B, 128]  = (lo == iota)          (bf16, built in VMEM)
+    acc[l, hi_n, 128] += (A * slots[:, l]) @ Bm      (MXU, f32 -> int32)
+
+Exactness contract (same scheme as ops/onehot.py):
+  * slot values must be bf16-exact (|v| <= 255 integers — 8-bit limbs —
+    or 0/1 count columns): products are then exact in the MXU;
+  * per-block f32 accumulation is exact (<= 255 * block < 2^24);
+  * the cross-block accumulator is int32; callers must chunk rows so
+    255 * nrows_chunk < 2^31 (ROW_CHUNK_LIMIT) and combine chunk
+    outputs in int64.
+
+Reference semantics: GroupByRuntime.cpp:199-213 dense positional
+aggregation; the reference's GPU path uses shared-memory atomics — this
+is the systolic-array replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_BLOCK = 2048
+# 255 * ROW_CHUNK_LIMIT must stay below int32 overflow
+ROW_CHUNK_LIMIT = (1 << 31) // 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(gid_ref, vals_ref, out_ref, acc_ref, *, hi_n: int,
+            n_slots: int, block_rows: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    gid = gid_ref[...].reshape(block_rows)  # (B,) int32
+    vals = vals_ref[...]  # (B, n_slots) f32 (bf16-exact values)
+    hi = gid // _LANE
+    lo = gid % _LANE
+    # thin one-hots built in VMEM (never touch HBM)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (hi_n, block_rows), 0)
+    at = (a_iota == hi[None, :]).astype(jnp.bfloat16)  # (hi_n, B)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANE), 1)
+    bm = (b_iota == lo[:, None]).astype(jnp.bfloat16)  # (B, 128)
+    for l in range(n_slots):
+        scaled = at * vals[:, l].astype(jnp.bfloat16)[None, :]
+        part = jax.lax.dot_general(
+            scaled, bm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (hi_n, 128) exact
+        acc_ref[l, :, :] += part.astype(jnp.int32)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _emit():
+        out_ref[...] = acc_ref[...]
+
+
+def supported(n_entries: int, n_slots: int, nrows: int) -> bool:
+    hi_n = _round_up(n_entries, _LANE) // _LANE
+    if hi_n > 64 or n_slots > 16:
+        return False
+    return nrows <= ROW_CHUNK_LIMIT
+
+
+@functools.partial(jax.jit, static_argnames=("n_entries", "interpret"))
+def seg_sums_exact(gid: jnp.ndarray, slots: jnp.ndarray, n_entries: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """(L, n_entries) int32 sums of bf16-exact ``slots`` columns per
+    gid.  Rows with gid outside [0, n_entries) drop out.  ``slots`` is
+    (N, L) f32; N must be <= ROW_CHUNK_LIMIT (callers chunk)."""
+    nrows = gid.shape[0]
+    n_slots = slots.shape[1]
+    hi_n = max(1, _round_up(n_entries, _LANE) // _LANE)
+    padded_e = hi_n * _LANE
+    nb = max(1, math.ceil(nrows / _BLOCK))
+    pad = nb * _BLOCK - nrows
+    gid = gid.astype(jnp.int32)
+    if pad:
+        # padding rows point past the live range -> hi == hi_n matches
+        # no one-hot row, lo may alias but its A row is all-zero
+        gid = jnp.concatenate([gid, jnp.full((pad,), padded_e, jnp.int32)])
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((pad, n_slots), slots.dtype)])
+    gid = jnp.where((gid >= 0) & (gid < n_entries), gid, padded_e)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, hi_n=hi_n, n_slots=n_slots,
+                          block_rows=_BLOCK),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK, 1), lambda i: (i, i * 0)),
+            pl.BlockSpec((_BLOCK, n_slots), lambda i: (i, i * 0)),
+        ],
+        out_specs=pl.BlockSpec((n_slots, hi_n, _LANE),
+                               lambda i: (i * 0, i * 0, i * 0)),
+        out_shape=jax.ShapeDtypeStruct((n_slots, hi_n, _LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_slots, hi_n, _LANE), jnp.int32)],
+        interpret=interpret,
+    )(gid.reshape(-1, 1), slots.astype(jnp.float32))
+    return out.reshape(n_slots, padded_e)[:, :n_entries]
