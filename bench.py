@@ -151,6 +151,9 @@ def main():
         "detail_Mrows_per_sec": detail,
         "detail_latency_ms": lat,
         "baseline_oracle": baseline.get("oracle", "pandas"),
+        "timing": "pipelined_throughput (latency in detail_latency_ms; "
+                  "pandas baseline is synchronous, so its latency IS its "
+                  "throughput — see hdk_tpu/utils/benchtime.py)",
         "rows": rows,
     }))
 

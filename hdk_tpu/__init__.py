@@ -273,21 +273,39 @@ class HDK:
                                    null_propagation=null_propagation)
 
     def call(self, name: str, *args) -> "QueryExpr":
-        """Builder-side call of a registered UDF or scalar builtin."""
+        """Builder-side call of a registered UDF or scalar builtin.
+        Python literals become typed constants."""
+        from . import types as _t
         from .builder import QueryExpr
-        from .ir.expr import FunctionCall
+        from .ir.expr import Constant, Expr, FunctionCall
 
-        exprs = [a.expr if isinstance(a, QueryExpr) else a for a in args]
+        def as_expr(a):
+            if isinstance(a, QueryExpr):
+                return a.expr
+            if isinstance(a, Expr):
+                return a
+            if isinstance(a, bool):
+                return Constant(_t.boolean(False), a)
+            if isinstance(a, int):
+                return Constant(_t.int64(False), a)
+            if isinstance(a, float):
+                return Constant(_t.fp64(False), a)
+            raise TypeError(f"cannot pass {type(a).__name__} to call(); "
+                            "wrap strings/dates with hdk.cst()")
+
+        exprs = [as_expr(a) for a in args]
         udf = self._udfs.get(name)
         if udf is not None:
             nullable = any(e.type.nullable for e in exprs)
             out_t = udf.ret_type.with_nullable(
                 udf.ret_type.nullable or (udf.null_propagation and nullable))
             return QueryExpr(FunctionCall(out_t, name.lower(), exprs))
-        from . import types as _t
+        # builtin: reuse the SQL binder's result typing (lower/upper keep
+        # their dict-encoded type, sign -> int32, default fp64, ...)
+        from .sql.binder import Binder
 
-        nullable = any(e.type.nullable for e in exprs)
-        return QueryExpr(FunctionCall(_t.fp64(nullable), name.lower(), exprs))
+        out_t = Binder(self)._fn_type(name.lower(), exprs)
+        return QueryExpr(FunctionCall(out_t, name.lower(), exprs))
 
     @property
     def config(self) -> Config:

@@ -134,11 +134,13 @@ def dist_join_strategy(lhs_rows: int, rhs_rows: int, n_dev: int,
     """'broadcast' replicates the build side to every shard (cheap when
     the build side is small: n_dev * rhs bytes over ICI); 'partition'
     shuffles both sides by key hash (each row crosses ICI once).
-    Reference analog: per-device replicas in PerfectJoinHashTable.cpp
-    vs partitioned fragments."""
-    if rhs_rows <= broadcast_limit:
-        return "broadcast"
-    # broadcast moves rhs to all devices; partition moves each side once
-    if rhs_rows * (n_dev - 1) < (lhs_rows + rhs_rows):
-        return "broadcast"
-    return "partition"
+    ``broadcast_limit`` is a per-device MEMORY cap on the replicated
+    build side — ICI traffic alone must not override it (a 5e8-row
+    build replicated per device would exhaust HBM).  Reference analog:
+    per-device replicas in PerfectJoinHashTable.cpp vs partitioned
+    fragments."""
+    if rhs_rows > broadcast_limit:
+        return "partition"
+    # within the cap the replicated build wins: one collective, no
+    # probe-side shuffle, and the per-device table stays small
+    return "broadcast"

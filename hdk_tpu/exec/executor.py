@@ -271,10 +271,6 @@ class Executor:
         self.config = config
         self.udfs = udfs
         self.scalar = ScalarCompiler(dicts, udfs=udfs)
-        from ..ops import onehot as _onehot
-
-        _onehot.configure(pallas=config.exec.pallas_onehot,
-                          interpret=config.exec.interpret_pallas)
         self.code_cache = CodeCache()
         # probed perfect-hash layouts keyed by (plan, input buffers) —
         # avoids re-syncing min/max for repeated queries over the same
@@ -315,7 +311,13 @@ class Executor:
     # ------------------------------------------------------------------
     def execute(self, dag: nd.QueryDag) -> ExecTable:
         from ..utils import logger as hlog
+        from ..ops import onehot as _onehot
 
+        # per-query (not per-session): the backend flags are module
+        # state shared by all sessions in the process, so each query
+        # asserts its own session's choice before tracing
+        _onehot.configure(pallas=self.config.exec.pallas_onehot,
+                          interpret=self.config.exec.interpret_pallas)
         with hlog.query_context():
             return self._execute_logged(dag)
 
@@ -470,11 +472,15 @@ class Executor:
         dictionary invalidates compiled steps (reference: string dict
         generations, StringDictionaryGenerations)."""
         ids = set()
+        uses_udf = [False]
 
         def scan_expr(e: ir.Expr):
             typ = e.type
             if typ.is_dict_encoded_string():
                 ids.add(typ.dict_id)  # type: ignore[attr-defined]
+            if (isinstance(e, ir.FunctionCall) and self.udfs is not None
+                    and self.udfs.get(e.name) is not None):
+                uses_udf[0] = True
             for o in e.operands():
                 scan_expr(o)
 
@@ -492,9 +498,10 @@ class Executor:
                     scan_expr(l)
                     scan_expr(r)
         # UDF registry generation: re-registering a name must invalidate
-        # compiled steps that traced the old function body (udf.py)
-        udf_sig = (f"/u{self.udfs.generation}"
-                   if self.udfs is not None and self.udfs else "")
+        # compiled steps that traced the old function body (udf.py) —
+        # but ONLY plans that actually call a UDF; unrelated plans keep
+        # their compiled programs across registrations
+        udf_sig = f"/u{self.udfs.generation}" if uses_udf[0] else ""
         if not ids:
             return udf_sig
         return ";".join(f"d{i}:{len(self.dicts.get(i))}"
@@ -1180,6 +1187,19 @@ class Executor:
         if not all(a.kind in _COMBINE and not a.distinct
                    and a.kind != ir.AggKind.APPROX_QUANTILE
                    for a in node.aggs):
+            return None
+        # window functions see ALL rows by definition — a per-chunk
+        # evaluation would restart them at every chunk boundary
+        from .optimizer import _contains_window
+
+        for n_ in chain:
+            exprs = (n_.exprs if isinstance(n_, nd.Project)
+                     else [n_.condition])
+            if any(_contains_window(e) for e in exprs):
+                return None
+        if any(_contains_window(e)
+               for e in list(node.keys)
+               + [a.operand for a in node.aggs if a.operand is not None]):
             return None
         table = src_node.table
         frags = table.fragments

@@ -157,8 +157,12 @@ def _seg_sum(vals, gid, n, sorted_):
         return jnp.stack([
             jnp.sum(jnp.where(_bcast(gid == g, v64), v64, zero), axis=0)
             for g in range(n)])
-    if n <= onehot.SEGMENT_LIMIT:
+    if vals.ndim == 1 and n <= onehot.SEGMENT_LIMIT:
         return onehot.seg_sum(vals, gid, n)
+    # multi-dim slot matrices (HLL registers, t-digest centroids) keep
+    # the single scatter op: the one-hot path would unroll one
+    # contraction per trailing column (thousands for a 2^p register
+    # matrix), exploding trace and compile time
     return jax.ops.segment_sum(vals.astype(acc_t), gid, num_segments=n,
                                indices_are_sorted=sorted_)
 
@@ -169,7 +173,7 @@ def _seg_min(vals, gid, n, sorted_):
         return jnp.stack([
             jnp.min(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
             for g in range(n)])
-    if n <= onehot.SEGMENT_LIMIT:
+    if vals.ndim == 1 and n <= onehot.SEGMENT_LIMIT:
         return onehot.seg_min(vals, gid, n,
                               _minmax_identity(vals.dtype, True))
     return jax.ops.segment_min(vals, gid, num_segments=n,
@@ -182,7 +186,7 @@ def _seg_max(vals, gid, n, sorted_):
         return jnp.stack([
             jnp.max(jnp.where(_bcast(gid == g, vals), vals, ident), axis=0)
             for g in range(n)])
-    if n <= onehot.SEGMENT_LIMIT:
+    if vals.ndim == 1 and n <= onehot.SEGMENT_LIMIT:
         return onehot.seg_max(vals, gid, n,
                               _minmax_identity(vals.dtype, False))
     return jax.ops.segment_max(vals, gid, num_segments=n,

@@ -233,10 +233,21 @@ def _push_once(f: nd.Filter) -> Optional[nd.Node]:
             cond = _subst_refs(_and_all(r_push), inp,
                                lambda i: rhs.ref(i - n_l))
             new_r = nd.Filter(rhs, cond)
+
         def remap_side(e):
+            # refs to the join's output rebind positionally; refs to the
+            # ORIGINAL children (key pairs and residuals are expressed
+            # against lhs/rhs directly) must move onto the new Filter
+            # wrappers — the executor rebinds them by node identity
             def repl(i):
                 return (new_l.ref(i) if i < n_l else new_r.ref(i - n_l))
-            return _subst_refs(e, inp, repl)
+            e = _subst_refs(e, inp, repl)
+            if new_l is not lhs:
+                e = _subst_refs(e, lhs, lambda i: new_l.ref(i))
+            if new_r is not rhs:
+                e = _subst_refs(e, rhs, lambda i: new_r.ref(i))
+            return e
+
         pairs = [(remap_side(l), remap_side(r)) for l, r in inp.key_pairs]
         residual = (remap_side(inp.residual)
                     if inp.residual is not None else None)

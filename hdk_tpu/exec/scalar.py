@@ -174,6 +174,17 @@ class ScalarCompiler:
             return MaskedCol(data.astype(out_dt), out_mask)
         if e.name in ("lower", "upper") and e.args[0].type.is_dict_encoded_string():
             return self._string_transform(e.name, e.args[0], vals[0])
+        if e.name == "char_length" and e.args[0].type.is_dict_encoded_string():
+            d = self.dicts.get(e.args[0].type.dict_id)
+            lens = np.asarray([len(s_) for s_ in d.all_strings()],
+                              dtype=np.int32)
+            if lens.size == 0:
+                return MaskedCol(jnp.zeros(vals[0].data.shape, jnp.int32),
+                                 mask)
+            table = jnp.asarray(lens)
+            codes = jnp.clip(vals[0].data.astype(jnp.int32), 0,
+                             lens.size - 1)
+            return MaskedCol(table[codes], mask)
         fn = _FUNCTIONS.get(e.name)
         if fn is None:
             raise ExecError(f"unknown function {e.name!r}")

@@ -144,14 +144,11 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
     int_plan: List[Tuple[int, List[int]]] = []  # (col idx, limb slot ids)
     flt_slots: List[jnp.ndarray] = []
     flt_plan: List[Tuple[int, int]] = []
-    f64_out = {}
+    f64_ids: List[int] = []
     for i, v2 in enumerate(cols2):
         if jnp.issubdtype(v2.dtype, jnp.floating):
             if v2.dtype == jnp.float64:
-                hit = (gid2[:, :, None]
-                       == jnp.arange(n, dtype=gid2.dtype)[None, None, :])
-                sel = jnp.where(hit, v2[:, :, None], jnp.float64(0))
-                f64_out[i] = jnp.sum(jnp.sum(sel, axis=1), axis=0)
+                f64_ids.append(i)
             else:
                 flt_plan.append((i, len(flt_slots)))
                 flt_slots.append(v2.astype(jnp.float32))
@@ -162,44 +159,72 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
             int_slots.extend(limbs)
 
     out: List[Optional[jnp.ndarray]] = [None] * len(columns)
-    for i, s in f64_out.items():
-        out[i] = s
-    if int_slots and _PALLAS and _pallas_ok(n, len(int_slots), gid):
+    use_pallas = (int_slots and _PALLAS
+                  and _pallas_ok(n, len(int_slots), gid))
+    int_stacked = (jnp.stack(int_slots, axis=1)
+                   if int_slots and not use_pallas else None)
+    flt_stacked = jnp.stack(flt_slots, axis=1) if flt_slots else None
+
+    # row-chunked passes: the one-hot operands / f64 selects are bounded
+    # per pass (~4M rows) so transients never scale with total rows
+    nbp = max(1, (1 << 22) // _BLOCK)
+    int_tot = flt_tot = None
+    f64_tot = {i: None for i in f64_ids}
+
+    def add(a, b):
+        return b if a is None else a + b
+
+    for b0 in range(0, nb, nbp):
+        g = gid2[b0:b0 + nbp]
+        for i in f64_ids:
+            hit = (g[:, :, None]
+                   == jnp.arange(n, dtype=g.dtype)[None, None, :])
+            sel = jnp.where(hit, cols2[i][b0:b0 + nbp][:, :, None],
+                            jnp.float64(0))
+            f64_tot[i] = add(f64_tot[i], jnp.sum(jnp.sum(sel, axis=1),
+                                                 axis=0))
+        if int_stacked is not None:
+            A, B = _onehots(g, n, jnp.bfloat16)
+            chunk = int_stacked[b0:b0 + nbp]
+            if A is None:
+                part = jnp.einsum('nkb,nbl->nkl', chunk, B,
+                                  preferred_element_type=jnp.float32)
+            else:
+                part = jnp.einsum('nkb,nbh,nbl->nkhl', chunk, A, B,
+                                  preferred_element_type=jnp.float32)
+            int_tot = add(int_tot, jnp.sum(part.astype(jnp.int64), axis=0))
+        if flt_stacked is not None:
+            A, B = _onehots(g, n, jnp.float32)
+            chunk = flt_stacked[b0:b0 + nbp]
+            if A is None:
+                part = jnp.einsum('nkb,nbl->nkl', chunk, B,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+            else:
+                part = jnp.einsum('nkb,nbh,nbl->nkhl', chunk, A, B,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+            flt_tot = add(flt_tot,
+                          jnp.sum(part.astype(jnp.float64), axis=0))
+
+    for i in f64_ids:
+        out[i] = f64_tot[i]
+    if use_pallas:
         tot = _pallas_int_sums(gid2.reshape(-1), int_slots, n)
         for i, ids in int_plan:
             acc = jnp.zeros((n,), jnp.int64)
             for k, sid in enumerate(ids):
                 acc = acc + (tot[sid] << (8 * k))
             out[i] = acc
-    elif int_slots:
-        A, B = _onehots(gid2, n, jnp.bfloat16)
-        stacked = jnp.stack(int_slots, axis=1)  # (nb, L, B)
-        if A is None:
-            part = jnp.einsum('nkb,nbl->nkl', stacked, B,
-                              preferred_element_type=jnp.float32)
-        else:
-            part = jnp.einsum('nkb,nbh,nbl->nkhl', stacked, A, B,
-                              preferred_element_type=jnp.float32)
-        tot = jnp.sum(part.astype(jnp.int64), axis=0)  # (L, [HI,] LO)
-        tot = tot.reshape(tot.shape[0], hi_n * lo_n)[:, :n]
+    elif int_tot is not None:
+        tot = int_tot.reshape(int_tot.shape[0], hi_n * lo_n)[:, :n]
         for i, ids in int_plan:
             acc = jnp.zeros((n,), jnp.int64)
             for k, sid in enumerate(ids):
                 acc = acc + (tot[sid] << (8 * k))
             out[i] = acc
-    if flt_slots:
-        A, B = _onehots(gid2, n, jnp.float32)
-        stacked = jnp.stack(flt_slots, axis=1)
-        if A is None:
-            part = jnp.einsum('nkb,nbl->nkl', stacked, B,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-        else:
-            part = jnp.einsum('nkb,nbh,nbl->nkhl', stacked, A, B,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-        tot = jnp.sum(part.astype(jnp.float64), axis=0)
-        tot = tot.reshape(tot.shape[0], hi_n * lo_n)[:, :n]
+    if flt_tot is not None:
+        tot = flt_tot.reshape(flt_tot.shape[0], hi_n * lo_n)[:, :n]
         for i, sid in flt_plan:
             out[i] = tot[sid]
     return out  # type: ignore[return-value]

@@ -1191,8 +1191,12 @@ class Binder:
                 t.int64(a.type.nullable or c.type.nullable), fld, a, c)
         if name == "key_for_string":
             return ir.KeyForString(b(e.args[0]))
-        if name == "length" or name == "char_length":
-            raise SqlError("string LENGTH is not supported on device columns")
+        if name in ("length", "char_length"):
+            a = b(e.args[0])
+            if not a.type.is_dict_encoded_string():
+                raise SqlError(f"{name.upper()} requires a string column")
+            return ir.FunctionCall(t.int32(a.type.nullable), "char_length",
+                                   [a])
         # registered UDF (udf.py; reference: UdfCompiler.h)
         udfs = getattr(self.session, "_udfs", None)
         udf = udfs.get(name) if udfs is not None else None

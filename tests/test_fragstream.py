@@ -81,3 +81,12 @@ def test_holistic_aggs_bypass_stream(hdk, ht, data):
         i_count_distinct=("i", "nunique")).reset_index()
     exp["i_count_distinct"] = exp["i_count_distinct"].astype(np.int64)
     assert_frames_match(res, exp)
+
+
+def test_window_in_chain_bypasses_stream(hdk, ht, data):
+    """Window functions see all rows; the chunked path must refuse them
+    (review finding: ROW_NUMBER restarted per chunk)."""
+    q = ht.proj(g=ht["g"],
+                rn=hdk.row_number().over().order_by(ht["v"], ht["rowid"]))
+    res = q.agg("g", "max(rn)").run().to_pandas()
+    assert res["rn_max"].max() == len(data)

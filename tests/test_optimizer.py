@@ -163,3 +163,18 @@ def test_estimate_rows():
     assert cost.estimate_rows(scan) == 1000.0
     srt = nd.Sort(scan, [], limit=10)
     assert cost.estimate_rows(srt) == 10.0
+
+
+def test_pushdown_preserves_residual_join(hdk, big, small):
+    """Rhs-side pushdown must rebind residual ON refs onto the Filter
+    wrapper (review finding: raw-index fallback read an lhs column)."""
+    # residual via SQL (ON with an extra non-equi conjunct)
+    res = hdk.sql(
+        "SELECT COUNT(*) AS n FROM opt_big a JOIN opt_small b "
+        "ON a.k = b.k AND a.v < b.w WHERE b.w > 10").to_pandas()
+    bdf = big.run().to_pandas()
+    sdf = small.run().to_pandas()
+    m = bdf.merge(sdf.rename(columns={"k": "k2"}), left_on="k",
+                  right_on="k2")
+    want = int(((m.v < m.w) & (m.w > 10)).sum())
+    assert int(res["n"].iloc[0]) == want and want > 0

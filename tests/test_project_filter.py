@@ -172,3 +172,11 @@ def test_lower_upper(hdk):
     assert l in ([None, "apple", "banana", "cherry"],
                  ["apple", "banana", "cherry", None])
     assert sorted(res["n"].tolist()) == [1, 1, 1, 2]
+
+
+def test_char_length(hdk):
+    ht = hdk.import_pydict({"s": ["a", "abc", None, ""]}, name="cl_t")
+    out = hdk.sql("SELECT CHAR_LENGTH(s) AS n, LENGTH(s) AS m FROM cl_t")\
+        .to_pandas()
+    n = [None if pd.isna(x) else int(x) for x in out["n"]]
+    assert n == [1, 3, None, 0]
