@@ -251,6 +251,19 @@ class QueryExpr:
     def regexp(self, pattern: str) -> "QueryExpr":
         return QueryExpr(ir.LikeExpr(self.expr, pattern, None, False, True))
 
+    def cardinality(self) -> "QueryExpr":
+        """Element count of an array value (reference: IR/Expr.h
+        Cardinality)."""
+        return QueryExpr(ir.FunctionCall(
+            t.int32(self.expr.type.nullable), "cardinality", [self.expr]))
+
+    def at(self, index: int) -> "QueryExpr":
+        """Array subscript (0-based); out-of-range -> NULL."""
+        elem = self.expr.type.elem_type.with_nullable(True)
+        return QueryExpr(ir.FunctionCall(
+            elem, "array_at",
+            [self.expr, ir.Constant(t.int32(False), int(index))]))
+
     def lower(self) -> "QueryExpr":
         """reference: IR/Expr.h Lower (dict-code translation on device)."""
         return QueryExpr(ir.FunctionCall(self.expr.type, "lower", [self.expr]))
@@ -601,6 +614,12 @@ class QueryNode:
 
     def union_all(self, *others: "QueryNode") -> "QueryNode":
         return self._wrap(nd.LogicalUnion([self.node] + [o.node for o in others]))
+
+    def unnest(self, column: str) -> "QueryNode":
+        """Explode an array column into one row per element (reference:
+        Calcite UNNEST; arrays come from list ingest or TOP_K/BOTTOM_K)."""
+        return self._wrap(nd.Unnest(self.node,
+                                    self.node.fields.index(column)))
 
     # -- execution ---------------------------------------------------------
     def run(self, **options):

@@ -596,7 +596,46 @@ class Executor:
             return self._exec_union(node, results)
         if isinstance(node, nd.LogicalValues):
             return self._exec_values(node)
+        if isinstance(node, nd.Unnest):
+            return self._exec_unnest(node, results)
         raise ExecError(f"cannot execute node {node!r}")
+
+    def _exec_unnest(self, node: nd.Unnest, results) -> ExecTable:
+        """Explode a fixed-width array column: nrows * width output rows
+        (row-major: parent row, then element), absent elements dead via
+        the row_mask — static shapes, no host sync."""
+        src = self._materialize_input(node.inputs[0], results)
+        fi = node.field_index
+        arr = src.columns[fi]
+        if arr.data.ndim != 2:
+            raise ExecError("UNNEST input is not an array column")
+        n, k = arr.data.shape
+
+        key = (f"unnest/{_schema_sig(src)}/{fi}/{n}x{k}")
+        def build():
+            def fn(cols, row_mask):
+                a = cols[fi]
+                out = []
+                for i, c in enumerate(cols):
+                    if i == fi:
+                        out.append(MaskedCol(a.data.reshape(n * k), None))
+                    else:
+                        out.append(MaskedCol(
+                            jnp.repeat(c.data, k, axis=0),
+                            jnp.repeat(c.mask, k, axis=0)
+                            if c.mask is not None else None))
+                elem_live = (a.mask.reshape(n * k) if a.mask is not None
+                             else jnp.ones((n * k,), jnp.bool_))
+                if row_mask is not None:
+                    elem_live = elem_live & jnp.repeat(row_mask, k)
+                return out, elem_live
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, live = fn(list(src.columns), src.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, n * k, live)
 
     # ------------------------------------------------------------------
     def _exec_scan(self, node: nd.Scan) -> ExecTable:

@@ -44,6 +44,8 @@ def _node_line(node: nd.Node) -> str:
         lim = f", limit={node.limit}" if node.limit is not None else ""
         off = f", offset={node.offset}" if node.offset else ""
         return f"Sort({sf}{lim}{off})"
+    if isinstance(node, nd.Unnest):
+        return f"Unnest({node.fields[node.field_index]})"
     if isinstance(node, nd.LogicalUnion):
         return "UnionAll"
     if isinstance(node, nd.LogicalValues):

@@ -101,13 +101,8 @@ def to_storage_table(table: ExecTable, table_id: int, name: str,
     for i, (fname, typ, col) in enumerate(
             zip(table.fields, table.types, table.columns)):
         data, mask = _host(col)
-        if data.ndim == 2:  # array-valued aggregate -> host object lists
-            lists = np.empty(len(data), dtype=object)
-            for j in range(len(data)):
-                row = data[j][mask[j]] if mask is not None else data[j]
-                lists[j] = row.tolist()
-            cols.append(Column(ColumnInfo(table_id, i, fname, typ), lists))
-            continue
+        # 2D array columns stay fixed-width device-shaped (rows x width)
+        # with their element mask — scans re-upload them directly
         cols.append(Column(ColumnInfo(table_id, i, fname, typ), data, mask))
     if not cols:
         cols = [Column(ColumnInfo(table_id, 0, "dummy", t.int64(False)),

@@ -72,6 +72,8 @@ def _rebuild_node(node: nd.Node, new_inputs, mapping) -> nd.Node:
                        residual)
     if isinstance(node, nd.Sort):
         return nd.Sort(new_inputs[0], node.sort_fields, node.limit, node.offset)
+    if isinstance(node, nd.Unnest):
+        return nd.Unnest(new_inputs[0], node.field_index)
     if isinstance(node, nd.LogicalUnion):
         return nd.LogicalUnion(new_inputs, node.all)
     if isinstance(node, nd.LogicalValues):

@@ -172,6 +172,25 @@ class ScalarCompiler:
                 return MaskedCol(udf.fn(*xs).astype(out_dt), mask)
             data, out_mask = udf.fn(*xs, mask)
             return MaskedCol(data.astype(out_dt), out_mask)
+        if e.name == "cardinality" and e.args[0].type.is_array():
+            a = vals[0]
+            if a.data.ndim != 2:
+                raise ExecError("CARDINALITY requires an array column")
+            cnt = (jnp.sum(a.mask, axis=1).astype(jnp.int32)
+                   if a.mask is not None
+                   else jnp.full(a.data.shape[:1], a.data.shape[1],
+                                 jnp.int32))
+            return MaskedCol(cnt, None)
+        if e.name == "array_at" and e.args[0].type.is_array():
+            a = vals[0]
+            idx = int(e.args[1].value)  # type: ignore[attr-defined]
+            k = a.data.shape[1]
+            if idx < 0 or idx >= k:
+                z = jnp.zeros(a.data.shape[:1], a.data.dtype)
+                return MaskedCol(z.astype(out_dt),
+                                 jnp.zeros(a.data.shape[:1], jnp.bool_))
+            m = a.mask[:, idx] if a.mask is not None else None
+            return MaskedCol(a.data[:, idx].astype(out_dt), m)
         if e.name in ("lower", "upper") and e.args[0].type.is_dict_encoded_string():
             return self._string_transform(e.name, e.args[0], vals[0])
         if e.name == "char_length" and e.args[0].type.is_dict_encoded_string():

@@ -237,6 +237,30 @@ class Sort(Node):
         return self.inputs[0].output_types
 
 
+class Unnest(Node):
+    """Explode one array column into rows (reference: Calcite UNNEST /
+    IR ArrayExpr consumers).  Output schema = input schema with the
+    array column's type replaced by its element type; every other
+    column repeats per element.  Static-shape friendly: the executor
+    emits nrows * width rows with absent elements masked dead."""
+
+    def __init__(self, input_node: Node, field_index: int) -> None:
+        super().__init__([input_node])
+        typ = input_node.output_types[field_index]
+        assert typ.is_array(), "UNNEST requires an array column"
+        self.field_index = field_index
+        self._types = list(input_node.output_types)
+        self._types[field_index] = typ.elem_type.with_nullable(True)  # type: ignore[attr-defined]
+
+    @property
+    def fields(self):
+        return self.inputs[0].fields
+
+    @property
+    def output_types(self):
+        return self._types
+
+
 class LogicalUnion(Node):
     """reference: IR/Node.h:849 (UNION ALL)."""
 

@@ -1221,6 +1221,10 @@ class Binder:
             if not args[0].type.is_dict_encoded_string():
                 raise SqlError(f"{name.upper()} requires a string column")
             return args[0].type
+        if name == "cardinality":
+            if not args[0].type.is_array():
+                raise SqlError("CARDINALITY requires an array column")
+            return t.int32(args[0].type.nullable)
         if name in ("sign",):
             return t.int32(nullable)
         if name in ("abs", "greatest", "least"):

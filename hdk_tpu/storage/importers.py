@@ -77,6 +77,30 @@ def _from_numpy(
     return typ, arr, validity
 
 
+def _from_lists(values, declared: Optional[t.Type]):
+    """List-of-lists column -> fixed-width (rows, width) array data with
+    an element-validity mask (reference: FixedLenArray/VarLenArray —
+    varlen pads to the max width; NULL rows read back as empty)."""
+    lists = [None if v is None else np.asarray(v) for v in values]
+    live = [l for l in lists if l is not None and l.size]
+    width = max((l.shape[0] for l in lists if l is not None), default=1)
+    width = max(width, 1)
+    if declared is not None and declared.is_array():
+        elem_t = declared.elem_type  # type: ignore[attr-defined]
+        dt = elem_t.physical_dtype()
+    else:
+        dt = np.result_type(*[l.dtype for l in live]) if live else np.int64
+        elem_t = t.from_numpy_dtype(np.dtype(dt))
+    data = np.zeros((len(lists), width), dt)
+    mask = np.zeros((len(lists), width), np.bool_)
+    for i, l in enumerate(lists):
+        if l is None or l.size == 0:
+            continue
+        data[i, :l.shape[0]] = l.astype(dt)
+        mask[i, :l.shape[0]] = True
+    return t.array(elem_t, nullable=True), data, mask
+
+
 def columns_from_pydict(
     data: Dict[str, Sequence],
     dicts: DictionaryRegistry,
@@ -85,6 +109,12 @@ def columns_from_pydict(
     out = []
     for name, values in data.items():
         declared = (schema or {}).get(name)
+        if (not isinstance(values, np.ndarray)
+                and any(isinstance(v, (list, tuple, np.ndarray))
+                        for v in values)):
+            typ, arr2d, emask = _from_lists(list(values), declared)
+            out.append((name, typ, arr2d, emask))
+            continue
         if isinstance(values, np.ndarray):
             arr = values
             validity = None

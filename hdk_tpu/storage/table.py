@@ -62,7 +62,10 @@ class Column:
         data: np.ndarray,
         validity: Optional[np.ndarray] = None,
     ) -> None:
-        assert data.ndim == 1
+        # ndim == 2: fixed-width array column (rows x width) with a
+        # same-shape element-validity mask (reference: FixedLenArray;
+        # varlen lists pad to the max width at ingest)
+        assert data.ndim in (1, 2)
         if validity is not None:
             assert validity.dtype == np.bool_ and validity.shape == data.shape
             if bool(validity.all()):
@@ -116,6 +119,8 @@ class Column:
             device_cache_manager().note_drop(self)
 
     def fragment_stats(self, row_start: int, row_end: int) -> FragmentStats:
+        if self.data.ndim > 1:  # array columns carry no range stats
+            return FragmentStats(row_start, row_end, None, None, 0)
         sl = self.data[row_start:row_end]
         if self.validity is not None:
             v = self.validity[row_start:row_end]
@@ -123,7 +128,8 @@ class Column:
             sl = sl[v]
         else:
             nulls = 0
-        if sl.size == 0 or sl.dtype == object or sl.dtype == np.bool_:
+        if (sl.size == 0 or sl.dtype == object or sl.dtype == np.bool_
+                or sl.ndim > 1):
             return FragmentStats(row_start, row_end, None, None, nulls)
         return FragmentStats(row_start, row_end, sl.min().item(), sl.max().item(), nulls)
 

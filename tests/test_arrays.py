@@ -1,0 +1,68 @@
+"""Array columns: list ingest, CARDINALITY, subscript, UNNEST
+(reference: IR/Type.h FixedLen/VarLenArray, IR/Expr.h ArrayExpr/
+Cardinality, Calcite UNNEST)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture()
+def hdk():
+    return hdk_tpu.HDK()
+
+
+@pytest.fixture()
+def ht(hdk):
+    return hdk.import_pydict({
+        "id": [1, 2, 3, 4],
+        "xs": [[1, 2, 3], [4], None, [5, 6]],
+    }, name="arr_t")
+
+
+def test_array_ingest_roundtrip(ht):
+    out = ht.run().to_pandas()
+    assert [list(x) for x in out["xs"]] == [[1, 2, 3], [4], [], [5, 6]]
+
+
+def test_cardinality(hdk, ht):
+    out = ht.proj(id=ht["id"], n=ht["xs"].cardinality()).run().to_pandas()
+    assert out["n"].tolist() == [3, 1, 0, 2]
+    res = hdk.sql("SELECT CARDINALITY(xs) AS n FROM arr_t").to_pandas()
+    assert res["n"].tolist() == [3, 1, 0, 2]
+
+
+def test_subscript(ht):
+    out = ht.proj(a0=ht["xs"].at(0), a2=ht["xs"].at(2)).run().to_pandas()
+    assert out["a0"].tolist()[:2] == [1, 4]
+    assert pd.isna(out["a0"].iloc[2])
+    assert out["a2"].iloc[0] == 3
+    assert pd.isna(out["a2"].iloc[1])
+
+
+def test_unnest(ht):
+    out = ht.unnest("xs").run().to_pandas()
+    assert out["id"].tolist() == [1, 1, 1, 2, 4, 4]
+    assert out["xs"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_unnest_then_aggregate(hdk, ht):
+    out = (ht.unnest("xs").agg("id", "count", "sum(xs)").run().to_pandas())
+    exp = pd.DataFrame({"id": [1, 2, 4], "count": [3, 1, 2],
+                        "xs_sum": [6, 4, 11]})
+    assert_frames_match(out, exp)
+
+
+def test_topk_result_chain_unnest(hdk):
+    rng = np.random.default_rng(5)
+    t2 = hdk.import_pydict({
+        "g": rng.integers(0, 3, 100),
+        "v": rng.integers(0, 1000, 100),
+    }, name="arr_src")
+    res = t2.agg("g", t2["v"].top_k(3).name("t")).run()
+    sc = res.scan
+    out = sc.unnest("t").run().to_pandas()
+    assert len(out) == 9
