@@ -140,6 +140,8 @@ class TableRef:
     name: Optional[str] = None
     alias: Optional[str] = None
     subquery: Optional["Query"] = None
+    # UNNEST(t.col) in FROM: (table_or_None, column)
+    unnest: Optional[tuple] = None
 
     @property
     def bind_name(self) -> str:

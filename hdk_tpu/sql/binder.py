@@ -165,6 +165,23 @@ class Binder:
         node, scope = self._bind_table(stmt.from_table)
         pending_cross: List[Tuple[nd.Node, Scope, str]] = []
         for join in stmt.joins:
+            if join.table.unnest is not None:
+                # FROM t, UNNEST(t.xs) AS e — lateral array explode
+                # (reference: Calcite UNNEST); maps to the Unnest node
+                if join.kind != "cross":
+                    raise SqlError("UNNEST must follow a comma or CROSS JOIN")
+                utbl, ucol = join.table.unnest
+                idx = scope.resolve(ucol, utbl)
+                if not node.output_types[idx].is_array():
+                    raise SqlError(f"UNNEST argument {ucol!r} is not an array")
+                node = nd.Unnest(node, idx)
+                if join.table.alias:
+                    exprs = [node.ref(i) for i in range(node.size())]
+                    exprs.append(node.ref(idx))
+                    node = nd.Project(node, exprs,
+                                      list(node.fields) + [join.table.alias])
+                    scope = Scope(scope.entries + [(None, [join.table.alias])])
+                continue
             rnode, rscope = self._bind_table(join.table)
             if join.kind == "cross":
                 pending_cross.append((rnode, rscope, join.table.bind_name))

@@ -233,6 +233,18 @@ class Parser:
                 alias = self.advance().value
             return A.TableRef(alias=alias, subquery=sub)
         name = self.expect_ident()
+        if name.lower() == "unnest" and self.accept_op("("):
+            first = self.expect_ident()
+            tbl, col = None, first
+            if self.accept_op("."):
+                tbl, col = first, self.expect_ident()
+            self.expect_op(")")
+            ref = A.TableRef(unnest=(tbl, col))
+            if self.accept_kw("as"):
+                ref.alias = self.expect_ident()
+            elif self.cur.kind == "ident":
+                ref.alias = self.advance().value
+            return ref
         ref = A.TableRef(name=name)
         if self.accept_kw("as"):
             ref.alias = self.expect_ident()

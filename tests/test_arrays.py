@@ -66,3 +66,15 @@ def test_topk_result_chain_unnest(hdk):
     sc = res.scan
     out = sc.unnest("t").run().to_pandas()
     assert len(out) == 9
+
+
+def test_sql_unnest(hdk, ht):
+    res = hdk.sql(
+        "SELECT id, e FROM arr_t, UNNEST(xs) AS e ORDER BY id, e").to_pandas()
+    assert res["id"].tolist() == [1, 1, 1, 2, 4, 4]
+    assert res["e"].tolist() == [1, 2, 3, 4, 5, 6]
+    agg = hdk.sql(
+        "SELECT id, COUNT(*) AS n, SUM(e) AS s FROM arr_t, "
+        "UNNEST(arr_t.xs) AS e GROUP BY id ORDER BY id").to_pandas()
+    assert agg["n"].tolist() == [3, 1, 2]
+    assert agg["s"].tolist() == [6, 4, 11]
