@@ -163,6 +163,16 @@ def _arrow_column(
         data = np.asarray(filled, dtype=np_dtype)
         return typ.with_nullable(nullable), data, validity
 
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        # list columns -> fixed-width array storage (reference:
+        # FixedLen/VarLenArray ingest, ArrowStorageUtils)
+        comb = arr.combine_chunks()
+        if isinstance(comb, pa.ChunkedArray):
+            comb = (comb.chunk(0) if comb.num_chunks == 1
+                    else pa.concat_arrays([comb.chunk(i)
+                                           for i in range(comb.num_chunks)]))
+        lists = comb.to_pylist()
+        return _from_lists(lists, declared)
     if pa.types.is_boolean(at):
         return fixed(np.bool_, t.boolean())
     if pa.types.is_integer(at):

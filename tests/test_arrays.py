@@ -78,3 +78,26 @@ def test_sql_unnest(hdk, ht):
         "UNNEST(arr_t.xs) AS e GROUP BY id ORDER BY id").to_pandas()
     assert agg["n"].tolist() == [3, 1, 2]
     assert agg["s"].tolist() == [6, 4, 11]
+
+
+def test_arrow_and_parquet_list_ingest(hdk, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "id": [1, 2, 3],
+        "xs": pa.array([[1.5, 2.5], None, [3.0]],
+                       type=pa.list_(pa.float64())),
+    })
+    ht = hdk.import_arrow(tbl, name="arr_pa")
+    out = ht.run().to_pandas()
+    assert [list(x) for x in out["xs"]] == [[1.5, 2.5], [], [3.0]]
+    res = hdk.sql("SELECT id, CARDINALITY(xs) AS n FROM arr_pa "
+                  "ORDER BY id").to_pandas()
+    assert res["n"].tolist() == [2, 0, 1]
+
+    path = str(tmp_path / "a.parquet")
+    pq.write_table(tbl, path)
+    hp = hdk.import_parquet(path, name="arr_pq")
+    out2 = hp.unnest("xs").run().to_pandas()
+    assert out2["xs"].tolist() == [1.5, 2.5, 3.0]
