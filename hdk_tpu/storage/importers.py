@@ -110,8 +110,9 @@ def columns_from_pydict(
     for name, values in data.items():
         declared = (schema or {}).get(name)
         if (not isinstance(values, np.ndarray)
-                and any(isinstance(v, (list, tuple, np.ndarray))
-                        for v in values)):
+                and ((declared is not None and declared.is_array())
+                     or any(isinstance(v, (list, tuple, np.ndarray))
+                            for v in values))):
             typ, arr2d, emask = _from_lists(list(values), declared)
             out.append((name, typ, arr2d, emask))
             continue
