@@ -100,8 +100,11 @@ class ExecTable:
     @staticmethod
     def empty(fields: List[str], types: List[t.Type]) -> "ExecTable":
         cols = [
-            MaskedCol(jnp.zeros((0,), jnp.dtype(ty.physical_dtype())),
-                      jnp.zeros((0,), jnp.bool_) if ty.nullable else None)
+            MaskedCol(
+                jnp.zeros((0, 1) if ty.is_array() else (0,),
+                          jnp.dtype(ty.physical_dtype())),
+                jnp.zeros((0, 1) if ty.is_array() else (0,), jnp.bool_)
+                if (ty.nullable or ty.is_array()) else None)
             for ty in types
         ]
         return ExecTable(list(fields), list(types), cols, 0)
@@ -666,13 +669,15 @@ class Executor:
                 data = col.data
                 if pad:
                     data = np.concatenate(
-                        [data, np.zeros(pad, dtype=data.dtype)])
+                        [data,
+                         np.zeros((pad,) + data.shape[1:], data.dtype)])
                 d = jax.device_put(data, sharding)
                 m = None
                 if col.validity is not None:
                     v = col.validity
                     if pad:
-                        v = np.concatenate([v, np.zeros(pad, np.bool_)])
+                        v = np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], np.bool_)])
                     m = jax.device_put(v, sharding)
                 cached = MaskedCol(d, m)
                 col._device_sharded = cached
@@ -1343,10 +1348,12 @@ class Executor:
                 if rows < chunk_rows:
                     pad = chunk_rows - rows
                     data = np.concatenate(
-                        [data, np.zeros((pad,), data.dtype)])
+                        [data, np.zeros((pad,) + data.shape[1:],
+                                        data.dtype)])
                     if mask is not None:
                         mask = np.concatenate(
-                            [mask, np.zeros((pad,), np.bool_)])
+                            [mask, np.zeros((pad,) + mask.shape[1:],
+                                            np.bool_)])
                 sub_cols.append(MaskedCol(
                     jnp.asarray(data),
                     jnp.asarray(mask) if mask is not None else None))
@@ -1749,11 +1756,14 @@ class Executor:
                 out = []
                 for c in cols:
                     data = jnp.concatenate(
-                        [c.data, jnp.zeros((pad,), c.data.dtype)])
+                        [c.data,
+                         jnp.zeros((pad,) + c.data.shape[1:], c.data.dtype)])
                     mask = None
                     if c.mask is not None:
                         mask = jnp.concatenate(
-                            [c.mask, jnp.zeros((pad,), jnp.bool_)])
+                            [c.mask,
+                             jnp.zeros((pad,) + c.mask.shape[1:],
+                                       jnp.bool_)])
                     out.append(MaskedCol(data, mask))
                 base = (jnp.ones((table.nrows,), jnp.bool_) if rm is None
                         else rm)
@@ -2255,17 +2265,43 @@ class Executor:
     # ------------------------------------------------------------------
     def _exec_union(self, node: nd.LogicalUnion, results) -> ExecTable:
         parts = [self._materialize_input(i, results) for i in node.inputs]
+        # zero-row inputs contribute nothing and may lack shape info
+        # (e.g. an array column's width) — drop them up front
+        live = [p for p in parts if p.nrows > 0]
+        if not live:
+            return ExecTable.empty(list(node.fields),
+                                   list(node.output_types))
         cols: List[MaskedCol] = []
         for ci, ty in enumerate(node.output_types):
             dt = jnp.dtype(ty.physical_dtype())
-            data = jnp.concatenate([p.columns[ci].data.astype(dt) for p in parts])
-            if any(p.columns[ci].mask is not None for p in parts):
-                mask = jnp.concatenate([p.columns[ci].valid_mask() for p in parts])
+            parts_c = [p.columns[ci] for p in live]
+            if ty.is_array():
+                # pad widths to the union's max (element masks mark pads)
+                width = max(c.data.shape[1] for c in parts_c)
+                def wpad(c):
+                    k = c.data.shape[1]
+                    if k == width:
+                        return c
+                    padshape = (c.data.shape[0], width - k)
+                    d = jnp.concatenate(
+                        [c.data, jnp.zeros(padshape, c.data.dtype)], axis=1)
+                    m = (c.mask if c.mask is not None
+                         else jnp.ones(c.data.shape, jnp.bool_))
+                    m = jnp.concatenate(
+                        [m, jnp.zeros(padshape, jnp.bool_)], axis=1)
+                    return MaskedCol(d, m)
+                parts_c = [wpad(c) for c in parts_c]
+            data = jnp.concatenate([c.data.astype(dt) for c in parts_c])
+            if any(c.mask is not None for c in parts_c):
+                mask = jnp.concatenate([
+                    (c.mask if c.mask is not None
+                     else jnp.ones(c.data.shape, jnp.bool_))
+                    for c in parts_c])
             else:
                 mask = None
             cols.append(MaskedCol(data, mask))
         return ExecTable(list(node.fields), list(node.output_types), cols,
-                         sum(p.nrows for p in parts))
+                         sum(p.nrows for p in live))
 
     def _exec_values(self, node: nd.LogicalValues) -> ExecTable:
         cols = []

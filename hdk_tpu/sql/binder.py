@@ -164,23 +164,16 @@ class Binder:
             raise SqlError("SELECT without FROM is not supported")
         node, scope = self._bind_table(stmt.from_table)
         pending_cross: List[Tuple[nd.Node, Scope, str]] = []
+        pending_unnest: List[A.TableRef] = []
         for join in stmt.joins:
             if join.table.unnest is not None:
                 # FROM t, UNNEST(t.xs) AS e — lateral array explode
-                # (reference: Calcite UNNEST); maps to the Unnest node
+                # (reference: Calcite UNNEST).  Deferred until every
+                # comma/CROSS-joined table is merged so the column
+                # resolves against the FULL from-list scope
                 if join.kind != "cross":
                     raise SqlError("UNNEST must follow a comma or CROSS JOIN")
-                utbl, ucol = join.table.unnest
-                idx = scope.resolve(ucol, utbl)
-                if not node.output_types[idx].is_array():
-                    raise SqlError(f"UNNEST argument {ucol!r} is not an array")
-                node = nd.Unnest(node, idx)
-                if join.table.alias:
-                    exprs = [node.ref(i) for i in range(node.size())]
-                    exprs.append(node.ref(idx))
-                    node = nd.Project(node, exprs,
-                                      list(node.fields) + [join.table.alias])
-                    scope = Scope(scope.entries + [(None, [join.table.alias])])
+                pending_unnest.append(join.table)
                 continue
             rnode, rscope = self._bind_table(join.table)
             if join.kind == "cross":
@@ -193,6 +186,8 @@ class Binder:
         if pending_cross:
             node, scope, where = self._bind_comma_joins(
                 node, scope, pending_cross, where)
+        for uref in pending_unnest:
+            node, scope = self._bind_unnest(node, scope, uref)
 
         if where is not None:
             node, where = self._rewrite_subquery_predicates(node, scope, where)
@@ -508,7 +503,32 @@ class Binder:
         return ir.Constant(typ, val)
 
     # ------------------------------------------------------------------
+    def _bind_unnest(self, node: nd.Node, scope: Scope,
+                     uref: A.TableRef) -> Tuple[nd.Node, Scope]:
+        """FROM ... , UNNEST(col) [AS e]: with an alias the source array
+        column stays intact (Calcite/Postgres semantics) — a Project
+        duplicates it first and the duplicate explodes; without an alias
+        the column is replaced by its elements in place."""
+        utbl, ucol = uref.unnest
+        idx = scope.resolve(ucol, utbl)
+        if not node.output_types[idx].is_array():
+            raise SqlError(f"UNNEST argument {ucol!r} is not an array")
+        if uref.alias:
+            exprs = [node.ref(i) for i in range(node.size())]
+            exprs.append(node.ref(idx))
+            dup = nd.Project(node, exprs,
+                             list(node.fields) + [uref.alias])
+            node = nd.Unnest(dup, node.size())
+            scope = Scope(scope.entries + [(None, [uref.alias])])
+        else:
+            node = nd.Unnest(node, idx)
+        return node, scope
+
     def _bind_table(self, ref: A.TableRef) -> Tuple[nd.Node, Scope]:
+        if ref.unnest is not None:
+            raise SqlError(
+                "UNNEST requires a preceding table in FROM "
+                "(FROM t, UNNEST(t.col) AS e)")
         if ref.subquery is not None:
             node = self.bind_query(ref.subquery)
         elif ref.name and ref.name.lower() in self.ctes:

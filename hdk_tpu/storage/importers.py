@@ -77,27 +77,48 @@ def _from_numpy(
     return typ, arr, validity
 
 
-def _from_lists(values, declared: Optional[t.Type]):
+def _from_lists(values, declared: Optional[t.Type], name: str = "?"):
     """List-of-lists column -> fixed-width (rows, width) array data with
     an element-validity mask (reference: FixedLenArray/VarLenArray —
-    varlen pads to the max width; NULL rows read back as empty)."""
-    lists = [None if v is None else np.asarray(v) for v in values]
-    live = [l for l in lists if l is not None and l.size]
-    width = max((l.shape[0] for l in lists if l is not None), default=1)
+    varlen pads to the max width; NULL rows and NULL elements carry
+    mask False; NULL rows read back as empty)."""
+    lists = []
+    for v in values:
+        if v is None:
+            lists.append(None)
+            continue
+        if not isinstance(v, (list, tuple, np.ndarray)):
+            raise TypeError(
+                f"column {name!r} mixes scalars and lists: {v!r}")
+        a = np.asarray(v)
+        if a.dtype == object:  # NULL elements inside the list
+            em = np.asarray([x is not None for x in v])
+            a = np.asarray([0 if x is None else x for x in v])
+            lists.append((a, em))
+        else:
+            lists.append((a, None))
+    live = [a for e in lists if e is not None for a in [e[0]] if a.size]
+    width = max((e[0].shape[0] for e in lists if e is not None), default=1)
     width = max(width, 1)
     if declared is not None and declared.is_array():
         elem_t = declared.elem_type  # type: ignore[attr-defined]
         dt = elem_t.physical_dtype()
     else:
-        dt = np.result_type(*[l.dtype for l in live]) if live else np.int64
+        dt = np.result_type(*[a.dtype for a in live]) if live else np.int64
+        if dt == object:
+            raise TypeError(
+                f"column {name!r}: array elements must be numeric")
         elem_t = t.from_numpy_dtype(np.dtype(dt))
     data = np.zeros((len(lists), width), dt)
     mask = np.zeros((len(lists), width), np.bool_)
-    for i, l in enumerate(lists):
-        if l is None or l.size == 0:
+    for i, e in enumerate(lists):
+        if e is None:
             continue
-        data[i, :l.shape[0]] = l.astype(dt)
-        mask[i, :l.shape[0]] = True
+        a, em = e
+        if a.size == 0:
+            continue
+        data[i, :a.shape[0]] = a.astype(dt)
+        mask[i, :a.shape[0]] = True if em is None else em
     return t.array(elem_t, nullable=True), data, mask
 
 
@@ -113,7 +134,7 @@ def columns_from_pydict(
                 and ((declared is not None and declared.is_array())
                      or any(isinstance(v, (list, tuple, np.ndarray))
                             for v in values))):
-            typ, arr2d, emask = _from_lists(list(values), declared)
+            typ, arr2d, emask = _from_lists(list(values), declared, name)
             out.append((name, typ, arr2d, emask))
             continue
         if isinstance(values, np.ndarray):
@@ -166,14 +187,40 @@ def _arrow_column(
 
     if pa.types.is_list(at) or pa.types.is_large_list(at):
         # list columns -> fixed-width array storage (reference:
-        # FixedLen/VarLenArray ingest, ArrowStorageUtils)
+        # FixedLen/VarLenArray ingest, ArrowStorageUtils).  Vectorized
+        # from the offsets/values buffers; falls back to the Python
+        # path only when elements are nullable or non-numeric
         comb = arr.combine_chunks()
         if isinstance(comb, pa.ChunkedArray):
             comb = (comb.chunk(0) if comb.num_chunks == 1
                     else pa.concat_arrays([comb.chunk(i)
                                            for i in range(comb.num_chunks)]))
-        lists = comb.to_pylist()
-        return _from_lists(lists, declared)
+        vals = comb.values
+        numeric = (pa.types.is_integer(vals.type)
+                   or pa.types.is_floating(vals.type))
+        if numeric and vals.null_count == 0:
+            offsets = np.asarray(comb.offsets, dtype=np.int64)
+            counts = offsets[1:] - offsets[:-1]
+            rows = len(counts)
+            if validity is not None:
+                counts = np.where(validity, counts, 0)
+            width = max(int(counts.max()) if rows else 1, 1)
+            flat = np.asarray(vals)
+            if declared is not None and declared.is_array():
+                elem_t = declared.elem_type
+                dt = elem_t.physical_dtype()
+            else:
+                dt = flat.dtype
+                elem_t = t.from_numpy_dtype(np.dtype(dt))
+            data = np.zeros((rows, width), dt)
+            mask = np.arange(width)[None, :] < counts[:, None]
+            # flat values fill the masked slots in row-major order
+            starts = np.repeat(offsets[:-1], counts)
+            within = np.arange(counts.sum()) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            data[mask] = flat[(starts + within)].astype(dt)
+            return t.array(elem_t, nullable=True), data, mask
+        return _from_lists(comb.to_pylist(), declared, name)
     if pa.types.is_boolean(at):
         return fixed(np.bool_, t.boolean())
     if pa.types.is_integer(at):

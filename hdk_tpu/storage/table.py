@@ -228,12 +228,33 @@ class Table:
             assert old.type.physical_dtype() == new.data.dtype, (
                 f"append dtype mismatch on {old.info.name}"
             )
-            data = np.concatenate([old.data, new.data])
-            if old.validity is None and new.validity is None:
+            od, nd_ = old.data, new.data
+            ov, nv = old.validity, new.validity
+            if od.ndim == 2 or nd_.ndim == 2:
+                # array columns: widths pad to the max; padded slots get
+                # mask False (masks are mandatory for arrays here)
+                width = max(od.shape[1], nd_.shape[1])
+
+                def wpad(d, v):
+                    if v is None:
+                        v = np.ones(d.shape, np.bool_)
+                    k = d.shape[1]
+                    if k < width:
+                        z = ((d.shape[0], width - k))
+                        d = np.concatenate(
+                            [d, np.zeros(z, d.dtype)], axis=1)
+                        v = np.concatenate(
+                            [v, np.zeros(z, np.bool_)], axis=1)
+                    return d, v
+
+                od, ov = wpad(od, ov)
+                nd_, nv = wpad(nd_, nv)
+            data = np.concatenate([od, nd_])
+            if ov is None and nv is None:
                 validity = None
             else:
-                va = old.validity if old.validity is not None else np.ones(len(old), np.bool_)
-                vb = new.validity if new.validity is not None else np.ones(len(new), np.bool_)
+                va = ov if ov is not None else np.ones(od.shape, np.bool_)
+                vb = nv if nv is not None else np.ones(nd_.shape, np.bool_)
                 validity = np.concatenate([va, vb])
             new_cols.append(Column(old.info, data, validity))
         self.columns = new_cols

@@ -278,11 +278,15 @@ class IntervalType(Type):
 
 @dataclass(frozen=True)
 class ArrayType(Type):
-    """Variable-length array (host-resident; limited device support)."""
+    """Fixed-width array column: device storage is a (rows, width)
+    matrix of the ELEMENT dtype with a same-shape validity mask (varlen
+    lists pad at ingest)."""
 
     elem_type: Optional[Type] = None
 
     def physical_dtype(self) -> np.dtype:
+        if self.elem_type is not None:
+            return self.elem_type.physical_dtype()
         return np.dtype(object)
 
     def __str__(self) -> str:

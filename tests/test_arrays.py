@@ -101,3 +101,48 @@ def test_arrow_and_parquet_list_ingest(hdk, tmp_path):
     hp = hdk.import_parquet(path, name="arr_pq")
     out2 = hp.unnest("xs").run().to_pandas()
     assert out2["xs"].tolist() == [1.5, 2.5, 3.0]
+
+
+def test_null_elements_and_append(hdk):
+    ht = hdk.import_pydict({"id": [1, 2], "xs": [[1, None, 3], None]},
+                           name="arr_n")
+    out = ht.proj(n=ht["xs"].cardinality()).run().to_pandas()
+    assert out["n"].tolist() == [2, 0]
+    hdk.append_pydict("arr_n", {"id": [3], "xs": [[7, 8]]})
+    out2 = hdk.scan("arr_n").unnest("xs").run().to_pandas()
+    assert out2["xs"].tolist() == [1, 3, 7, 8]
+
+
+def test_union_of_arrays_and_empty(hdk):
+    a = hdk.import_pydict({"xs": [[1, 2, 3]]}, name="arr_u1")
+    b = hdk.import_pydict({"xs": [[9]]}, name="arr_u2")
+    out = a.union_all(b).run().to_pandas()
+    assert [list(x) for x in out["xs"]] == [[1, 2, 3], [9]]
+    res = hdk.sql("SELECT xs FROM arr_u1 WHERE 1 = 0").to_pandas()
+    assert len(res) == 0
+
+
+def test_mixed_scalars_rejected(hdk):
+    with pytest.raises(TypeError):
+        hdk.import_pydict({"xs": [5, [1, 2]]}, name="arr_bad")
+
+
+def test_sql_unnest_scope_and_alias(hdk):
+    hdk.import_pydict({"id": [1], "xs": [[4, 5]]}, name="arr_s1")
+    hdk.import_pydict({"k": [1, 2]}, name="arr_s2")
+    # unnest binds AFTER the comma-join merge: t2's columns resolve
+    res = hdk.sql(
+        "SELECT k, e FROM arr_s1, arr_s2, UNNEST(arr_s1.xs) AS e "
+        "WHERE id = 1 ORDER BY k, e").to_pandas()
+    assert res["k"].tolist() == [1, 1, 2, 2]
+    assert res["e"].tolist() == [4, 5, 4, 5]
+    # with an alias the source array column survives
+    res2 = hdk.sql(
+        "SELECT id, xs, e FROM arr_s1, UNNEST(xs) AS e ORDER BY e")\
+        .to_pandas()
+    assert [list(x) for x in res2["xs"]] == [[4, 5], [4, 5]]
+    assert res2["e"].tolist() == [4, 5]
+    # UNNEST cannot be the base FROM item
+    from hdk_tpu.sql.lexer import SqlError
+    with pytest.raises(SqlError):
+        hdk.sql("SELECT * FROM UNNEST(xs)")

@@ -21,12 +21,25 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(args, timeout=3600, env=None):
     print(f"\n=== {' '.join(args)} ===", flush=True)
-    proc = subprocess.run(args, cwd=ROOT, text=True, capture_output=True,
-                          timeout=timeout, env=env or dict(os.environ))
+    try:
+        proc = subprocess.run(args, cwd=ROOT, text=True,
+                              capture_output=True, timeout=timeout,
+                              env=env or dict(os.environ))
+    except subprocess.TimeoutExpired as e:
+        print(f"TIMED OUT after {timeout}s — continuing with the next "
+              f"step (partial output below)", flush=True)
+        partial = e.stdout or ""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in partial.splitlines()[-20:]:
+            print(line, flush=True)
+        return -1
     out = (proc.stdout or "") + (proc.stderr or "")
     for line in out.splitlines():
-        if line.strip() and "WARNING" not in line:
+        if line.strip() and not line.lstrip().startswith("WARNING:"):
             print(line, flush=True)
+    if proc.returncode != 0:
+        print(f"EXIT CODE {proc.returncode}", flush=True)
     return proc.returncode
 
 
