@@ -159,10 +159,16 @@ class Binder:
 
     # ------------------------------------------------------------------
     def bind_select(self, stmt: A.SelectStmt) -> nd.Node:
-        # FROM + JOINs
+        # FROM + JOINs.  FROM-less SELECT evaluates expressions over one
+        # synthetic row (reference capability: Calcite VALUES plan)
         if stmt.from_table is None:
-            raise SqlError("SELECT without FROM is not supported")
-        node, scope = self._bind_table(stmt.from_table)
+            node: nd.Node = nd.LogicalValues(["__one"], [t.int64(False)],
+                                             [[1]])
+            scope = Scope([(None, ["__one"])])
+            if stmt.joins:
+                raise SqlError("JOIN requires a FROM table")
+        else:
+            node, scope = self._bind_table(stmt.from_table)
         pending_cross: List[Tuple[nd.Node, Scope, str]] = []
         pending_unnest: List[A.TableRef] = []
         for join in stmt.joins:

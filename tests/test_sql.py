@@ -373,3 +373,11 @@ def test_grouping_sets_with_having(env, data):
         exp_rows.append((np.nan, len(data)))
     exp = pd.DataFrame(exp_rows, columns=["k", "c"])
     assert_frames_match(got, exp)
+
+
+def test_select_without_from(hdk):
+    out = hdk.sql("SELECT 1 + 1 AS a, ABS(-2.5) AS c, "
+                  "CAST(3.7 AS INT) AS i").to_pandas()
+    assert out["a"].tolist() == [2]
+    assert out["c"].tolist() == [2.5]
+    assert out["i"].tolist() == [3]
