@@ -45,25 +45,28 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(gid_ref, vals_ref, out_ref, acc_ref, *, hi_n: int,
             n_slots: int, block_rows: int):
+    # Everything stays rank-2 (TPU/Mosaic: no 1D iota, avoid
+    # transposes): gid arrives (B, 1); the contraction runs over dim 0
+    # of both (B, hi_n) x (B, LANE) operands.
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    gid = gid_ref[...].reshape(block_rows)  # (B,) int32
+    gid2 = gid_ref[...]  # (B, 1) int32
     vals = vals_ref[...]  # (B, n_slots) f32 (bf16-exact values)
-    hi = gid // _LANE
-    lo = gid % _LANE
+    hi = gid2 // _LANE  # (B, 1)
+    lo = gid2 % _LANE   # (B, 1)
     # thin one-hots built in VMEM (never touch HBM)
-    a_iota = jax.lax.broadcasted_iota(jnp.int32, (hi_n, block_rows), 0)
-    at = (a_iota == hi[None, :]).astype(jnp.bfloat16)  # (hi_n, B)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, hi_n), 1)
+    a = (a_iota == hi).astype(jnp.bfloat16)  # (B, hi_n)
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANE), 1)
-    bm = (b_iota == lo[:, None]).astype(jnp.bfloat16)  # (B, 128)
+    bm = (b_iota == lo).astype(jnp.bfloat16)  # (B, 128)
     for l in range(n_slots):
-        scaled = at * vals[:, l].astype(jnp.bfloat16)[None, :]
+        scaled = bm * vals[:, l:l + 1].astype(jnp.bfloat16)  # (B, 128)
         part = jax.lax.dot_general(
-            scaled, bm, (((1,), (0,)), ((), ())),
+            a, scaled, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (hi_n, 128) exact
         acc_ref[l, :, :] += part.astype(jnp.int32)
 
