@@ -621,6 +621,11 @@ _FUNCTIONS = {
     "least": lambda *xs: jnp.minimum(*xs) if len(xs) == 2 else jnp.min(jnp.stack(xs), 0),
     "width_bucket": lambda x, lo, hi, n: jnp.clip(
         jnp.floor((x - lo) / (hi - lo) * n).astype(jnp.int64) + 1, 0, n + 1),
+    # reference: RuntimeFunctions.cpp:1472 sample_ratio — Knuth
+    # multiplicative hash of the row offset against a 2^32 threshold
+    "sample_ratio": lambda p, pos: (
+        (pos.astype(jnp.int64) * 2654435761) % 4294967296
+        < jnp.trunc(p * 4294967296.0).astype(jnp.int64)),
 }
 
 

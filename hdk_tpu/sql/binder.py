@@ -1234,6 +1234,24 @@ class Binder:
                 t.int64(a.type.nullable or c.type.nullable), fld, a, c)
         if name == "key_for_string":
             return ir.KeyForString(b(e.args[0]))
+        if name == "sample_ratio":
+            # Deterministic Knuth-hash row sampling predicate
+            # (reference: IR/Expr.h:571 SampleRatioExpr,
+            # IRCodegen.cpp:202 codegen, RuntimeFunctions.cpp:1472 —
+            # hashes the row offset, here the hidden rowid column).
+            if len(e.args) != 1:
+                raise SqlError("SAMPLE_RATIO takes one argument")
+            p = _coerce(b(e.args[0]), t.fp64(False))
+            n = node
+            while isinstance(n, nd.Filter):
+                n = n.inputs[0]
+            if not isinstance(n, nd.Scan):
+                raise SqlError(
+                    "SAMPLE_RATIO requires a physical table scan")
+            idx = n.ensure_rowid()
+            rowid = node.ref(idx)
+            return ir.FunctionCall(t.boolean(p.type.nullable),
+                                   "sample_ratio", [p, rowid])
         if name in ("length", "char_length"):
             a = b(e.args[0])
             if not a.type.is_dict_encoded_string():

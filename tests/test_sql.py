@@ -381,3 +381,27 @@ def test_select_without_from(hdk):
     assert out["a"].tolist() == [2]
     assert out["c"].tolist() == [2.5]
     assert out["i"].tolist() == [3]
+
+
+def test_sample_ratio(env, data):
+    # reference: IR/Expr.h:571 SampleRatioExpr; RuntimeFunctions.cpp:1472
+    hdk, _ = env
+    got = hdk.sql(
+        "SELECT COUNT(*) AS c, SUM(w) AS s FROM t "
+        "WHERE SAMPLE_RATIO(0.4)").to_pandas()
+    pos = np.arange(len(data), dtype=np.int64)
+    keep = (pos * 2654435761) % 4294967296 < int(4294967296 * 0.4)
+    assert got["c"].tolist() == [int(keep.sum())]
+    assert got["s"].tolist() == [int(data["w"][keep].sum())]
+    # deterministic: proportion 1.0 keeps everything
+    allr = hdk.sql("SELECT COUNT(*) AS c FROM t WHERE SAMPLE_RATIO(1.0)"
+                   ).to_pandas()
+    assert allr["c"].tolist() == [len(data)]
+
+
+def test_sample_ratio_in_projection(env, data):
+    hdk, _ = env
+    got = hdk.sql("SELECT SAMPLE_RATIO(0.25) AS f FROM t").to_pandas()
+    pos = np.arange(len(data), dtype=np.int64)
+    keep = (pos * 2654435761) % 4294967296 < int(4294967296 * 0.25)
+    assert got["f"].astype(bool).tolist() == keep.tolist()
