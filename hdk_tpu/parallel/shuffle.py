@@ -98,15 +98,34 @@ def build_send_buffers(
 def exchange(bufs: Sequence[jnp.ndarray], buf_valid: jnp.ndarray,
              axis_name: str) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """all_to_all the (P, cap, ...) buffers over the mesh axis and flatten
-    to (P*cap, ...) local rows + validity."""
+    to (P*cap, ...) local rows + validity.
+
+    Same-dtype buffers are packed into ONE collective (trailing-axis
+    concat), so a shuffle costs #distinct-dtypes all_to_alls instead of
+    #columns + 1 — collective launch latency amortizes over ICI, and the
+    virtual-CPU dryrun dispatches far fewer ops."""
+    allb = list(bufs) + [buf_valid]
+    by_dtype: dict = {}
+    for i, b in enumerate(allb):
+        c = b.reshape(b.shape[0], b.shape[1], -1)
+        by_dtype.setdefault(c.dtype, []).append((i, c))
+    results: List[Optional[jnp.ndarray]] = [None] * len(allb)
+    for items in by_dtype.values():
+        packed = (jnp.concatenate([c for _, c in items], axis=2)
+                  if len(items) > 1 else items[0][1])
+        r = jax.lax.all_to_all(packed, axis_name, split_axis=0,
+                               concat_axis=0, tiled=True)
+        off = 0
+        for i, c in items:
+            w = c.shape[2]
+            results[i] = r[:, :, off:off + w]
+            off += w
     out = []
-    for b in bufs:
-        r = jax.lax.all_to_all(b, axis_name, split_axis=0, concat_axis=0,
-                               tiled=True)
-        out.append(r.reshape((-1,) + r.shape[2:]) if r.ndim > 2 else r.reshape(-1))
-    rv = jax.lax.all_to_all(buf_valid, axis_name, split_axis=0, concat_axis=0,
-                            tiled=True).reshape(-1)
-    return out, rv
+    for i, b in enumerate(bufs):
+        r = results[i]
+        out.append(r.reshape((-1,) + b.shape[2:]) if b.ndim > 2
+                   else r.reshape(-1))
+    return out, results[-1].reshape(-1)
 
 
 def shuffle_rows(
