@@ -331,6 +331,179 @@ def reorder_join_inputs(dag: nd.QueryDag) -> nd.QueryDag:
 
 
 # ---------------------------------------------------------------------------
+# join CHAIN reordering (left-deep, cardinality-ordered)
+# ---------------------------------------------------------------------------
+
+def _is_chain_join(n: nd.Node) -> bool:
+    return (isinstance(n, nd.Join) and n.join_type == nd.JoinType.INNER
+            and bool(n.key_pairs))
+
+
+def _collect_chain(head: nd.Join):
+    """Walk lhs through consecutive INNER keyed joins.  Returns
+    (base, joins) with joins innermost-first."""
+    joins: List[nd.Join] = []
+    cur: nd.Node = head
+    while _is_chain_join(cur):
+        joins.append(cur)  # type: ignore[arg-type]
+        cur = cur.inputs[0]
+    joins.reverse()
+    return cur, joins
+
+
+def _reorder_one_chain(base: nd.Node, joins: List[nd.Join],
+                       head: nd.Join) -> Optional[nd.Node]:
+    """Reorder the build sides of a left-deep INNER join chain by
+    ascending estimated cardinality, respecting key/residual column
+    dependencies (reference: FromTableReordering.cpp orders the from-
+    list by cardinality before nesting the join loops).  Returns a
+    rebuilt chain + restoring Project, or None when the greedy order is
+    already the written order."""
+    from . import cost
+
+    n = len(joins)
+    sources: List[nd.Node] = [base] + [j.inputs[1] for j in joins]
+    sizes = [s.size() for s in sources]
+    cum = [0]
+    for s in sizes:
+        cum.append(cum[-1] + s)
+
+    def src_of(p: int) -> int:
+        for s in range(len(sources)):
+            if p < cum[s + 1]:
+                return s
+        raise IndexError(p)
+
+    # dependency sets: which sources each join's LEFT-side refs touch
+    deps: List[set] = []
+    for k, j in enumerate(joins):
+        old_lhs = base if k == 0 else joins[k - 1]
+        need: set = set()
+        ok = True
+        for l, _ in j.key_pairs:
+            for ref in _collect_refs(l):
+                if ref.node is not old_lhs:
+                    ok = False
+                need.add(src_of(ref.index))
+        for _, r in j.key_pairs:
+            for ref in _collect_refs(r):
+                if ref.node is not j.inputs[1]:
+                    ok = False
+        if j.residual is not None:
+            for ref in _collect_refs(j.residual):
+                if ref.node is old_lhs:
+                    need.add(src_of(ref.index))
+                elif ref.node is not j.inputs[1]:
+                    ok = False
+        if not ok:
+            return None
+        deps.append(need)
+
+    rows = [cost.estimate_rows(s) for s in sources]
+    placed = {0}
+    order: List[int] = []
+    remaining = list(range(1, n + 1))
+    while remaining:
+        avail = [i for i in remaining if deps[i - 1] <= placed]
+        pick = min(avail, key=lambda i: (rows[i], i))
+        order.append(pick)
+        placed.add(pick)
+        remaining.remove(pick)
+    if order == list(range(1, n + 1)):
+        return None
+
+    # rebuild in the new order
+    cur: nd.Node = base
+    offsets = {0: 0}
+    width = sizes[0]
+    for i in order:
+        j = joins[i - 1]
+        old_lhs = base if i == 1 else joins[i - 2]
+        rhs = j.inputs[1]
+
+        def remap(e: ir.Expr, cur=cur, old_lhs=old_lhs) -> ir.Expr:
+            if isinstance(e, ir.ColumnRef):
+                if e.node is old_lhs:
+                    s = src_of(e.index)
+                    return ir.ColumnRef(e.type, cur,
+                                        offsets[s] + (e.index - cum[s]))
+                return e  # rhs ref: node + index unchanged
+            ops = [remap(o, cur, old_lhs) for o in e.operands()]
+            return e.rebuild(*ops) if ops else e
+
+        pairs = [(remap(l), r) for l, r in j.key_pairs]
+        residual = remap(j.residual) if j.residual is not None else None
+        cur = nd.Join(cur, rhs, pairs, nd.JoinType.INNER, residual,
+                      suffix=f"_c{i}")
+        offsets[i] = width
+        width += sizes[i]
+
+    # restore the head's column order and names
+    exprs = []
+    for q in range(head.size()):
+        s = src_of(q)
+        exprs.append(cur.ref(offsets[s] + (q - cum[s])))
+    return nd.Project(cur, exprs, head.fields)
+
+
+def _collect_refs(e: ir.Expr) -> List[ir.ColumnRef]:
+    out: List[ir.ColumnRef] = []
+
+    def walk(x: ir.Expr) -> None:
+        if isinstance(x, ir.ColumnRef):
+            out.append(x)
+            return
+        for o in x.operands():
+            walk(o)
+
+    walk(e)
+    return out
+
+
+def reorder_join_chains(dag: nd.QueryDag) -> nd.QueryDag:
+    """Apply _reorder_one_chain to every maximal chain.  Chains whose
+    intermediate joins are shared by other consumers are left alone
+    (rewriting would duplicate work for the other consumer)."""
+    consumers: Dict[int, int] = {}
+    for node in dag.topo_order():
+        for i in node.inputs:
+            consumers[i.id] = consumers.get(i.id, 0) + 1
+
+    def visit(node: nd.Node):
+        if not _is_chain_join(node):
+            return None
+        base, joins = _collect_chain(node)  # type: ignore[arg-type]
+        if len(joins) < 2:
+            return None
+        # fire only at the head: a chain join consumed by another chain
+        # join (as lhs) is an interior link
+        for j in joins[:-1]:
+            if consumers.get(j.id, 0) > 1:
+                return None
+        return _reorder_one_chain(base, joins, node)  # type: ignore[arg-type]
+
+    # custom traversal: rebuild bottom-up but SKIP interior chain joins
+    # (the head rebuild consumes them); _transform's generic rebuild is
+    # reused for everything else
+    mapping: Dict[int, nd.Node] = {}
+    interior: set = set()
+    for node in dag.topo_order():
+        if _is_chain_join(node) and _is_chain_join(node.inputs[0]) \
+                and consumers.get(node.inputs[0].id, 0) == 1:
+            interior.add(node.inputs[0].id)
+    for node in dag.topo_order():
+        new_inputs = [mapping[i.id] for i in node.inputs]
+        changed = any(ni is not oi for ni, oi in zip(new_inputs, node.inputs))
+        cur = _rebuild_node(node, new_inputs, mapping) if changed else node
+        if node.id not in interior:
+            repl = visit(cur)
+            if repl is not None:
+                cur = repl
+        mapping[node.id] = cur
+    return nd.QueryDag(mapping[dag.root.id])
+
+
+# ---------------------------------------------------------------------------
 # IN-list rewrites
 # ---------------------------------------------------------------------------
 
@@ -371,5 +544,6 @@ def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = fold_filters(dag)
     dag = rewrite_in_values(dag)
     dag = push_down_filters(dag)
+    dag = reorder_join_chains(dag)
     dag = reorder_join_inputs(dag)
     return dag

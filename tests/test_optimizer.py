@@ -178,3 +178,87 @@ def test_pushdown_preserves_residual_join(hdk, big, small):
                   right_on="k2")
     want = int(((m.v < m.w) & (m.w > 10)).sum())
     assert int(res["n"].iloc[0]) == want and want > 0
+
+
+@pytest.fixture(scope="module")
+def chain_tables(hdk):
+    rng = np.random.default_rng(9)
+    n = 3000
+    fact = hdk.import_pydict({
+        "k": rng.integers(0, 40, n),
+        "g": rng.integers(0, 8, n),
+        "v": rng.normal(size=n),
+    }, name="chain_fact")
+    dima = hdk.import_pydict({
+        "k": list(range(40)),
+        "w": [i * 0.5 for i in range(40)],
+        "x": [i % 5 for i in range(40)],
+    }, name="chain_dima")
+    dimb = hdk.import_pydict({
+        "g": list(range(8)),
+        "lbl": [float(i) for i in range(8)],
+    }, name="chain_dimb")
+    dimx = hdk.import_pydict({
+        "x": list(range(5)),
+        "y": [i * 10.0 for i in range(5)],
+    }, name="chain_dimx")
+    return fact, dima, dimb, dimx
+
+
+def test_join_chain_reorders_by_cardinality(hdk, chain_tables):
+    """Smaller build sides join first (FromTableReordering.cpp analog);
+    output column order/names are preserved by the restoring Project."""
+    fact, dima, dimb, _ = chain_tables
+    j = fact.join(dima, "k", "k").join(dimb, "g", "g")
+    plan = hdk.explain(j)
+    lines = plan.splitlines()
+    # innermost (deepest) join takes the 8-row dimb; dima joins above
+    # (children print after their parent, so the deeper scan comes first)
+    assert lines.index("      Scan(chain_dimb, rows=8)") < \
+        lines.index("    Scan(chain_dima, rows=40)")
+    fdf = fact.run().to_pandas()
+    adf = dima.run().to_pandas().rename(columns={"k": "k_r"})
+    bdf = dimb.run().to_pandas().rename(columns={"g": "g_r"})
+    exp = fdf.merge(adf, left_on="k", right_on="k_r").merge(
+        bdf, left_on="g", right_on="g_r")
+    got = j.run().to_pandas()
+    assert list(got.columns) == ["k", "g", "v", "k_r", "w", "x", "g_r",
+                                 "lbl"]
+    assert_frames_match(got, exp[list(got.columns)],
+                        approx_cols=("v", "w", "lbl"))
+
+
+def test_join_chain_respects_dependencies(hdk, chain_tables):
+    """A join keyed on a column produced by an EARLIER build side cannot
+    be hoisted before it; the chain stays in written order."""
+    fact, dima, _, dimx = chain_tables
+    j1 = fact.join(dima, "k", "k")
+    j = j1.join(dimx, "x", "x")  # x comes from dima (5 < 40 rows)
+    plan = hdk.explain(j)
+    # written order preserved: dima innermost (prints first), dimx above
+    assert plan.index("Scan(chain_dima") < plan.index("Scan(chain_dimx")
+    assert "Project" not in plan.splitlines()[0]  # pass did not fire
+    fdf = fact.run().to_pandas()
+    adf = dima.run().to_pandas().rename(columns={"k": "k_r"})
+    xdf = dimx.run().to_pandas().rename(columns={"x": "x_r"})
+    exp = fdf.merge(adf, left_on="k", right_on="k_r").merge(
+        xdf, left_on="x", right_on="x_r")
+    got = j.run().to_pandas()
+    assert_frames_match(got, exp[list(got.columns)],
+                        approx_cols=("v", "w", "y"))
+
+
+def test_join_chain_sql_three_way(hdk, chain_tables):
+    got = hdk.sql(
+        "SELECT b.lbl AS lbl, COUNT(*) AS c, SUM(a.w) AS s "
+        "FROM chain_fact f JOIN chain_dima a ON f.k = a.k "
+        "JOIN chain_dimb b ON f.g = b.g GROUP BY b.lbl ORDER BY lbl"
+    ).to_pandas()
+    fact, dima, dimb, _ = chain_tables
+    fdf = fact.run().to_pandas()
+    adf = dima.run().to_pandas()
+    bdf = dimb.run().to_pandas()
+    m = fdf.merge(adf, on="k").merge(bdf, on="g")
+    exp = (m.groupby("lbl").agg(c=("lbl", "size"), s=("w", "sum"))
+           .reset_index().sort_values("lbl").reset_index(drop=True))
+    assert_frames_match(got, exp, approx_cols=("s",), ordered=True)
