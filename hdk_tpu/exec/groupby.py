@@ -1002,10 +1002,15 @@ def _agg_sorted(spec: AggSpec, gid_sorted, starts, ends, n: int):
 def try_pack_keys(
     keys: Sequence[MaskedCol],
     key_ranges: Optional[Sequence[Tuple[int, int, bool]]],
-) -> Optional[jnp.ndarray]:
+) -> Optional[Tuple[jnp.ndarray, List[Tuple[int, int, int]]]]:
     """Pack multi-column keys into ONE int64 composite when ranges fit in
     62 bits (perfect-hash index formula applied to sorting): a single
-    argsort replaces k stable argsorts."""
+    argsort replaces k stable argsorts.
+
+    Returns (composite, layout) where layout[i] = (lo, size, stride) per
+    key in original order — the inverse mapping, so group keys can be
+    UNPACKED from composite values instead of gathered from the source
+    columns (a 1e8-row random gather costs ~1.3 s on v5e)."""
     if key_ranges is None or len(key_ranges) != len(keys):
         return None
     total = 1
@@ -1020,6 +1025,7 @@ def try_pack_keys(
             return None
     composite = jnp.zeros(keys[0].data.shape, jnp.int64)
     stride = 1
+    strides = []
     for key, (lo, _hi, _n), size in zip(reversed(list(keys)),
                                         reversed(list(key_ranges)),
                                         reversed(sizes)):
@@ -1027,8 +1033,27 @@ def try_pack_keys(
         if key.mask is not None:  # nulls take the top slot => sort last
             idx = jnp.where(key.mask, idx, size - 1)
         composite = composite + idx * stride
+        strides.append(stride)
         stride *= size
-    return composite
+    strides = list(reversed(strides))
+    layout = [(int(lo), size, st)
+              for (lo, _hi, _n), size, st in zip(key_ranges, sizes, strides)]
+    return composite, layout
+
+
+def unpack_keys(comp: jnp.ndarray, keys: Sequence[MaskedCol],
+                layout: List[Tuple[int, int, int]]) -> List[MaskedCol]:
+    """Inverse of ``try_pack_keys`` on packed composite values."""
+    out: List[MaskedCol] = []
+    total = max(st * size for _lo, size, st in layout)
+    for key, (lo, size, st) in zip(keys, layout):
+        idx = comp // st if st != 1 else comp
+        if st * size != total:  # the top key needs no mod (comp < total)
+            idx = idx % size
+        data = (idx + lo).astype(key.data.dtype)
+        mask = (idx != size - 1) if key.mask is not None else None
+        out.append(MaskedCol(data, mask))
+    return out
 
 
 def groupby_sort(
@@ -1055,7 +1080,8 @@ def groupby_sort(
     from ..ops import sortops as so
 
     nrows = keys[0].data.shape[0]
-    composite = try_pack_keys(keys, key_ranges)
+    packed = try_pack_keys(keys, key_ranges)
+    composite, pack_layout = packed if packed is not None else (None, None)
 
     # ---- ONE variadic payload-carrying sort (ops/sortops.py): the
     # operand columns ride the radix passes instead of being gathered
@@ -1112,16 +1138,99 @@ def groupby_sort(
         # dead rows -> trash segment past the cap (never pollute a group)
         gid_sorted = jnp.where(valid_sorted, gid_sorted, entry_cap)
 
-    # group row-spans: boundary positions via stable bool argsort (11x
-    # over searchsorted at 1e8); end of group g == start of group g+1
-    starts, ends = so.boundary_spans(boundary, total_b, entry_cap)
-
     def slot_col(slots) -> Optional[MaskedCol]:
         if slots is None:
             return None
         di, mi = slots
         return MaskedCol(sorted_pay[di],
                          sorted_pay[mi] if mi is not None else None)
+
+    # ---- fast tail: for span-sum-shaped aggregates over a packed
+    # composite, ONE compaction sort of group-END rows replaces every
+    # cap-sized gather.  boundary_spans' bool argsort + the per-spec
+    # cumsum-difference gathers + the representative-row key gather cost
+    # ~9 s at 1e8 rows (gather ~1.3-2.2 s EACH on v5e); the compaction
+    # sort carries all end-row cumsums + the composite key to the front
+    # in ~0.9 s and group values become adjacent-element differences. --
+    fast = (composite is not None and nrows > 0
+            and all(s.kind in (AggKind.COUNT, AggKind.SUM, AggKind.AVG,
+                               AggKind.STDDEV_SAMP, AggKind.VAR_SAMP)
+                    and not s.distinct for s in specs))
+    if fast:
+        last = jnp.concatenate([boundary[1:], jnp.ones((1,), jnp.bool_)])
+        csums: List[jnp.ndarray] = [
+            jax.lax.iota(jnp.int32, nrows) + jnp.int32(1)]  # row count
+        plans = []
+        for spec, slots in zip(specs, spec_slots):
+            k = spec.kind
+            v = slot_col(slots[0])
+            if k == AggKind.COUNT and (v is None or v.mask is None):
+                plans.append(("count", []))
+                continue
+            if k == AggKind.COUNT:
+                idx = [len(csums)]
+                csums.append(jnp.cumsum(v.mask.astype(jnp.int64)))
+                plans.append(("one", idx))
+                continue
+            acc_t = _acc_dtype(v)
+            acc = v.fill(0).astype(acc_t)
+            nonnull = (None if v.mask is None
+                       else jnp.cumsum(v.mask.astype(jnp.int64)))
+            idx = [len(csums)]
+            csums.append(jnp.cumsum(acc))
+            if k in (AggKind.STDDEV_SAMP, AggKind.VAR_SAMP):
+                idx.append(len(csums))
+                csums.append(jnp.cumsum(
+                    (acc.astype(jnp.float64) ** 2)))
+            if nonnull is None:
+                idx.append(0)  # share the row-count cumsum
+            else:
+                idx.append(len(csums))
+                csums.append(nonnull)
+            plans.append((k.value, idx))
+        comp_ops = tuple([~last] + csums + [sorted_keys[0]])
+        comp_out = jax.lax.sort(comp_ops, num_keys=1, is_stable=True)
+
+        def take(a):
+            if entry_cap <= nrows:
+                return a[:entry_cap]
+            return jnp.concatenate(
+                [a, jnp.zeros((entry_cap - nrows,), a.dtype)])
+
+        ends_vals = [take(a) for a in comp_out[1:]]
+
+        def delta(a):
+            return a - jnp.concatenate(
+                [jnp.zeros((1,), a.dtype), a[:-1]])
+
+        counts = delta(ends_vals[0]).astype(jnp.int64)
+        agg_cols = []
+        for spec, (tag, idx) in zip(specs, plans):
+            k = spec.kind
+            if tag == "count":
+                res = AggResult([counts])
+            elif tag == "one":
+                res = AggResult([delta(ends_vals[idx[0]])])
+            else:
+                s = delta(ends_vals[idx[0]])
+                nn = (counts if idx[-1] == 0
+                      else delta(ends_vals[idx[-1]]))
+                if k == AggKind.SUM:
+                    res = AggResult([s, nn])
+                elif k == AggKind.AVG:
+                    res = AggResult([s.astype(jnp.float64), nn])
+                else:
+                    sq = delta(ends_vals[idx[1]])
+                    res = AggResult([s.astype(jnp.float64), sq, nn])
+            agg_cols.append(res.finalize(spec, None))
+        comp_keys = ends_vals[-1]
+        key_cols = unpack_keys(comp_keys, keys, pack_layout)
+        exists = jnp.arange(entry_cap) < n_groups
+        return key_cols, agg_cols, exists, n_groups
+
+    # group row-spans: boundary positions via stable bool argsort (11x
+    # over searchsorted at 1e8); end of group g == start of group g+1
+    starts, ends = so.boundary_spans(boundary, total_b, entry_cap)
 
     agg_cols = []
     for spec, slots in zip(specs, spec_slots):

@@ -8,10 +8,14 @@ rows):
     followed by 2 permutation gathers costs 4139 ms (6.5x).  Random
     gather through HBM is the enemy; one fused sort replaces every
     per-column ``x[perm]``.
-  * group-span bounds from a boundary bitmap via a stable bool argsort
-    (True positions compact to the front in index order) cost 333 ms
-    vs 3611 ms for ``searchsorted(method="sort")`` over the same data
-    (11x).
+  * group-span bounds from a boundary bitmap via a stable bool sort
+    (True positions compact to the front in index order): the bool+i32
+    compaction sort costs 304 ms at 1e8 vs 3611 ms for
+    ``searchsorted(method="sort")`` (11x).  The cap-sized POSITION
+    ARRAY must then be taken by slice, never by gather — an int64
+    gather costs 1.3-2.2 s per 1e8 elements on v5e regardless of
+    access pattern, which is also why groupby_sort's fast tail avoids
+    spans entirely (one compaction sort of group-end cumsums).
 
 Reference role: this is the TPU replacement for the reference's
 hash-table fill loops (GroupByRuntime.cpp) — sort once, then all
@@ -48,9 +52,15 @@ def boundary_spans(boundary: jnp.ndarray, total_groups, cap: int
     compacts the True positions to the front in ascending order.
     """
     n = boundary.shape[0]
-    bpos = jnp.argsort(~boundary, stable=True).astype(jnp.int64)
+    _, bpos = jax.lax.sort((~boundary, jax.lax.iota(jnp.int32, n)),
+                           num_keys=1, is_stable=True)
+    if cap + 1 <= n:
+        pos = bpos[:cap + 1].astype(jnp.int64)  # slice, not gather
+    else:
+        pos = jnp.concatenate(
+            [bpos.astype(jnp.int64),
+             jnp.full((cap + 1 - n,), n, jnp.int64)])
     idx = jnp.arange(cap + 1)
-    pos = bpos[jnp.clip(idx, 0, max(n - 1, 0))]
     ext = jnp.where(idx < total_groups, pos, n)
     return ext[:cap], ext[1:]
 
