@@ -183,14 +183,24 @@ class QueryResult:
         import jax as _jax
 
         t = self._ensure_device()
+
+        def tip(arr):
+            # multi-controller: the global [-1:] slice may live on
+            # another host; a local addressable shard is an equally
+            # valid completion witness
+            if (hasattr(arr, "is_fully_addressable")
+                    and not arr.is_fully_addressable):
+                return arr.addressable_shards[0].data
+            return arr[-1:] if arr.shape[0] else arr
+
         tips = []
         for c in t.columns:
             c.data.block_until_ready()
-            tips.append(c.data[-1:] if c.data.shape[0] else c.data)
+            tips.append(tip(c.data))
             if c.mask is not None:
-                tips.append(c.mask[-1:] if c.mask.shape[0] else c.mask)
+                tips.append(tip(c.mask))
         if t.row_mask is not None:
-            tips.append(t.row_mask[-1:])
+            tips.append(tip(t.row_mask))
         _jax.device_get(tips)
         return self
 
@@ -319,19 +329,26 @@ class HDK:
             self._tmp_counter += 1
             return f"table_{self._tmp_counter}"
 
-    def _register(self, name, cols) -> QueryNode:
+    def _register(self, name, cols, process_local: bool = False) -> QueryNode:
         tid = self._schema.next_table_id(DATA_SCHEMA_ID)
         table = _imp.build_table(tid, name, cols,
-                                 self._config.storage.fragment_size)
+                                 self._config.storage.fragment_size,
+                                 process_local=process_local)
         self._schema.register(table)
         return self.scan(name)
 
     def import_pydict(self, data: Dict[str, Sequence], name: Optional[str] = None,
-                      schema: Optional[Dict[str, types.Type]] = None) -> QueryNode:
-        """reference: hdk.py:2416 import_pydict."""
+                      schema: Optional[Dict[str, types.Type]] = None,
+                      process_local: bool = False) -> QueryNode:
+        """reference: hdk.py:2416 import_pydict.
+
+        ``process_local=True`` (multi-controller pods): ``data`` holds
+        only THIS process's rows; scans assemble the global row-sharded
+        table across all hosts (requires a dist session; every process
+        must import the same table name with its own shard)."""
         name = self._table_name(name)
         cols = _imp.columns_from_pydict(data, self._dicts, schema)
-        return self._register(name, cols)
+        return self._register(name, cols, process_local=process_local)
 
     def import_arrow(self, at, name: Optional[str] = None,
                      schema=None) -> QueryNode:

@@ -657,6 +657,8 @@ class Executor:
         mesh = self._mesh
         ndev = mesh.devices.size
         sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        if getattr(node.table, "process_local", False):
+            return self._exec_scan_process_local(node, mesh, sharding)
         nrows = node.table.nrows
         pad = (-nrows) % ndev
         total = nrows + pad
@@ -688,6 +690,45 @@ class Executor:
             row_mask = jax.device_put(rm_host, sharding)
         else:
             row_mask = None
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         total, row_mask)
+
+    def _exec_scan_process_local(self, node: nd.Scan, mesh,
+                                 sharding) -> ExecTable:
+        """Multi-controller scan: every process contributes its LOCAL
+        host rows; the global array is assembled shard-by-shard without
+        any host ever holding the full table (the SPMD pod ingest story,
+        SURVEY.md §2.8).  Padding rows ride the row_mask."""
+        import jax as _jax
+        from ..parallel import mesh as pmesh
+
+        table = node.table
+        local_n = table.nrows
+        per, total = pmesh.process_row_quota(local_n, mesh)
+        pidx = _jax.process_index()
+        cols = []
+        for name in node.fields:
+            col = table.column(name)
+            cached = getattr(col, "_device_sharded", None)
+            if cached is None:
+                data = col.data
+                if col.info.is_rowid:
+                    # rowid = position in the global padded layout
+                    data = pidx * per + np.arange(local_n, dtype=np.int64)
+                d = pmesh.global_from_process_local(mesh, data, per, total)
+                m = None
+                if col.validity is not None:
+                    m = pmesh.global_from_process_local(
+                        mesh, col.validity, per, total, fill=False)
+                cached = MaskedCol(d, m)
+                col._device_sharded = cached
+            cols.append(cached)
+        if per == local_n and _jax.process_count() == 1:
+            row_mask = None
+        else:
+            rm_local = np.arange(per) < local_n
+            row_mask = pmesh.global_from_process_local(
+                mesh, rm_local, per, total, fill=False)
         return ExecTable(list(node.fields), list(node.output_types), cols,
                          total, row_mask)
 
@@ -1836,8 +1877,11 @@ class Executor:
                 plan_sig + f"|bcnt/{rhs_d.nrows}",
                 lambda: jax.jit(functools.partial(
                     dj.count_candidates_broadcast, mesh, axis=axis)))
-            totals = np.asarray(cnt_fn(lhs_keys, lhs.row_mask, rhs_keys))
-            pair_cap = _next_pow2(max(64, int(totals.max())))
+            # device-side max: the per-shard totals stay sharded, and a
+            # global array's shards are not host-readable cross-process
+            # (multi-controller); jnp.max yields a replicated scalar
+            totals = cnt_fn(lhs_keys, lhs.row_mask, rhs_keys)
+            pair_cap = _next_pow2(max(64, int(jnp.max(totals))))
             join_fn = self.code_cache.get_or_build(
                 plan_sig + f"|bjoin/{rhs_d.nrows}/{pair_cap}",
                 lambda: jax.jit(functools.partial(
@@ -1860,16 +1904,18 @@ class Executor:
                 lambda: jax.jit(functools.partial(
                     dj.partition_histograms, mesh, axis=axis)))
             hp, hb = hist_fn(lhs_keys, lhs.row_mask, rhs_keys, rhs.row_mask)
-            probe_cap = _next_pow2(max(64, int(np.asarray(hp).max())))
-            build_cap = _next_pow2(max(64, int(np.asarray(hb).max())))
+            # jnp.max: replicated scalars (sharded buffers are not
+            # host-readable cross-process in multi-controller runs)
+            probe_cap = _next_pow2(max(64, int(jnp.max(hp))))
+            build_cap = _next_pow2(max(64, int(jnp.max(hb))))
             cand_fn = self.code_cache.get_or_build(
                 plan_sig + f"|pcnt/{rhs.nrows}/{probe_cap}/{build_cap}",
                 lambda: jax.jit(functools.partial(
                     dj.count_candidates_partitioned, mesh,
                     probe_cap=probe_cap, build_cap=build_cap, axis=axis)))
-            totals = np.asarray(cand_fn(lhs_keys, lhs.row_mask,
-                                        rhs_keys, rhs.row_mask))
-            pair_cap = _next_pow2(max(64, int(totals.max())))
+            totals = cand_fn(lhs_keys, lhs.row_mask,
+                             rhs_keys, rhs.row_mask)
+            pair_cap = _next_pow2(max(64, int(jnp.max(totals))))
             join_fn = self.code_cache.get_or_build(
                 plan_sig + f"|pjoin/{rhs.nrows}/{probe_cap}/{build_cap}"
                 f"/{pair_cap}",

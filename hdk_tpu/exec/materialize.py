@@ -25,9 +25,20 @@ except ImportError:  # pragma: no cover
     pa = None
 
 
+def _to_np(arr) -> np.ndarray:
+    """Device->host; multi-controller global arrays (shards spread over
+    other processes' hosts) allgather first so every process returns the
+    FULL result (reference analog: collectAllDeviceResults)."""
+    if hasattr(arr, "is_fully_addressable") and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils as mh
+
+        return np.asarray(mh.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def _host(col: MaskedCol):
-    data = np.asarray(col.data)
-    mask = np.asarray(col.mask) if col.mask is not None else None
+    data = _to_np(col.data)
+    mask = _to_np(col.mask) if col.mask is not None else None
     return data, mask
 
 

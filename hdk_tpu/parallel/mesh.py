@@ -9,7 +9,7 @@ SURVEY.md §2.8): XLA inserts the collectives from shard_map.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -78,6 +78,39 @@ def row_sharding(mesh: Mesh, axis: str = FRAG_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def process_row_quota(local_rows: int, mesh: Mesh) -> Tuple[int, int]:
+    """(per_process_rows, global_rows) for process-local ingest: every
+    process pads its local rows to a common quota divisible by its
+    device share, so the global row-sharded array is uniform.  Runs one
+    tiny allgather of the local counts."""
+    nproc = jax.process_count()
+    if nproc == 1:
+        per = local_rows
+        return per, per
+    from jax.experimental import multihost_utils as mh
+
+    counts = np.asarray(mh.process_allgather(
+        np.asarray([local_rows], np.int64))).reshape(-1)
+    dev_share = mesh.devices.size // nproc
+    per = int(-(-int(counts.max()) // max(dev_share, 1)) * max(dev_share, 1))
+    return per, per * nproc
+
+
+def global_from_process_local(mesh: Mesh, local: np.ndarray, per: int,
+                              global_rows: int, fill=0):
+    """Build a global row-sharded array from THIS process's rows padded
+    to the common quota (SPMD pod ingest: each host feeds its shard —
+    SURVEY.md §2.8 'host-side Arrow ingest feeds per-host shards')."""
+    pad = per - local.shape[0]
+    if pad:
+        local = np.concatenate(
+            [local, np.full((pad,) + local.shape[1:], fill, local.dtype)])
+    if jax.process_count() == 1:
+        return jax.device_put(local, row_sharding(mesh))
+    return jax.make_array_from_process_local_data(
+        row_sharding(mesh), local, (global_rows,) + local.shape[1:])
 
 
 def pad_to_multiple(arr, n: int, fill):

@@ -319,9 +319,11 @@ def build_table(
     name: str,
     cols: List[Tuple[str, t.Type, np.ndarray, Optional[np.ndarray]]],
     fragment_size: int,
+    process_local: bool = False,
 ) -> Table:
     columns = [
         Column(ColumnInfo(table_id, i, cname, typ), data, validity)
         for i, (cname, typ, data, validity) in enumerate(cols)
     ]
-    return Table(table_id, name, columns, fragment_size)
+    return Table(table_id, name, columns, fragment_size,
+                 process_local=process_local)

@@ -143,6 +143,7 @@ class Table:
         name: str,
         columns: Sequence[Column],
         fragment_size: int,
+        process_local: bool = False,
     ) -> None:
         assert columns, "table must have at least one column"
         nrows = len(columns[0])
@@ -153,6 +154,10 @@ class Table:
         self.columns: List[Column] = list(columns)
         self._by_name: Dict[str, Column] = {c.info.name: c for c in columns}
         self.nrows = nrows
+        # multi-controller ingest: host data holds only THIS process's
+        # rows; scans assemble the global sharded array (SURVEY §2.8
+        # per-host shard feeding).  nrows stays the LOCAL count.
+        self.process_local = process_local
         self.fragment_size = max(1, fragment_size)
         self._stats: Dict[Tuple[int, int], FragmentStats] = {}
         self._stats_lock = threading.Lock()

@@ -52,6 +52,41 @@ def main() -> None:
     assert sums.tolist() == [24, 28, 32, 36], sums
     print(f"proc{pid} OK", flush=True)
 
+    # ---- full-session end-to-end: process-local ingest -> SQL ->
+    # gathered result (multi-controller SPMD: every process runs the
+    # identical program over its own table shard) ---------------------
+    import pandas as pd
+    import hdk_tpu
+
+    hdk = hdk_tpu.HDK(**{"dist.enable": True})
+    n_total = 1000
+    rng = np.random.default_rng(5)
+    k_all = rng.integers(0, 7, n_total)
+    v_all = rng.integers(-50, 50, n_total)
+    sl = slice(0, 400) if pid == 0 else slice(400, n_total)  # uneven
+    hdk.import_pydict({"k": k_all[sl], "v": v_all[sl]}, name="mt",
+                      process_local=True)
+    got = hdk.sql("SELECT k, COUNT(*) AS c, SUM(v) AS s FROM mt "
+                  "GROUP BY k ORDER BY k").to_pandas()
+    df = pd.DataFrame({"k": k_all, "v": v_all})
+    exp = (df.groupby("k").agg(c=("k", "size"), s=("v", "sum"))
+           .reset_index().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == exp["k"].tolist(), got
+    assert got["c"].tolist() == exp["c"].tolist(), got
+    assert got["s"].tolist() == exp["s"].tolist(), got
+
+    # join: process-local fact x ordinary (host-replicated) dim table
+    hdk.import_pydict({"k": list(range(7)),
+                       "w": [i * 10 for i in range(7)]}, name="mdim")
+    got2 = hdk.sql("SELECT d.w AS w, COUNT(*) AS c FROM mt "
+                   "JOIN mdim d ON mt.k = d.k GROUP BY d.w ORDER BY w"
+                   ).to_pandas()
+    exp2 = (df.assign(w=df["k"] * 10).groupby("w")
+            .agg(c=("w", "size")).reset_index())
+    assert got2["w"].tolist() == exp2["w"].tolist(), got2
+    assert got2["c"].tolist() == exp2["c"].tolist(), got2
+    print(f"proc{pid} E2E OK", flush=True)
+
 
 if __name__ == "__main__":
     main()
