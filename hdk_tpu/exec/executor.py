@@ -976,13 +976,21 @@ class Executor:
                                    out_types[f.field_index])
                     for f in sf
                 ]
-                perm = srt.sort_permutation(scols, descs, nfs)
-                perm = perm[jnp.argsort((~exists[perm]).astype(jnp.int32),
-                                        stable=True)]
+                # ONE payload-carrying sort (live groups first, then the
+                # ORDER BY keys): argsort + per-column permutation
+                # gathers cost ~1.3-2.2 s PER COLUMN at 5e7 groups
+                from ..ops import sortops as so
+
+                skeys = [~exists] + srt.sort_keys_int64(scols, descs, nfs)
+                pay = so.PayloadSet()
+                slots = []
+                for c in cols:
+                    slots.append((pay.add(c.data), pay.add(c.mask)))
+                _, sorted_pay = so.sort_with_payload(skeys, pay.arrays)
                 out = [
-                    MaskedCol(c.data[perm],
-                              c.mask[perm] if c.mask is not None else None)
-                    for c in cols
+                    MaskedCol(sorted_pay[di],
+                              sorted_pay[mi] if mi is not None else None)
+                    for di, mi in slots
                 ]
                 live = exists.sum()
                 pos = jnp.arange(nbuf, dtype=jnp.int64)
@@ -1665,21 +1673,38 @@ class Executor:
                         key = jnp.where(rm, key, imax)
                     _, perm = jax.lax.top_k(~key, topn)
                     perm = perm.astype(jnp.int32)
+                    out = [
+                        MaskedCol(c.data[perm],
+                                  c.mask[perm] if c.mask is not None else None)
+                        for c in cols
+                    ]
                 else:
-                    perm = srt.sort_permutation(
+                    # ONE payload-carrying sort: argsort + per-column
+                    # permutation gathers cost ~1.3-2.2 s per column at
+                    # 1e8 rows (ops/sortops.py header)
+                    from ..ops import sortops as so
+
+                    skeys = srt.sort_keys_int64(
                         scols, [f.desc for f in node.sort_fields],
                         [f.nulls_first for f in node.sort_fields])
-                    if rm is not None:  # dead rows last, stably
-                        perm = perm[jnp.argsort(
-                            (~rm[perm]).astype(jnp.int32), stable=True)]
-                out = [
-                    MaskedCol(c.data[perm],
-                              c.mask[perm] if c.mask is not None else None)
-                    for c in cols
-                ]
+                    if rm is not None:  # dead rows last
+                        skeys = [~rm] + skeys
+                    pay = so.PayloadSet()
+                    slots = []
+                    for c in cols:
+                        slots.append((pay.add(c.data), pay.add(c.mask)))
+                    sorted_out = so.sort_with_payload(skeys, pay.arrays)
+                    _, sorted_pay = sorted_out
+                    if rm is not None:
+                        rm = ~sorted_out[0][0]
+                    out = [
+                        MaskedCol(sorted_pay[di],
+                                  sorted_pay[mi] if mi is not None else None)
+                        for di, mi in slots
+                    ]
                 # LIMIT/OFFSET as an in-jit validity window: no host sync,
                 # no data-dependent shapes
-                nrows = perm.shape[0]
+                nrows = out[0].data.shape[0] if out else 0
                 live = (jnp.asarray(nrows, jnp.int64) if rm is None
                         else rm.sum())
                 pos = jnp.arange(nrows, dtype=jnp.int64)

@@ -48,6 +48,28 @@ def sort_permutation(
     return perm
 
 
+def sort_keys_int64(
+    cols: Sequence[MaskedCol],
+    descs: Sequence[bool],
+    nulls_first: Sequence[bool],
+) -> list:
+    """Per-field int64 keys for ONE variadic ``lax.sort`` (payload-
+    carrying sort; ops/sortops.py): desc flips bits, NULLs pin to the
+    int64 extremes (reference semantics: nulls sort as if +/-inf,
+    IR/Node.h:27 SortField)."""
+    keys = []
+    for col, desc, nf in zip(cols, descs, nulls_first):
+        key = _orderable_int64(col.data)
+        if desc:
+            key = ~key
+        if col.mask is not None:
+            sentinel = jnp.iinfo(jnp.int64).min if nf else jnp.iinfo(
+                jnp.int64).max
+            key = jnp.where(col.mask, key, sentinel)
+        keys.append(key)
+    return keys
+
+
 def apply_limit(perm: jnp.ndarray, limit: Optional[int], offset: int) -> jnp.ndarray:
     """Slice the permutation (reference: dropFirstN/keepFirstN,
     RelAlgExecutor.cpp:1000-1005)."""
