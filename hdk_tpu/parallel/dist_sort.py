@@ -109,20 +109,31 @@ def dist_sort(
         recv, recv_valid = shf.exchange(bufs, buf_valid, axis)
         out_cols = [MaskedCol(recv[di], recv[mi] if mi is not None else None)
                     for di, mi in positions]
-        # 4) local lexicographic sort of received rows; invalid rows last
+        # 4) local lexicographic sort of received rows; invalid rows
+        # last.  ONE variadic payload-carrying sort — iterated argsorts
+        # + per-column permutation gathers are the slow path on TPU
+        # (ops/sortops.py header)
         nk = len(keys)
-        rkeys = [c.data for c in out_cols[:nk]]
-        perm = jnp.arange(recv_valid.shape[0], dtype=jnp.int32)
-        for rk in reversed(rkeys):
-            perm = perm[jnp.argsort(rk[perm], stable=True)]
-        perm = perm[jnp.argsort((~recv_valid[perm]).astype(jnp.int32),
-                                stable=True)]
+        skeys = [~recv_valid] + [c.data for c in out_cols[:nk]]
+        flatp: List[jnp.ndarray] = []
+        pos2: List[Tuple[int, Optional[int]]] = []
+        for c in out_cols[nk:]:
+            di = len(flatp)
+            flatp.append(c.data)
+            mi = None
+            if c.mask is not None:
+                mi = len(flatp)
+                flatp.append(c.mask)
+            pos2.append((di, mi))
+        sout = jax.lax.sort(tuple(skeys) + tuple(flatp),
+                            num_keys=len(skeys), is_stable=True)
+        base = len(skeys)
+        valid_out = ~sout[0]
         sorted_payloads = [
-            MaskedCol(c.data[perm],
-                      c.mask[perm] if c.mask is not None else None)
-            for c in out_cols[nk:]
+            MaskedCol(sout[base + di],
+                      sout[base + mi] if mi is not None else None)
+            for di, mi in pos2
         ]
-        valid_out = recv_valid[perm]
         return sorted_payloads, valid_out, jax.lax.psum(overflow, axis)
 
     in_specs = (
