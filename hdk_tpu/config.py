@@ -52,6 +52,10 @@ class JoinConfig:
     perfect_hash_range_limit: int = 1 << 24  # dense build table cap
     enable_loop_join: bool = True
     loop_join_inner_table_max_num_rows: int = 5000
+    # gather-free delta-spread route for huge FK joins whose consumers
+    # read only build-side columns (exec/join.py spread_inner_fk);
+    # below this probe size the value-table gather is cheaper
+    spread_join_min_rows: int = 4_000_000
 
 
 @dataclass

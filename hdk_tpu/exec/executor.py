@@ -254,6 +254,69 @@ class _IdentityKeyedCache:
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 
+
+def _column_demand(order, root) -> Dict[int, Optional[set]]:
+    """Per-node demanded output columns, one backward pass over the
+    topo order (dead-column analysis; reference: eliminate-dead-columns,
+    RelAlgOptimizer.cpp).  ``None`` = all columns (the root materializes
+    everything; unknown node kinds are conservative)."""
+    from ..ir.expr import collect_column_refs
+
+    demand: Dict[int, Optional[set]] = {root.id: None}
+
+    def want(n, cols) -> None:
+        cur = demand.get(n.id, set())
+        if cur is None:
+            return
+        demand[n.id] = None if cols is None else (cur | cols)
+
+    def want_refs(exprs) -> None:
+        for e in exprs:
+            if e is None:
+                continue
+            for ref in collect_column_refs(e):
+                want(ref.node, {ref.index})
+
+    for node in reversed(order):
+        d = demand.get(node.id, set())
+        if isinstance(node, nd.Project):
+            exprs = (node.exprs if d is None
+                     else [node.exprs[i] for i in sorted(d)])
+            want_refs(exprs)
+        elif isinstance(node, nd.Filter):
+            want(node.inputs[0], d)
+            want_refs([node.condition])
+        elif isinstance(node, nd.Aggregate):
+            want_refs(node.keys)
+            want_refs(node.aggs)
+        elif isinstance(node, nd.Sort):
+            want(node.inputs[0],
+                 None if d is None
+                 else d | {f.field_index for f in node.sort_fields})
+        elif isinstance(node, nd.Unnest):
+            want(node.inputs[0],
+                 None if d is None else d | {node.field_index})
+        elif isinstance(node, nd.LogicalUnion):
+            for i in node.inputs:
+                want(i, d)
+        elif isinstance(node, nd.Join):
+            nl = len(node.inputs[0].fields)
+            if node.join_type in (nd.JoinType.SEMI, nd.JoinType.ANTI):
+                want(node.inputs[0], d)
+            elif d is None:
+                want(node.inputs[0], None)
+                want(node.inputs[1], None)
+            else:
+                want(node.inputs[0], {i for i in d if i < nl})
+                want(node.inputs[1], {i - nl for i in d if i >= nl})
+            want_refs([l for l, _ in node.key_pairs])
+            want_refs([r for _, r in node.key_pairs])
+            want_refs([node.residual])
+        else:  # Scan/Values: no inputs; unknown kinds: conservative
+            for i in node.inputs:
+                want(i, None)
+    return demand
+
 # aggregate kinds with mergeable partial slots (two-phase distribution);
 # APPROX_* are algebraic via sketches: HLL registers merge by max,
 # t-digests by re-cluster (ops/sketches.py) — skew-proof by construction
@@ -287,6 +350,7 @@ class Executor:
             enabled=config.cache.enable_hashtable_cache)
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
+        self._demand: Optional[Dict[int, Optional[set]]] = None
         self._frag_prune_stats = None  # last fragment-skip counters
         self._frag_stream_chunks = None  # last fragment-stream chunk count
         self._deadline = None  # per-query watchdog deadline
@@ -329,6 +393,7 @@ class Executor:
 
         results: Dict[int, ExecTable] = {}
         order = dag.topo_order()
+        self._demand = _column_demand(order, dag.root)
         _LOG.debug1("query: %d nodes, root=%s", len(order),
                     type(dag.root).__name__)
         t_query = _time.monotonic()
@@ -1691,17 +1756,37 @@ class Executor:
                         skeys = [~rm] + skeys
                     pay = so.PayloadSet()
                     slots = []
+                    # array (2D) columns can't ride lax.sort directly:
+                    # carry one row-index payload and permute them after
+                    n_in = cols[0].data.shape[0] if cols else 0
+                    need_perm = any(
+                        c.data.ndim > 1
+                        or (c.mask is not None and c.mask.ndim > 1)
+                        for c in cols)
+                    perm_slot = (pay.add(jax.lax.iota(jnp.int32, n_in))
+                                 if need_perm else None)
                     for c in cols:
-                        slots.append((pay.add(c.data), pay.add(c.mask)))
-                    sorted_out = so.sort_with_payload(skeys, pay.arrays)
-                    _, sorted_pay = sorted_out
+                        di = pay.add(c.data) if c.data.ndim == 1 else None
+                        mi = (pay.add(c.mask)
+                              if c.mask is not None and c.mask.ndim == 1
+                              else None)
+                        slots.append((di, mi))
+                    sorted_keys, sorted_pay = so.sort_with_payload(
+                        skeys, pay.arrays)
                     if rm is not None:
-                        rm = ~sorted_out[0][0]
-                    out = [
-                        MaskedCol(sorted_pay[di],
-                                  sorted_pay[mi] if mi is not None else None)
-                        for di, mi in slots
-                    ]
+                        rm = ~sorted_keys[0]
+                    perm = (sorted_pay[perm_slot] if perm_slot is not None
+                            else None)
+                    out = []
+                    for c, (di, mi) in zip(cols, slots):
+                        data = (sorted_pay[di] if di is not None
+                                else c.data[perm])
+                        if c.mask is None:
+                            mask = None
+                        else:
+                            mask = (sorted_pay[mi] if mi is not None
+                                    else c.mask[perm])
+                        out.append(MaskedCol(data, mask))
                 # LIMIT/OFFSET as an in-jit validity window: no host sync,
                 # no data-dependent shapes
                 nrows = out[0].data.shape[0] if out else 0
@@ -2111,10 +2196,10 @@ class Executor:
         # small value range and unique build keys (reference:
         # PerfectJoinHashTable; falls back to the sorted-hash table on
         # duplicates or oversized range, like HashJoin::getInstance)
+        self._join_route = "perfect"  # refined to "spread" inside
         perfect_out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
                                              rhs_keys, plan_sig, ht_objs, jt)
         if perfect_out is not None:
-            self._join_route = "perfect"
             return perfect_out
         self._join_route = "hash"
         table = self._hashtable_cache.get(plan_sig + "|ht", ht_objs)
@@ -2192,32 +2277,39 @@ class Executor:
             if (range_size <= 0
                     or range_size > self.config.exec.join.perfect_hash_range_limit
                     or range_size > max(rhs.nrows * 8, 1 << 16)):
-                self._hashtable_cache.put(sig, ht_objs, (None, None))
+                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
                 return None
             build_fn = self.code_cache.get_or_build(
                 f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}",
                 lambda: jax.jit(functools.partial(
                     jn.build_perfect, min_key=lo, range_size=range_size)))
-            table, unique = build_fn(bk)
+            table, unique, n_set = build_fn(bk)
             if not bool(unique):  # duplicate keys: OneToMany -> generic
-                self._hashtable_cache.put(sig, ht_objs, (None, None))
+                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
                 return None
-            cached = (table, range_size)
+            # every slot occupied => probe matching needs no table gather
+            complete = int(n_set) == range_size
+            cached = (table, range_size, complete)
             self._hashtable_cache.put(sig, ht_objs, cached)
-        table, range_size = cached
+        table, range_size, complete = cached
         if table is None:
             return None
-
-        probe_fn = self.code_cache.get_or_build(
-            f"pjprobe/{range_size}/{table.min_key}/{lhs.nrows}"
-            f"/{lhs_keys[0].data.dtype}/{lhs_keys[0].mask is None}",
-            lambda: jax.jit(functools.partial(
-                jn.probe_perfect, range_size=range_size)))
-        r = probe_fn(table, lhs_keys[0])
-        matched = r >= 0
         if node.residual is not None and jt != nd.JoinType.INNER:
             # residual ON conditions affect matching; use the generic path
             return None
+
+        # value-table route: per-probe-row key slots, zero table gathers
+        # when the table is complete, one (the occupancy check) otherwise;
+        # each USED build column then costs one direct vt[slot] gather
+        # instead of the rows[slot] -> col[row] dependent chain (measured
+        # 1.52 s -> 0.76 s per column at 1e8x1e7 rows on v5e).
+        slot_fn = self.code_cache.get_or_build(
+            f"pjslots/{range_size}/{table.min_key}/{lhs.nrows}"
+            f"/{lhs_keys[0].data.dtype}/{lhs_keys[0].mask is None}/{complete}",
+            lambda: jax.jit(functools.partial(
+                jn.perfect_match, range_size=range_size, complete=complete)))
+        slots, matched = slot_fn(table, lhs_keys[0])
+
         if jt == nd.JoinType.SEMI:
             n = int(matched.sum())
             return self._fields_table(node, lhs.gather(
@@ -2226,33 +2318,45 @@ class Executor:
             n = int((~matched).sum())
             return self._fields_table(node, lhs.gather(
                 nonzero_indices(~matched, n)))
+
+        bslot_key = (
+            f"pjbslots/{range_size}/{table.min_key}/{rhs.nrows}"
+            f"/{rhs_keys[0].data.dtype}/{rhs_keys[0].mask is None}")
+        bslot_fn = self.code_cache.get_or_build(
+            bslot_key, lambda: jax.jit(functools.partial(
+                jn.build_slots, min_key=table.min_key,
+                range_size=range_size)))
+
         if jt == nd.JoinType.INNER:
             m = int(matched.sum())
             if m == lhs.nrows and lhs.row_mask is None:
+                if complete and node.residual is None:
+                    out = self._try_spread_join(
+                        node, lhs, rhs, slots, sig, range_size,
+                        lambda: bslot_fn(rhs_keys[0]))
+                    if out is not None:
+                        self._join_route = "spread"
+                        return out
                 # every probe row matched (FK-style join): skip the keep
                 # compaction entirely, lhs columns pass through untouched
-                out = self._pair_table(node, lhs, rhs, None,
-                                       r.astype(jnp.int32))
+                out = self._pair_table_slots(
+                    node, lhs, rhs, None, slots, None, sig,
+                    lambda: bslot_fn(rhs_keys[0]), range_size)
             else:
                 keep = nonzero_indices(matched, m)
-                out = self._pair_table(node, lhs, rhs, keep,
-                                       r[keep].astype(jnp.int32))
+                out = self._pair_table_slots(
+                    node, lhs, rhs, keep, slots[keep], None, sig,
+                    lambda: bslot_fn(rhs_keys[0]), range_size)
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
-        # LEFT (one-to-one): gather rhs at match or pad null
+        # LEFT (one-to-one): value-table lookup at match or pad null
         if node.residual is not None:
             raise ExecError(
                 "residual ON condition on LEFT join not supported yet")
-        lcols = list(lhs.columns)
-        safe = jnp.clip(r, 0, max(rhs.nrows - 1, 0)).astype(jnp.int32)
-        rcols = []
-        for c in rhs.columns:
-            data = c.data[safe]
-            mask = matched if c.mask is None else (matched & c.mask[safe])
-            rcols.append(MaskedCol(data, mask))
-        return ExecTable(list(node.fields), list(node.output_types),
-                         lcols + rcols, lhs.nrows, lhs.row_mask)
+        return self._pair_table_slots(
+            node, lhs, rhs, None, slots, matched, sig,
+            lambda: bslot_fn(rhs_keys[0]), range_size, lhs_mask=lhs.row_mask)
 
     def _residual_on_pairs(self, node: nd.Join, lhs: ExecTable,
                            rhs: ExecTable, l_idx, r_idx):
@@ -2280,6 +2384,122 @@ class Executor:
     def _fields_table(self, node, table: ExecTable) -> ExecTable:
         return ExecTable(list(node.fields), list(node.output_types),
                          table.columns, table.nrows, table.row_mask)
+
+    def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows):
+        """One rhs column scattered into key-slot order, cached per plan
+        + buffer identity (reference: HashtableRecycler.h:32)."""
+        vt_sig = sig + f"|vt{ci}"
+        cached = self._hashtable_cache.get(vt_sig, [c.data])
+        if cached is None:
+            vt_fn = self.code_cache.get_or_build(
+                f"vtbuild/{range_size}/{rhs_nrows}/{c.data.dtype}"
+                f"/{c.data.shape[1:]}/{c.mask is None}",
+                lambda: jax.jit(functools.partial(
+                    jn.build_value_table, range_size=range_size)))
+            cached = vt_fn(c, bslots_fn())
+            self._hashtable_cache.put(vt_sig, [c.data], cached)
+        return cached
+
+    def _try_spread_join(self, node: nd.Join, lhs: ExecTable,
+                         rhs: ExecTable, slots, sig, range_size,
+                         bslots_fn) -> Optional[ExecTable]:
+        """Delta-spread FK join (jn.spread_inner_fk): applies when the
+        rest of the DAG reads ONLY build-side columns of this join, so
+        losing probe-row order costs nothing and every consumed column
+        is spread gather-free.  Output keeps build rows interleaved as
+        dead rows under row_mask (lazy compaction)."""
+        if lhs.nrows < self.config.exec.join.spread_join_min_rows:
+            return None
+        demand = (self._demand or {}).get(node.id, None)
+        if demand is None:  # all columns (or unknown): probe order wins
+            return None
+        nl = len(lhs.fields)
+        if any(i < nl for i in demand):
+            return None
+        rhs_idx = sorted(i - nl for i in demand)
+        if not rhs_idx:
+            return None
+        rcols = [rhs.columns[i] for i in rhs_idx]
+        if any(c.data.ndim != 1 for c in rcols):
+            return None  # array columns can't ride lax.sort
+        memo: dict = {}
+
+        def bslots():
+            if "bs" not in memo:
+                memo["bs"] = bslots_fn()
+            return memo["bs"]
+
+        vts = [self._value_table(sig, i, c, bslots, range_size, rhs.nrows)
+               for i, c in zip(rhs_idx, rcols)]
+        fn = self.code_cache.get_or_build(
+            sig + f"|spread/{lhs.nrows}/{tuple(rhs_idx)}",
+            lambda: jax.jit(functools.partial(
+                jn.spread_inner_fk, range_size=range_size)))
+        is_probe, outcols = fn(slots, vts)
+
+        def undemanded(j):
+            def thunk():
+                raise ExecError(
+                    f"internal: spread-join column {j} pulled but not in "
+                    f"the demand set {sorted(demand)} (column-demand "
+                    f"analysis bug)")
+            return thunk
+
+        by_out = {nl + i: MaskedCol(d, m)
+                  for i, (d, m) in zip(rhs_idx, outcols)}
+        cols = _LazyThunkColumns([
+            (lambda v=by_out[j]: v) if j in by_out else undemanded(j)
+            for j in range(len(node.fields))
+        ])
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, range_size + lhs.nrows, is_probe)
+
+    def _pair_table_slots(self, node: nd.Join, lhs: ExecTable,
+                          rhs: ExecTable, l_idx, slots, rhs_valid, sig,
+                          bslots_fn, range_size, lhs_mask=None) -> ExecTable:
+        """Perfect-join output via per-column VALUE TABLES: each used rhs
+        column is scattered once into key-slot order (cached per plan,
+        reference: HashtableRecycler.h:32) and probed with ONE direct
+        vt[slot] gather — replacing the rows[slot] -> col[row] dependent
+        gather chain (measured 1.52 s -> 0.76 s per used column at
+        1e8 x 1e7 rows).  ``l_idx=None`` = lhs passes through untouched;
+        ``rhs_valid`` masks unmatched rows (LEFT join nulls)."""
+        memo: dict = {}
+
+        def bslots():
+            if "bs" not in memo:
+                memo["bs"] = bslots_fn()
+            return memo["bs"]
+
+        def lthunk(c):
+            if l_idx is None:
+                return lambda: c
+            return lambda: MaskedCol(
+                c.data[l_idx], c.mask[l_idx] if c.mask is not None else None)
+
+        def rthunk(c, ci):
+            def thunk():
+                vtd, vtm = self._value_table(sig, ci, c, bslots,
+                                             range_size, rhs.nrows)
+                data = vtd[slots]
+                mask = rhs_valid
+                if vtm is not None:
+                    m2 = vtm[slots]
+                    if mask is None:
+                        mask = m2
+                    elif m2.ndim > 1:
+                        mask = m2 & mask[:, None]
+                    else:
+                        mask = mask & m2
+                return MaskedCol(data, mask)
+            return thunk
+
+        cols = _LazyThunkColumns(
+            [lthunk(c) for c in lhs.columns]
+            + [rthunk(c, ci) for ci, c in enumerate(rhs.columns)])
+        nrows = lhs.nrows if l_idx is None else int(l_idx.shape[0])
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, nrows, lhs_mask)
 
     def _pair_table(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
                     l_idx, r_idx) -> ExecTable:
