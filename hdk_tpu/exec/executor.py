@@ -259,7 +259,19 @@ def _column_demand(order, root) -> Dict[int, Optional[set]]:
     """Per-node demanded output columns, one backward pass over the
     topo order (dead-column analysis; reference: eliminate-dead-columns,
     RelAlgOptimizer.cpp).  ``None`` = all columns (the root materializes
-    everything; unknown node kinds are conservative)."""
+    everything; unknown node kinds are conservative).
+
+    MUST over-approximate what the executors actually pull — a consumer
+    pulling an undemanded column of a spread-join output is an internal
+    error (`_try_spread_join` poisons those thunks).  Concretely:
+
+    * Project: ``_chain_env`` evaluates ALL exprs (even demand-dead
+      ones), so every expr's refs are demanded regardless of ``d``.
+    * Sort: ``_exec_sort`` pulls every source column when no Project
+      sits between it and the source — demand is all columns.
+    * Join / Union / Unnest consumers go through
+      ``_materialize_input().compact()`` which forces every column.
+    """
     from ..ir.expr import collect_column_refs
 
     demand: Dict[int, Optional[set]] = {root.id: None}
@@ -280,35 +292,25 @@ def _column_demand(order, root) -> Dict[int, Optional[set]]:
     for node in reversed(order):
         d = demand.get(node.id, set())
         if isinstance(node, nd.Project):
-            exprs = (node.exprs if d is None
-                     else [node.exprs[i] for i in sorted(d)])
-            want_refs(exprs)
+            want_refs(node.exprs)  # _chain_env evaluates ALL exprs
         elif isinstance(node, nd.Filter):
             want(node.inputs[0], d)
             want_refs([node.condition])
         elif isinstance(node, nd.Aggregate):
             want_refs(node.keys)
             want_refs(node.aggs)
-        elif isinstance(node, nd.Sort):
-            want(node.inputs[0],
-                 None if d is None
-                 else d | {f.field_index for f in node.sort_fields})
-        elif isinstance(node, nd.Unnest):
-            want(node.inputs[0],
-                 None if d is None else d | {node.field_index})
+        elif isinstance(node, (nd.Sort, nd.Unnest)):
+            # _exec_sort with no intervening Project pulls every column
+            # (executor.py `used = range(len(fields))`); Unnest
+            # materializes + compacts its input
+            want(node.inputs[0], None)
         elif isinstance(node, nd.LogicalUnion):
             for i in node.inputs:
-                want(i, d)
+                want(i, None)  # _exec_union materializes + compacts
         elif isinstance(node, nd.Join):
-            nl = len(node.inputs[0].fields)
-            if node.join_type in (nd.JoinType.SEMI, nd.JoinType.ANTI):
-                want(node.inputs[0], d)
-            elif d is None:
-                want(node.inputs[0], None)
-                want(node.inputs[1], None)
-            else:
-                want(node.inputs[0], {i for i in d if i < nl})
-                want(node.inputs[1], {i - nl for i in d if i >= nl})
+            # _exec_join materializes + compacts both inputs
+            want(node.inputs[0], None)
+            want(node.inputs[1], None)
             want_refs([l for l, _ in node.key_pairs])
             want_refs([r for _, r in node.key_pairs])
             want_refs([node.residual])
@@ -2333,7 +2335,7 @@ class Executor:
                 if complete and node.residual is None:
                     out = self._try_spread_join(
                         node, lhs, rhs, slots, sig, range_size,
-                        lambda: bslot_fn(rhs_keys[0]))
+                        lambda: bslot_fn(rhs_keys[0]), ht_objs)
                     if out is not None:
                         self._join_route = "spread"
                         return out
@@ -2341,12 +2343,12 @@ class Executor:
                 # compaction entirely, lhs columns pass through untouched
                 out = self._pair_table_slots(
                     node, lhs, rhs, None, slots, None, sig,
-                    lambda: bslot_fn(rhs_keys[0]), range_size)
+                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
             else:
                 keep = nonzero_indices(matched, m)
                 out = self._pair_table_slots(
                     node, lhs, rhs, keep, slots[keep], None, sig,
-                    lambda: bslot_fn(rhs_keys[0]), range_size)
+                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
@@ -2356,7 +2358,8 @@ class Executor:
                 "residual ON condition on LEFT join not supported yet")
         return self._pair_table_slots(
             node, lhs, rhs, None, slots, matched, sig,
-            lambda: bslot_fn(rhs_keys[0]), range_size, lhs_mask=lhs.row_mask)
+            lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs,
+            lhs_mask=lhs.row_mask)
 
     def _residual_on_pairs(self, node: nd.Join, lhs: ExecTable,
                            rhs: ExecTable, l_idx, r_idx):
@@ -2385,11 +2388,16 @@ class Executor:
         return ExecTable(list(node.fields), list(node.output_types),
                          table.columns, table.nrows, table.row_mask)
 
-    def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows):
+    def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows,
+                     ht_objs):
         """One rhs column scattered into key-slot order, cached per plan
-        + buffer identity (reference: HashtableRecycler.h:32)."""
+        + buffer identity (reference: HashtableRecycler.h:32).  The cache
+        identity includes the build KEY buffers (``ht_objs``) — the slot
+        layout depends on the key column, so a rebuilt key buffer under a
+        live value buffer must invalidate the table."""
         vt_sig = sig + f"|vt{ci}"
-        cached = self._hashtable_cache.get(vt_sig, [c.data])
+        id_objs = [c.data] + list(ht_objs)
+        cached = self._hashtable_cache.get(vt_sig, id_objs)
         if cached is None:
             vt_fn = self.code_cache.get_or_build(
                 f"vtbuild/{range_size}/{rhs_nrows}/{c.data.dtype}"
@@ -2397,12 +2405,27 @@ class Executor:
                 lambda: jax.jit(functools.partial(
                     jn.build_value_table, range_size=range_size)))
             cached = vt_fn(c, bslots_fn())
-            self._hashtable_cache.put(vt_sig, [c.data], cached)
+            self._hashtable_cache.put(vt_sig, id_objs, cached)
         return cached
+
+    @staticmethod
+    def _spreadable_dtype(dt) -> bool:
+        """Dtypes spread_inner_fk can delta-encode exactly on TPU: ≤4-byte
+        ints/f32/bool plus int64 (split into i32 words).  f64 is out —
+        no f64 bitcast compiles on TPU — as is uint64 (pathological on
+        TPU generally, NOTES.md)."""
+        dt = jnp.dtype(dt)
+        if dt == jnp.bool_:
+            return True
+        if jnp.issubdtype(dt, jnp.floating):
+            return dt.itemsize == 4
+        if jnp.issubdtype(dt, jnp.integer):
+            return dt.itemsize <= 4 or dt == jnp.int64
+        return False
 
     def _try_spread_join(self, node: nd.Join, lhs: ExecTable,
                          rhs: ExecTable, slots, sig, range_size,
-                         bslots_fn) -> Optional[ExecTable]:
+                         bslots_fn, ht_objs) -> Optional[ExecTable]:
         """Delta-spread FK join (jn.spread_inner_fk): applies when the
         rest of the DAG reads ONLY build-side columns of this join, so
         losing probe-row order costs nothing and every consumed column
@@ -2422,6 +2445,8 @@ class Executor:
         rcols = [rhs.columns[i] for i in rhs_idx]
         if any(c.data.ndim != 1 for c in rcols):
             return None  # array columns can't ride lax.sort
+        if not all(self._spreadable_dtype(c.data.dtype) for c in rcols):
+            return None  # f64/u64: no exact TPU delta encoding
         memo: dict = {}
 
         def bslots():
@@ -2429,7 +2454,8 @@ class Executor:
                 memo["bs"] = bslots_fn()
             return memo["bs"]
 
-        vts = [self._value_table(sig, i, c, bslots, range_size, rhs.nrows)
+        vts = [self._value_table(sig, i, c, bslots, range_size, rhs.nrows,
+                                 ht_objs)
                for i, c in zip(rhs_idx, rcols)]
         fn = self.code_cache.get_or_build(
             sig + f"|spread/{lhs.nrows}/{tuple(rhs_idx)}",
@@ -2456,7 +2482,8 @@ class Executor:
 
     def _pair_table_slots(self, node: nd.Join, lhs: ExecTable,
                           rhs: ExecTable, l_idx, slots, rhs_valid, sig,
-                          bslots_fn, range_size, lhs_mask=None) -> ExecTable:
+                          bslots_fn, range_size, ht_objs,
+                          lhs_mask=None) -> ExecTable:
         """Perfect-join output via per-column VALUE TABLES: each used rhs
         column is scattered once into key-slot order (cached per plan,
         reference: HashtableRecycler.h:32) and probed with ONE direct
@@ -2480,7 +2507,7 @@ class Executor:
         def rthunk(c, ci):
             def thunk():
                 vtd, vtm = self._value_table(sig, ci, c, bslots,
-                                             range_size, rhs.nrows)
+                                             range_size, rhs.nrows, ht_objs)
                 data = vtd[slots]
                 mask = rhs_valid
                 if vtm is not None:

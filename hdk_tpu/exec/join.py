@@ -290,43 +290,68 @@ def spread_inner_fk(probe_slot: jnp.ndarray, vts, range_size: int):
         jax.lax.iota(jnp.int32, range_size) << 1,
         (probe_slot.astype(jnp.int32) << 1) | 1,
     ])
+
+    def delta_words(vt) -> Tuple[list, str]:
+        """Exact wrap-around delta encoding of one value table as ≤4-byte
+        integer words (per-word deltas telescope exactly under two's-
+        complement wrapping, so the downstream cumsum reconstructs each
+        word bit-exactly).  64-bit INTS split into (lo, hi) i32 words by
+        shifts — 64-bit bitcast_convert_type does not survive XLA's X64
+        rewriting on TPU, and two i32 sort payloads beat one i64 anyway.
+        f64 has NO device-safe bit access on TPU (all f64 bitcasts fail
+        to compile) — callers must route f64 columns elsewhere."""
+        dt = vt.dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            if dt.itemsize != 4:
+                raise ValueError("spread_inner_fk: f64 has no TPU-safe "
+                                 "bit representation; pre-filter at the "
+                                 "route level")
+            return [jax.lax.bitcast_convert_type(vt, jnp.int32)], "f32"
+        if dt == jnp.bool_:
+            return [vt.astype(jnp.int8)], "bool"
+        if dt.itemsize == 8:  # int64 / date64 etc.
+            lo = (vt & 0xFFFFFFFF).astype(jnp.int32)
+            hi = ((vt >> 32) & 0xFFFFFFFF).astype(jnp.int32)
+            return [lo, hi], "i64"
+        return [vt], "int"
+
     pays = []
     specs = []
     for vt, vm in vts:
-        dt = vt.dtype
-        if jnp.issubdtype(dt, jnp.floating):
-            bits = jax.lax.bitcast_convert_type(
-                vt, jnp.int32 if dt.itemsize == 4 else jnp.int64)
-        elif dt == jnp.bool_:
-            bits = vt.astype(jnp.int32)
-        else:
-            bits = vt
-        delta = jnp.concatenate([bits[:1], bits[1:] - bits[:-1]])
-        di = len(pays)
-        pays.append(jnp.concatenate(
-            [delta, jnp.zeros((npr,), delta.dtype)]))
+        words, kind = delta_words(vt)
+        idxs = []
+        for w in words:
+            delta = jnp.concatenate([w[:1], w[1:] - w[:-1]])
+            idxs.append(len(pays))
+            pays.append(jnp.concatenate(
+                [delta, jnp.zeros((npr,), delta.dtype)]))
         mi = None
         if vm is not None:
-            mbits = vm.astype(jnp.int32)
+            mbits = vm.astype(jnp.int8)
             mdelta = jnp.concatenate([mbits[:1], mbits[1:] - mbits[:-1]])
             mi = len(pays)
             pays.append(jnp.concatenate(
-                [mdelta, jnp.zeros((npr,), jnp.int32)]))
-        specs.append((di, dt, mi))
+                [mdelta, jnp.zeros((npr,), jnp.int8)]))
+        specs.append((idxs, kind, vt.dtype, mi))
     out = jax.lax.sort(tuple([key2] + pays), num_keys=1, is_stable=False)
     is_probe = (out[0] & 1) == 1
     cols = []
-    for di, dt, mi in specs:
-        acc = jnp.cumsum(out[1 + di], dtype=out[1 + di].dtype)
-        if jnp.issubdtype(dt, jnp.floating):
-            data = jax.lax.bitcast_convert_type(acc, dt)
-        elif dt == jnp.bool_:
-            data = acc.astype(jnp.bool_)
+    for idxs, kind, dt, mi in specs:
+        accs = [jnp.cumsum(out[1 + i], dtype=out[1 + i].dtype)
+                for i in idxs]
+        if kind == "f32":
+            data = jax.lax.bitcast_convert_type(accs[0], dt)
+        elif kind == "bool":
+            data = accs[0].astype(jnp.bool_)
+        elif kind == "i64":
+            lo, hi = accs
+            data = ((hi.astype(jnp.int64) << 32)
+                    | (lo.astype(jnp.int64) & 0xFFFFFFFF)).astype(dt)
         else:
-            data = acc
+            data = accs[0]
         mask = None
         if mi is not None:
-            mask = jnp.cumsum(out[1 + mi], dtype=jnp.int32).astype(jnp.bool_)
+            mask = jnp.cumsum(out[1 + mi], dtype=jnp.int8).astype(jnp.bool_)
         cols.append((data, mask))
     return is_probe, cols
 

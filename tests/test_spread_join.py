@@ -1,0 +1,198 @@
+"""Delta-spread FK join route (exec/join.py spread_inner_fk).
+
+Differential vs pandas with `spread_join_min_rows` lowered so the tiny
+suite actually executes the route (ADVICE r2: the 4M-row gate meant zero
+coverage).  Covers the route-taken contract, every spreadable dtype,
+the f64 exclusion (no TPU-safe bit access), and the two column-demand
+shapes that crashed in round 2: sort-over-join and demand-dead Project
+exprs.  Reference probe semantics: PerfectJoinHashTable.h:54,
+JoinHashImpl.h:55-95.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture()
+def hdk():
+    h = hdk_tpu.HDK()
+    h.config.exec.join.spread_join_min_rows = 50
+    return h
+
+
+def _fk_frames(rng, n_probe=400, n_build=64, **build_cols):
+    """FK shape that qualifies for the spread route: unique build keys
+    occupying a complete [0, n_build) range, every probe row matching."""
+    lhs = pd.DataFrame({
+        "k": rng.integers(0, n_build, n_probe),
+        "lv": rng.normal(size=n_probe).astype(np.float32),
+    })
+    rhs = pd.DataFrame({"k": rng.permutation(n_build), **{
+        name: vals for name, vals in build_cols.items()}})
+    return lhs, rhs
+
+
+def _join_agg(hdk, lhs, rhs, aggs):
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    return tl.join(tr, "k", "k").agg([], *aggs).run().to_pandas()
+
+
+def test_spread_route_taken_and_correct(hdk, rng):
+    lhs, rhs = _fk_frames(rng, w=rng.normal(size=64).astype(np.float32))
+    res = _join_agg(hdk, lhs, rhs, ["sum(w)", "count"])
+    assert hdk._executor._join_route == "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert res["count"].iloc[0] == len(exp)
+    assert np.isclose(res["w_sum"].iloc[0], exp["w"].sum(), rtol=1e-4)
+
+
+@pytest.mark.parametrize("dtype,gen", [
+    ("f32", lambda rng, n: rng.normal(size=n).astype(np.float32)),
+    ("i32", lambda rng, n: rng.integers(-2**31, 2**31, n, dtype=np.int32)),
+    ("i64", lambda rng, n: rng.integers(-2**40, 2**40, n, dtype=np.int64)),
+    ("i16", lambda rng, n: rng.integers(-2**15, 2**15, n, dtype=np.int16)),
+    ("i8", lambda rng, n: rng.integers(-128, 128, n, dtype=np.int8)),
+])
+def test_spread_dtypes_exact(hdk, rng, dtype, gen):
+    """Every spreadable dtype reconstructs bit-exactly through the
+    delta/cumsum encoding (i64 via the 2x i32 word split)."""
+    w = gen(rng, 64)
+    lhs, rhs = _fk_frames(rng, w=w)
+    res = _join_agg(hdk, lhs, rhs, ["min(w)", "max(w)", "sum(w)"])
+    assert hdk._executor._join_route == "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert res["w_min"].iloc[0] == exp["w"].min()
+    assert res["w_max"].iloc[0] == exp["w"].max()
+    if dtype != "f32":
+        assert int(res["w_sum"].iloc[0]) == int(exp["w"].astype(np.int64).sum())
+
+
+def test_spread_bool_exact(hdk, rng):
+    """bool reconstructs exactly through the i8 delta encoding; checked
+    by grouping ON the spread column (min/max of bool is out of scope
+    for the agg layer)."""
+    w = rng.integers(0, 2, 64).astype(bool)
+    lhs, rhs = _fk_frames(rng, w=w)
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    res = (tl.join(tr, "k", "k").agg(["w"], "count").sort("w")
+           .run().to_pandas())
+    assert hdk._executor._join_route == "spread"
+    exp = (lhs.merge(rhs, on="k").groupby("w", as_index=False)
+           .agg(count=("w", "size")).sort_values("w"))
+    assert res["count"].tolist() == exp["count"].tolist()
+
+
+def test_spread_nullable_column(hdk, rng):
+    w = rng.normal(size=64).astype(np.float32)
+    w_masked = pd.array(w, dtype="Float32")
+    w_masked[::5] = pd.NA
+    lhs, rhs = _fk_frames(rng, w=w_masked)
+    res = _join_agg(hdk, lhs, rhs, ["sum(w)", "count(w)"])
+    assert hdk._executor._join_route == "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert int(res["w_count"].iloc[0]) == int(exp["w"].notna().sum())
+    assert np.isclose(res["w_sum"].iloc[0],
+                      float(exp["w"].dropna().astype(float).sum()), rtol=1e-4)
+
+
+def test_f64_column_falls_back(hdk, rng):
+    """f64 has no TPU-safe bit representation: the route must decline
+    (value-table gather fallback), and results stay exact."""
+    lhs, rhs = _fk_frames(rng, w=rng.normal(size=64))  # float64
+    res = _join_agg(hdk, lhs, rhs, ["sum(w)", "count"])
+    assert hdk._executor._join_route != "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert res["count"].iloc[0] == len(exp)
+    assert np.isclose(res["w_sum"].iloc[0], exp["w"].sum(), rtol=1e-9)
+
+
+def test_groupby_over_spread_join(hdk, rng):
+    """Group-by keyed on a build column — the flagship bench shape."""
+    lhs, rhs = _fk_frames(
+        rng, g=rng.integers(0, 8, 64),
+        w=rng.integers(0, 100, 64).astype(np.float32))  # f32-exact sums
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    res = (tl.join(tr, "k", "k").agg(["g"], "sum(w)", "count")
+           .sort("g").run().to_pandas())
+    assert hdk._executor._join_route == "spread"
+    exp = (lhs.merge(rhs, on="k").groupby("g", as_index=False)
+           .agg(w_sum=("w", "sum"), count=("w", "size")).sort_values("g"))
+    assert_frames_match(res, exp)
+
+
+def test_sort_over_join_no_crash(hdk, rng):
+    """Sort directly over the join (no Project): _exec_sort pulls every
+    column, so demand must be all-columns and the spread route must
+    decline (r2 ADVICE crash (a))."""
+    lhs, rhs = _fk_frames(rng, n_probe=120,
+                          w=rng.normal(size=64).astype(np.float32))
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    res = (tl.join(tr, "k", "k").sort("w", limit=2000).run().to_pandas())
+    assert hdk._executor._join_route != "spread"
+    exp = lhs.merge(rhs, on="k")
+    exp.insert(2, "k_r", exp["k"])
+    exp = exp.sort_values("w", kind="stable")
+    assert_frames_match(res, exp[["k", "lv", "k_r", "w"]])
+
+
+def test_dead_project_expr_no_crash(hdk, rng):
+    """A Project whose demand-dead expr references the probe side: the
+    chain evaluates ALL exprs, so demand must include the probe column
+    and the spread route must decline (r2 ADVICE crash (b))."""
+    lhs, rhs = _fk_frames(rng, w=rng.normal(size=64).astype(np.float32))
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    j = tl.join(tr, "k", "k")
+    # dead=lv (probe side) is never aggregated, but _chain_env evaluates it
+    res = (j.proj(w=j.ref("w"), dead=j.ref("lv"))
+           .agg([], "sum(w)").run().to_pandas())
+    exp = lhs.merge(rhs, on="k")
+    assert np.isclose(res["w_sum"].iloc[0], exp["w"].sum(), rtol=1e-4)
+
+
+def test_spread_multi_column(hdk, rng):
+    """Several build columns of mixed dtype spread through one sort."""
+    lhs, rhs = _fk_frames(
+        rng,
+        a=rng.normal(size=64).astype(np.float32),
+        b=rng.integers(0, 1000, 64, dtype=np.int64),
+        c=rng.integers(0, 2, 64).astype(bool),
+    )
+    res = _join_agg(hdk, lhs, rhs, ["sum(a)", "sum(b)", "count(c)"])
+    assert hdk._executor._join_route == "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert np.isclose(res["a_sum"].iloc[0],
+                      exp["a"].sum(), rtol=1e-4)
+    assert int(res["b_sum"].iloc[0]) == int(exp["b"].sum())
+
+
+def test_spread_declines_when_probe_cols_demanded(hdk, rng):
+    """Aggregating a PROBE column keeps the value-table route."""
+    lhs, rhs = _fk_frames(rng, w=rng.normal(size=64).astype(np.float32))
+    res = _join_agg(hdk, lhs, rhs, ["sum(lv)", "sum(w)"])
+    assert hdk._executor._join_route != "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert np.isclose(res["lv_sum"].iloc[0],
+                      exp["lv"].sum(), rtol=1e-3)
+
+
+def test_spread_incomplete_table_declines(hdk, rng):
+    """Build keys leaving holes in [min, max]: table not complete, so
+    probe matching needs the occupancy gather and spread declines."""
+    lhs = pd.DataFrame({"k": np.repeat(np.arange(0, 64, 2), 10)})
+    rhs = pd.DataFrame({"k": np.arange(0, 64, 2),
+                        "w": np.arange(32, dtype=np.float32)})
+    tl = hdk.import_pandas(lhs, name="sp_l")
+    tr = hdk.import_pandas(rhs, name="sp_r")
+    res = tl.join(tr, "k", "k").agg([], "sum(w)").run().to_pandas()
+    assert hdk._executor._join_route != "spread"
+    exp = lhs.merge(rhs, on="k")
+    assert np.isclose(res["w_sum"].iloc[0], exp["w"].sum(), rtol=1e-4)
