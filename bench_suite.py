@@ -100,6 +100,89 @@ def gen_lineitem(hdk, rows: int):
     return rows
 
 
+def bench_zipf_join(hdk, scale: float):
+    """Zipf-skewed probe keys over the 100M x 10M join (BASELINE.json
+    config 5 'Zipf-skewed join keys'): a handful of heavy-hitter build
+    rows receive ~30% of all probes, stressing the probe path's
+    behavior under extreme reuse (reference harness shape:
+    omniscidb/Benchmarks/taxi/taxi_reduced_bench.cpp:52-84)."""
+    n_probe = int(100_000_000 * scale)
+    n_build = int(10_000_000 * scale)
+    rng = np.random.default_rng(17)
+    # zipf(1.3): P(rank 1) ~ 0.29; clip the unbounded tail into range
+    k = np.minimum(rng.zipf(1.3, n_probe), n_build).astype(np.int64) - 1
+    hdk.import_pydict({
+        "k": k,
+        "amt": rng.gamma(2.0, 10.0, n_probe).astype(np.float32),
+    }, name="trips_z")
+    hdk.import_pydict({
+        "k": rng.permutation(n_build),
+        "fee": rng.gamma(1.0, 2.0, n_build).astype(np.float32),
+    }, name="payments_z")
+    t = hdk.scan("trips_z")
+    p = hdk.scan("payments_z")
+
+    def q():
+        return t.join(p, "k", "k").agg([], "count", "sum(fee)").run()
+
+    secs = bench_query(q)
+    return {"config": f"zipf_join {n_probe}x{n_build} a=1.3 skew",
+            "seconds": secs, "rows_per_sec": n_probe / secs}
+
+
+def bench_tpch_q3(hdk, scale: float):
+    """TPC-H Q3 shape: 3-table join chain + group-by + top-10 sort
+    (customer 1.5M, orders 15M, lineitem 60M at scale 1.0 ~ SF10).
+    Exercises join-chain reordering, the FK join path and fused
+    agg->sort together (BASELINE.json config 5; SQL shape per the
+    TPC-H spec Q3)."""
+    n_cust = int(1_500_000 * scale)
+    n_ord = int(15_000_000 * scale)
+    n_li = int(60_000_000 * scale)
+    rng = np.random.default_rng(23)
+    seg = np.asarray(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                      "MACHINERY"])
+    base = np.int64(694224000)  # 1992-01-01
+    year7 = 7 * 365 * 86400
+    ts = __import__("hdk_tpu").types
+    hdk.import_pydict({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_mktsegment": seg[rng.integers(0, 5, n_cust)],
+    }, name="customer3")
+    hdk.import_pydict({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_orderdate": base + rng.integers(0, year7, n_ord),
+        "o_shippriority": rng.integers(0, 3, n_ord).astype(np.int8),
+    }, name="orders3", schema={
+        "o_orderdate": ts.timestamp(ts.TimeUnit.SECOND, False)})
+    hdk.import_pydict({
+        "l_orderkey": rng.integers(0, n_ord, n_li),
+        "l_extendedprice": rng.gamma(3.0, 12000.0, n_li).astype(np.float32),
+        "l_discount": np.round(rng.uniform(0.0, 0.1, n_li), 2
+                               ).astype(np.float32),
+        "l_shipdate": base + rng.integers(0, year7, n_li),
+    }, name="lineitem3", schema={
+        "l_shipdate": ts.timestamp(ts.TimeUnit.SECOND, False)})
+
+    def q3():
+        return hdk.sql(
+            "SELECT l_orderkey, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS revenue, "
+            "o_orderdate, o_shippriority "
+            "FROM customer3, orders3, lineitem3 "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_shippriority "
+            "ORDER BY revenue DESC, o_orderdate LIMIT 10")
+
+    secs = bench_query(q3)
+    return {"config": f"tpch_q3 {n_li} lineitem rows (3-table join)",
+            "seconds": secs, "rows_per_sec": n_li / secs}
+
+
 def bench_tpch(hdk, scale: float):
     rows = int(60_000_000 * scale)  # ~SF10-scale lineitem per unit scale
     gen_lineitem(hdk, rows)
@@ -140,7 +223,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.1,
                     help="row-count multiplier vs the north-star configs")
-    ap.add_argument("--only", choices=["join", "groupby", "tpch"])
+    ap.add_argument("--only", choices=["join", "groupby", "tpch",
+                                       "zipf", "tpch3"])
     args = ap.parse_args()
 
     if args.only is None:
@@ -151,7 +235,7 @@ def main():
         import sys as _sys
 
         results = []
-        for only in ("join", "groupby", "tpch"):
+        for only in ("join", "zipf", "groupby", "tpch", "tpch3"):
             proc = subprocess.run(
                 [_sys.executable, os.path.abspath(__file__),
                  "--scale", str(args.scale), "--only", only],
@@ -173,10 +257,14 @@ def main():
     results = []
     if args.only == "join":
         results.append(bench_join(hdk, args.scale))
+    elif args.only == "zipf":
+        results.append(bench_zipf_join(hdk, args.scale))
     elif args.only == "groupby":
         results.extend(bench_high_ndv(hdk, args.scale))
     elif args.only == "tpch":
         results.extend(bench_tpch(hdk, args.scale))
+    elif args.only == "tpch3":
+        results.append(bench_tpch_q3(hdk, args.scale))
 
     for r in results:
         r["Mrows_per_sec"] = round(r.pop("rows_per_sec") / 1e6, 2)

@@ -51,6 +51,22 @@ def _to_expr(val, like: Optional[ir.Expr] = None) -> ir.Expr:
     raise TypeError(f"cannot build literal from {val!r}")
 
 
+def _coerce_string_literal(lhs: ir.Expr, rhs: ir.Expr):
+    """Comparing a dict-encoded string column to a raw string literal:
+    re-type the literal into the column's dictionary code space so the
+    compare runs on int32 codes (reference: transient literal encoding in
+    StringDictionaryProxy; an absent literal gets code -1 which equals no
+    real code).  Dict-vs-dict comparisons already translate in the scalar
+    compiler (scalar.py translate_dict_codes)."""
+    def fix(col_t, e):
+        if (col_t.is_dict_encoded_string() and isinstance(e, ir.Constant)
+                and e.type.is_string() and not e.type.is_dict_encoded_string()):
+            return ir.Constant(col_t.with_nullable(e.value is None), e.value)
+        return e
+
+    return fix(rhs.type, lhs), fix(lhs.type, rhs)
+
+
 def _arith_type(kind: ir.BinOpKind, lt: t.Type, rt: t.Type) -> t.Type:
     ct = t.common_type(lt, rt)
     if kind == ir.BinOpKind.DIV and ct.is_decimal():
@@ -85,6 +101,8 @@ class QueryExpr:
     def _bin(self, kind: ir.BinOpKind, other, reflected: bool = False) -> "QueryExpr":
         oe = _to_expr(other, like=self.expr)
         lhs, rhs = (oe, self.expr) if reflected else (self.expr, oe)
+        if kind.is_comparison():
+            lhs, rhs = _coerce_string_literal(lhs, rhs)
         if kind.is_comparison() or kind.is_logic():
             typ = t.boolean(lhs.type.nullable or rhs.type.nullable)
         else:

@@ -2162,6 +2162,23 @@ class Executor:
                 data, mask = self.scalar.translate_dict_codes(
                     rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
                 rhs_keys[i] = MaskedCol(data, mask)
+            elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
+                # mixed numeric key types (e.g. INT = DOUBLE from an IN
+                # subquery): hash_keys encodes each side's raw bits, so
+                # 31 and 31.0 would never match — promote both sides to
+                # the common SQL type first (reference: Analyzer
+                # normalizes operand types before hash-join key check,
+                # normalize_column_pairs)
+                ld, rd = lhs_keys[i].data.dtype, rhs_keys[i].data.dtype
+                if (jnp.issubdtype(ld, jnp.number)
+                        and jnp.issubdtype(rd, jnp.number)):
+                    ct = jnp.promote_types(ld, rd)
+                    if ld != ct:
+                        lhs_keys[i] = MaskedCol(
+                            lhs_keys[i].data.astype(ct), lhs_keys[i].mask)
+                    if rd != ct:
+                        rhs_keys[i] = MaskedCol(
+                            rhs_keys[i].data.astype(ct), rhs_keys[i].mask)
         jt = node.join_type
 
         if lhs.nrows == 0:

@@ -35,6 +35,7 @@ from ..exec.masked import MaskedCol
 from ..ir.expr import AggKind
 from . import shuffle as shf
 from .mesh import FRAG_AXIS
+from ..utils import commlog
 
 # slot-combine rule per aggregate kind: how per-shard raw slots merge
 # (reference: ResultSetReductionOps.h op kinds).  Sketch kinds are
@@ -110,7 +111,7 @@ def dist_groupby_perfect(
 
         exists_local = jax.ops.segment_sum(
             jnp.ones(gid.shape, jnp.int64), gid, num_segments=n + 1)[:n] > 0
-        exists = jax.lax.psum(exists_local.astype(jnp.int32), axis) > 0
+        exists = commlog.psum(exists_local.astype(jnp.int32), axis) > 0
 
         out = []
         for spec, op in zip(specs, operands_l):
@@ -121,18 +122,18 @@ def dist_groupby_perfect(
                 # and re-cluster per group (ops/sketches)
                 from ..ops import sketches as sk
                 c = slots[0].shape[1]
-                gm = jax.lax.all_gather(slots[0], axis, axis=1, tiled=True)
-                gw = jax.lax.all_gather(slots[1], axis, axis=1, tiled=True)
+                gm = commlog.all_gather(slots[0], axis, axis=1, tiled=True)
+                gw = commlog.all_gather(slots[1], axis, axis=1, tiled=True)
                 combined = list(sk.tdigest_merge_gathered(gm, gw, c))
             else:
                 combined = []
                 for slot, rule in zip(slots, _COMBINE[spec.kind]):
                     if rule == "sum":
-                        combined.append(jax.lax.psum(slot, axis))
+                        combined.append(commlog.psum(slot, axis))
                     elif rule == "min":
-                        combined.append(jax.lax.pmin(slot, axis))
+                        combined.append(commlog.pmin(slot, axis))
                     else:
-                        combined.append(jax.lax.pmax(slot, axis))
+                        combined.append(commlog.pmax(slot, axis))
             out.append(gb.AggResult(combined).finalize(sspec, None))
         return out, exists
 
@@ -253,7 +254,7 @@ def dist_groupby_two_phase(
         # merged the tail partial groups) is a failure too
         local_overflow = jnp.maximum(
             n_local.astype(jnp.int64) - local_cap, 0)
-        total_overflow = jax.lax.psum(
+        total_overflow = commlog.psum(
             overflow.astype(jnp.int64) + merge_overflow + local_overflow,
             axis)
         return merged_keys, agg_cols, exists, total_overflow
@@ -443,7 +444,7 @@ def dist_groupby_shuffled(
         # dist_groupby_two_phase)
         group_overflow = jnp.maximum(
             n_local.astype(jnp.int64) - group_cap_per_shard, 0)
-        total_overflow = jax.lax.psum(
+        total_overflow = commlog.psum(
             overflow.astype(jnp.int64) + group_overflow, axis)
         return key_cols, agg_cols, exists, total_overflow
 
@@ -614,7 +615,7 @@ def dist_groupby_distinct_split(
         ]
         merge_overflow = jnp.maximum(
             n_merged.astype(jnp.int64) - group_cap_per_shard, 0)
-        total_overflow = jax.lax.psum(
+        total_overflow = commlog.psum(
             ovf1.astype(jnp.int64) + ovf3.astype(jnp.int64)
             + merge_overflow, axis)
         return merged_keys, agg_cols, exists, total_overflow

@@ -36,6 +36,7 @@ from ..exec.masked import MaskedCol, combine_masks
 from ..ir.node import JoinType
 from . import shuffle as shf
 from .mesh import FRAG_AXIS
+from ..utils import commlog
 
 
 def _mask_first(keys: Sequence[MaskedCol], valid) -> List[MaskedCol]:
@@ -167,7 +168,7 @@ def dist_join_broadcast(
             list(bcols_g), list(bkeys_g), None,
             list(pcols_l), list(pkeys_l), pvalid_l,
             join_type, pair_cap)
-        ov = jax.lax.psum(ov, axis)
+        ov = commlog.psum(ov, axis)
         if out is None:
             return mask, ov
         return out, mask, ov
@@ -233,7 +234,7 @@ def partition_histograms(
             cnt = jax.ops.segment_sum(
                 jnp.ones(dest.shape, jnp.int64), dest,
                 num_segments=ndev + 1)[:ndev]
-            return jax.lax.psum(cnt, axis)
+            return commlog.psum(cnt, axis)
 
         return hist(pkeys_l, pvalid_l), hist(bkeys_l, bvalid_l)
 
@@ -313,7 +314,7 @@ def dist_join_partitioned(
         bc2 = bshuf[len(bkeys_l):]
         out, mask, ov3 = _local_join(bc2, bk2, bvalid2, pc2, pk2, pvalid2,
                                      join_type, pair_cap)
-        ov = jax.lax.psum(ov1 + ov2 + ov3, axis)
+        ov = commlog.psum(ov1 + ov2 + ov3, axis)
         if out is None:
             # SEMI/ANTI: emit the shuffled probe columns + keep mask
             return pc2, mask, ov

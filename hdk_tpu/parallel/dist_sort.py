@@ -37,6 +37,7 @@ from ..exec.groupby import _orderable_int64
 from ..exec.masked import MaskedCol
 from . import shuffle as shf
 from .mesh import FRAG_AXIS
+from ..utils import commlog
 
 
 def _sort_key(col: MaskedCol, desc: bool, nulls_first: bool) -> jnp.ndarray:
@@ -84,7 +85,7 @@ def dist_sort(
         idx = jnp.linspace(0, n_loc - 1, sample_per_shard).astype(jnp.int32)
         sample = local_sorted[idx]
         # 2) global splitters from the gathered sample
-        all_samples = jax.lax.all_gather(sample, axis).reshape(-1)
+        all_samples = commlog.all_gather(sample, axis).reshape(-1)
         all_sorted = jnp.sort(all_samples)
         total = all_sorted.shape[0]
         spl_idx = (jnp.arange(1, num_shards) * total // num_shards)
@@ -134,7 +135,7 @@ def dist_sort(
                       sout[base + mi] if mi is not None else None)
             for di, mi in pos2
         ]
-        return sorted_payloads, valid_out, jax.lax.psum(overflow, axis)
+        return sorted_payloads, valid_out, commlog.psum(overflow, axis)
 
     in_specs = (
         jax.tree.map(lambda _: P(axis), list(sort_cols)),

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..exec.join import _i64, _lsr, _mix64
 from ..exec.groupby import _orderable_int64
 from ..exec.masked import MaskedCol
+from ..utils import commlog
 
 # rows whose key is NULL hash to a fixed bucket (they still form a group)
 _NULL_HASH = _i64(0x9E3779B97F4A7C15)
@@ -113,7 +114,7 @@ def exchange(bufs: Sequence[jnp.ndarray], buf_valid: jnp.ndarray,
     for items in by_dtype.values():
         packed = (jnp.concatenate([c for _, c in items], axis=2)
                   if len(items) > 1 else items[0][1])
-        r = jax.lax.all_to_all(packed, axis_name, split_axis=0,
+        r = commlog.all_to_all(packed, axis_name, split_axis=0,
                                concat_axis=0, tiled=True)
         off = 0
         for i, c in items:

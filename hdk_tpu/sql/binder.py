@@ -601,7 +601,11 @@ class Binder:
         return [e]
 
     def _side_of(self, e, lscope: Scope, rscope: Scope) -> Optional[int]:
-        """0 = only lhs columns, 1 = only rhs, None = mixed/none."""
+        """0 = only lhs columns, 1 = only rhs, None = mixed/none.  A
+        column resolvable in NEITHER scope (it belongs to a table later
+        in the comma-join chain, e.g. TPC-H Q3's l_orderkey while
+        binding customer x orders) marks the conjunct unusable here; it
+        stays in WHERE for a later join step to consume."""
         sides = set()
 
         def walk(x):
@@ -612,7 +616,11 @@ class Binder:
                     return
                 except SqlError:
                     pass
-                rscope.resolve(x.name, x.table)
+                try:
+                    rscope.resolve(x.name, x.table)
+                except SqlError:
+                    sides.add(2)  # belongs to a not-yet-joined table
+                    return
                 sides.add(1)
                 return
             for f in getattr(x, "__dict__", {}).values():

@@ -216,3 +216,21 @@ def test_semi_anti_residual(hdk, rng):
     anti = tl.join(tr, "k", "k", how="anti", cond=tl["v"] > tr["w"]).run()
     assert semi.row_count == len(match_idx)
     assert anti.row_count == len(lhs) - len(match_idx)
+
+
+def test_mixed_numeric_key_types(hdk, rng):
+    """INT join key vs DOUBLE join key (e.g. from an IN subquery over a
+    float column): both sides promote to the common type before hashing
+    (reference: normalize_column_pairs), so 31 matches 31.0."""
+    lhs = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+    rhs = pd.DataFrame({"kf": np.arange(0, 40, 2).astype(np.float64),
+                        "w": np.arange(20)})
+    tl = hdk.import_pandas(lhs, name="mix_l")
+    tr = hdk.import_pandas(rhs, name="mix_r")
+    res = tl.join(tr, "k", "kf").run().to_pandas()
+    exp = lhs.merge(rhs, left_on="k", right_on="kf")
+    assert sorted(res["k"].tolist()) == sorted(exp["k"].tolist())
+    # non-integral floats match nothing
+    rhs2 = pd.DataFrame({"kf": np.arange(20) + 0.5, "w": np.arange(20)})
+    tr2 = hdk.import_pandas(rhs2, name="mix_r2")
+    assert len(tl.join(tr2, "k", "kf").run().to_pandas()) == 0

@@ -405,3 +405,46 @@ def test_sample_ratio_in_projection(env, data):
     pos = np.arange(len(data), dtype=np.int64)
     keep = (pos * 2654435761) % 4294967296 < int(4294967296 * 0.25)
     assert got["f"].astype(bool).tolist() == keep.tolist()
+
+
+def test_string_literal_compare(hdk, rng):
+    """Dict-encoded column vs raw string literal: the literal is re-typed
+    into the column's dictionary and compared in code space (reference:
+    transient literal encoding, StringDictionaryProxy)."""
+    seg = np.asarray(["AUTOMOBILE", "BUILDING", "FURNITURE"])
+    col = seg[rng.integers(0, 3, 60)]
+    hdk.import_pydict({"c": col, "k": np.arange(60)}, name="strlit_t")
+    eq = hdk.sql("SELECT k FROM strlit_t WHERE c = 'BUILDING'").to_pandas()
+    assert eq["k"].tolist() == [i for i in range(60) if col[i] == "BUILDING"]
+    ne = hdk.sql("SELECT k FROM strlit_t WHERE c <> 'BUILDING'").to_pandas()
+    assert len(eq) + len(ne) == 60
+    # literal absent from the dictionary: equals no row, <> matches all
+    absent = hdk.sql("SELECT k FROM strlit_t WHERE c = 'NOPE'").to_pandas()
+    assert len(absent) == 0
+    # reflected literal-on-the-left form
+    refl = hdk.sql("SELECT k FROM strlit_t WHERE 'BUILDING' = c").to_pandas()
+    assert refl["k"].tolist() == eq["k"].tolist()
+
+
+def test_comma_join_three_tables_deferred_conjunct(hdk, rng):
+    """TPC-H Q3 shape: a WHERE equi conjunct that references a table not
+    yet merged into the comma-join chain must defer to the later join
+    step instead of failing resolution."""
+    n_c, n_o, n_l = 20, 50, 200
+    cust = {"ck": np.arange(n_c), "seg": rng.integers(0, 3, n_c)}
+    orders = {"ok": np.arange(n_o), "ock": rng.integers(0, n_c, n_o)}
+    items = {"lok": rng.integers(0, n_o, n_l),
+             "price": rng.integers(1, 100, n_l).astype(np.float32)}
+    hdk.import_pydict(cust, name="c3t")
+    hdk.import_pydict(orders, name="o3t")
+    hdk.import_pydict(items, name="l3t")
+    got = hdk.sql(
+        "SELECT SUM(price) AS s, COUNT(*) AS n FROM c3t, o3t, l3t "
+        "WHERE ck = ock AND lok = ok AND seg = 1").to_pandas()
+    import pandas as pd
+    df = (pd.DataFrame(cust).merge(pd.DataFrame(orders),
+                                   left_on="ck", right_on="ock")
+          .merge(pd.DataFrame(items), left_on="ok", right_on="lok"))
+    df = df[df["seg"] == 1]
+    assert got["n"].iloc[0] == len(df)
+    assert np.isclose(got["s"].iloc[0], df["price"].sum(), rtol=1e-4)
