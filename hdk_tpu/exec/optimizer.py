@@ -30,7 +30,7 @@ scan/join columns), not as a plan rewrite.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from .. import types as t
 from ..config import Config
@@ -460,6 +460,256 @@ def _collect_refs(e: ir.Expr) -> List[ir.ColumnRef]:
     return out
 
 
+def _enumerate_bushy(base: nd.Node, joins: List[nd.Join],
+                     head: nd.Join) -> Optional[nd.Node]:
+    """Bushy join enumeration: exact DP over the relations of a
+    left-deep INNER chain (reference: FromTableReordering.cpp orders the
+    from-list; this goes further and considers bushy shapes, so a
+    snowflake's dim⋈dim can be planned before touching the fact table).
+
+    Plan space: subsets of relations, merged only along equi predicates
+    (no cartesian bushes).  Cardinality model matches exec/cost.py's
+    FK assumption — an equi merge yields max(|A|, |B|) rows — and the
+    objective is the sum of intermediate result sizes.  Equi conjuncts
+    whose left side ends up split across both subtrees apply as residual
+    filters at that merge (INNER joins commute with filters, so applying
+    a predicate at the first merge containing its columns is exact).
+
+    Returns a rebuilt tree + column-restoring Project, or None when the
+    best plan is the written left-deep order (or the chain's shape is
+    out of scope)."""
+    from . import cost
+
+    n = len(joins)
+    sources: List[nd.Node] = [base] + [j.inputs[1] for j in joins]
+    m = len(sources)
+    if m > 6:
+        return None  # 2^m DP: cap the search (greedy handles long chains)
+    sizes = [s.size() for s in sources]
+    cum = [0]
+    for s in sizes:
+        cum.append(cum[-1] + s)
+
+    def src_of(p: int) -> int:
+        for s in range(len(sources)):
+            if p < cum[s + 1]:
+                return s
+        raise IndexError(p)
+
+    # ---- normalize predicates: (sources, kind, payload) ---------------
+    # equi: (lsrcs, rsrc, l_expr, r_expr, owner_join) with l over the
+    # flattened chain space and r over the rhs source's local space
+    equi = []
+    resid = []  # (srcs, expr, owner_join)
+    for k, j in enumerate(joins):
+        old_lhs = base if k == 0 else joins[k - 1]
+        rhs = j.inputs[1]
+        for l, r in j.key_pairs:
+            lsrcs = set()
+            for ref in _collect_refs(l):
+                if ref.node is not old_lhs:
+                    return None
+                lsrcs.add(src_of(ref.index))
+            for ref in _collect_refs(r):
+                if ref.node is not rhs:
+                    return None
+            if not lsrcs:
+                return None  # constant key: out of scope
+            equi.append((frozenset(lsrcs), k + 1, l, r, k))
+        if j.residual is not None:
+            srcs = set()
+            for ref in _collect_refs(j.residual):
+                if ref.node is old_lhs:
+                    srcs.add(src_of(ref.index))
+                elif ref.node is rhs:
+                    srcs.add(k + 1)
+                else:
+                    return None
+            resid.append((frozenset(srcs), j.residual, k))
+
+    rows = [max(cost.estimate_rows(s), 1.0) for s in sources]
+
+    def bits(subset: int):
+        return [i for i in range(m) if subset >> i & 1]
+
+    def key_formable(a_set: int, b_set: int) -> bool:
+        for lsrcs, rsrc, _l, _r, _k in equi:
+            la = all(a_set >> s & 1 for s in lsrcs)
+            lb = all(b_set >> s & 1 for s in lsrcs)
+            if (la and b_set >> rsrc & 1) or (lb and a_set >> rsrc & 1):
+                return True
+        return False
+
+    full = (1 << m) - 1
+    best: Dict[int, Tuple[float, object]] = {}
+    subset_rows: Dict[int, float] = {}
+    for i in range(m):
+        best[1 << i] = (0.0, i)
+        subset_rows[1 << i] = rows[i]
+    for subset in range(1, full + 1):
+        if subset.bit_count() < 2:
+            continue
+        subset_rows[subset] = max(rows[i] for i in bits(subset))
+        lowest = subset & -subset
+        a = (subset - 1) & subset
+        while a > 0:
+            b = subset ^ a
+            if (a & lowest) and a in best and b in best \
+                    and key_formable(a, b):
+                c = best[a][0] + best[b][0] + subset_rows[subset]
+                if subset not in best or c < best[subset][0] - 1e-9:
+                    best[subset] = (c, (best[a][1], best[b][1]))
+            a = (a - 1) & subset
+    if full not in best:
+        return None
+
+    plan = best[full][1]
+    expected: object = 0  # written order: (((0,1),2),...)
+    for i in range(1, m):
+        expected = (expected, i)
+    if plan == expected:
+        return None
+
+    applied: set = set()
+
+    def remap_into(e: ir.Expr, owner: int, node: nd.Node,
+                   layout: List[int], offs: Dict[int, int]) -> ir.Expr:
+        """Rewrite a pred expr's refs into ``node``'s column space.
+        Refs to the owner join's old_lhs use the flattened chain space;
+        refs to a source node use local indices."""
+        old_lhs = base if owner == 0 else joins[owner - 1]
+
+        def go(x: ir.Expr) -> ir.Expr:
+            if isinstance(x, ir.ColumnRef):
+                if x.node is old_lhs:
+                    s = src_of(x.index)
+                    return ir.ColumnRef(x.type, node,
+                                        offs[s] + (x.index - cum[s]))
+                # a source-local ref (the owner's rhs)
+                for s, srcn in enumerate(sources):
+                    if x.node is srcn:
+                        return ir.ColumnRef(x.type, node, offs[s] + x.index)
+                raise KeyError(x)
+            ops = [go(o) for o in x.operands()]
+            return x.rebuild(*ops) if ops else x
+
+        return go(e)
+
+    def build(p) -> Tuple[nd.Node, List[int]]:
+        if isinstance(p, int):
+            return sources[p], [p]
+        (pa, pb) = p
+        na, la = build(pa)
+        nb, lb = build(pb)
+        a_set = sum(1 << s for s in la)
+        b_set = sum(1 << s for s in lb)
+        offs_a = {}
+        w = 0
+        for s in la:
+            offs_a[s] = w
+            w += sizes[s]
+        offs_b = {}
+        w2 = 0
+        for s in lb:
+            offs_b[s] = w2
+            w2 += sizes[s]
+        pairs = []
+        residuals = []
+        for pi, (lsrcs, rsrc, l, r, k) in enumerate(equi):
+            if ("e", pi) in applied:
+                continue
+            srcs = set(lsrcs) | {rsrc}
+            if not all((a_set | b_set) >> s & 1 for s in srcs):
+                continue
+            in_a = any(a_set >> s & 1 for s in srcs)
+            in_b = any(b_set >> s & 1 for s in srcs)
+            if not (in_a and in_b):
+                continue
+            la_all = all(a_set >> s & 1 for s in lsrcs)
+            lb_all = all(b_set >> s & 1 for s in lsrcs)
+            if la_all and b_set >> rsrc & 1:
+                pairs.append((remap_into(l, k, na, la, offs_a),
+                              remap_into(r, k, nb, lb, offs_b)))
+            elif lb_all and a_set >> rsrc & 1:
+                pairs.append((remap_into(r, k, na, la, offs_a),
+                              remap_into(l, k, nb, lb, offs_b)))
+            else:
+                # left side split across subtrees: equality as residual
+                bt = t.boolean(l.type.nullable or r.type.nullable)
+                residuals.append(("split", pi, bt))
+            applied.add(("e", pi))
+        for ri, (srcs, e, k) in enumerate(resid):
+            if ("r", ri) in applied:
+                continue
+            if not all((a_set | b_set) >> s & 1 for s in srcs):
+                continue
+            if not (any(a_set >> s & 1 for s in srcs)
+                    and any(b_set >> s & 1 for s in srcs)):
+                continue
+            residuals.append(("orig", ri, None))
+            applied.add(("r", ri))
+        if not pairs:
+            raise _BushyBail()
+        # residual exprs reference the join INPUTS (executor resolves
+        # refs to inputs[0]/inputs[1] on candidate pairs)
+        res_e: Optional[ir.Expr] = None
+        for tag, idx, bt in residuals:
+            if tag == "split":
+                lsrcs, rsrc, l, r, k = equi[idx]
+                # both sides land in pair space via input-node refs
+                le = remap_two_sided(l, k, na, la, offs_a, nb, lb, offs_b)
+                re_ = remap_two_sided(r, k, na, la, offs_a, nb, lb, offs_b)
+                cond = ir.BinOp(bt, ir.BinOpKind.EQ, le, re_)
+            else:
+                srcs, e, k = resid[idx]
+                cond = remap_two_sided(e, k, na, la, offs_a, nb, lb, offs_b)
+            res_e = cond if res_e is None else ir.BinOp(
+                t.boolean(res_e.type.nullable or cond.type.nullable),
+                ir.BinOpKind.AND, res_e, cond)
+        node = nd.Join(na, nb, pairs, nd.JoinType.INNER, res_e,
+                       suffix="_b")
+        return node, la + lb
+
+    def remap_two_sided(e: ir.Expr, owner: int, na, la, offs_a,
+                        nb, lb, offs_b) -> ir.Expr:
+        old_lhs = base if owner == 0 else joins[owner - 1]
+
+        def go(x: ir.Expr) -> ir.Expr:
+            if isinstance(x, ir.ColumnRef):
+                if x.node is old_lhs:
+                    s = src_of(x.index)
+                    c = x.index - cum[s]
+                else:
+                    s = next(i for i, srcn in enumerate(sources)
+                             if x.node is srcn)
+                    c = x.index
+                if s in offs_a:
+                    return ir.ColumnRef(x.type, na, offs_a[s] + c)
+                return ir.ColumnRef(x.type, nb, offs_b[s] + c)
+            ops = [go(o) for o in x.operands()]
+            return x.rebuild(*ops) if ops else x
+
+        return go(e)
+
+    class _BushyBail(Exception):
+        pass
+
+    try:
+        top, layout = build(plan)
+    except _BushyBail:
+        return None
+    offs = {}
+    w = 0
+    for s in layout:
+        offs[s] = w
+        w += sizes[s]
+    exprs = []
+    for q in range(head.size()):
+        s = src_of(q)
+        exprs.append(top.ref(offs[s] + (q - cum[s])))
+    return nd.Project(top, exprs, head.fields)
+
+
 def reorder_join_chains(dag: nd.QueryDag) -> nd.QueryDag:
     """Apply _reorder_one_chain to every maximal chain.  Chains whose
     intermediate joins are shared by other consumers are left alone
@@ -480,6 +730,11 @@ def reorder_join_chains(dag: nd.QueryDag) -> nd.QueryDag:
         for j in joins[:-1]:
             if consumers.get(j.id, 0) > 1:
                 return None
+        # exact bushy DP for small chains (snowflakes: dim⋈dim first);
+        # the greedy left-deep reorder covers longer chains
+        out = _enumerate_bushy(base, joins, node)  # type: ignore[arg-type]
+        if out is not None:
+            return out
         return _reorder_one_chain(base, joins, node)  # type: ignore[arg-type]
 
     # custom traversal: rebuild bottom-up but SKIP interior chain joins

@@ -89,9 +89,14 @@ class ScalarCompiler:
         self.udfs = udfs    # UdfRegistry (udf.py) or None
 
     def evaluate(self, expr: ir.Expr, resolver: Resolver,
-                 row_mask=None) -> MaskedCol:
+                 row_mask=None, window_override=None) -> MaskedCol:
+        """``window_override``: {id(WindowFunction expr): MaskedCol} —
+        precomputed window values substituted during evaluation (the
+        executor's distributed-window route computes them via an
+        explicit shuffle plan, parallel/dist_window.py)."""
         cache: Dict[int, MaskedCol] = {}
         self._row_mask = row_mask  # consumed by window functions only
+        self._window_override = window_override
 
         def ev(e: ir.Expr) -> MaskedCol:
             got = cache.get(id(e))
@@ -140,6 +145,10 @@ class ScalarCompiler:
     # ------------------------------------------------------------------
     def _window(self, e: ir.WindowFunction, ev) -> MaskedCol:
         from .window import compute_window
+
+        ov = getattr(self, "_window_override", None)
+        if ov is not None and id(e) in ov:
+            return ov[id(e)]
 
         args = [ev(a) for a in e.args]
         parts = [ev(p) for p in e.partition_keys]

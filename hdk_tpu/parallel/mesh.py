@@ -124,3 +124,51 @@ def pad_to_multiple(arr, n: int, fill):
     pad = n - rem
     fill_arr = jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)
     return jnp.concatenate([arr, fill_arr]), rows
+
+
+def allgather_host_strings(strings) -> list:
+    """Gather every process's string list (rank order).  Strings ship as
+    one NUL-separated utf-8 blob padded to the global max (two tiny
+    collectives: sizes, then blobs)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [list(strings)]
+    from jax.experimental import multihost_utils as mh
+
+    blob = np.frombuffer("\x00".join(strings).encode("utf-8"), np.uint8)
+    sizes = np.asarray(mh.process_allgather(
+        np.asarray([blob.size], np.int64))).reshape(-1)
+    mx = max(int(sizes.max()), 1)
+    padded = np.zeros((mx,), np.uint8)
+    padded[:blob.size] = blob
+    blobs = np.asarray(mh.process_allgather(padded))
+    out = []
+    for r in range(blobs.shape[0]):
+        b = bytes(blobs[r][:int(sizes[r])])
+        out.append(b.decode("utf-8").split("\x00") if b else [])
+    return out
+
+
+def unify_process_dictionary(dct) -> "np.ndarray":
+    """Multi-controller dictionary unification (reference:
+    StringDictionaryTranslationMgr + dictionary generations,
+    Execute.h:305-315): every process contributes its process-local
+    dictionary; all adopt the rank-ordered union as the canonical code
+    space.  Returns the translation array old_local_code -> global_code
+    for rewriting already-encoded columns.
+
+    Must be called SPMD-synchronously by every process (the ingest path
+    is identical on all controllers, so ordering holds by construction).
+    """
+    local = dct.all_strings()
+    per_proc = allgather_host_strings(local)
+    canonical: list = []
+    seen: dict = {}
+    for proc_strings in per_proc:
+        for s in proc_strings:
+            if s not in seen:
+                seen[s] = len(canonical)
+                canonical.append(s)
+    dct.replace_contents(canonical)
+    return np.asarray([seen[s] for s in local], np.int32)

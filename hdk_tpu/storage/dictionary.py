@@ -144,6 +144,17 @@ class StringDictionary:
     def all_strings(self) -> List[str]:
         return self._b.all_strings()
 
+    def replace_contents(self, strings: List[str]) -> None:
+        """Rebuild the dictionary with a new canonical string order
+        (multi-controller unification, parallel/mesh.py: every process
+        adopts the rank-ordered union so code spaces agree globally;
+        reference role: StringDictionaryTranslationMgr's translated
+        id space)."""
+        with self._lock:
+            self._b = _make_backend()
+            for s in strings:
+                self._b.get_or_add(s)
+
     # -- code-space predicates (reference: StringDictionary::getLike /
     #    getRegexpLike run on the dictionary, result used as an IN-set) -----
     def codes_matching(self, pred) -> np.ndarray:

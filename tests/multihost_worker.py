@@ -87,6 +87,41 @@ def main() -> None:
     assert got2["c"].tolist() == exp2["c"].tolist(), got2
     print(f"proc{pid} E2E OK", flush=True)
 
+    # ---- cross-process dictionary unification: string-keyed group-by
+    # AND a dict-key join over process-local string columns; each
+    # process's shard holds a different (overlapping) string subset, so
+    # codes would disagree without the allgather-unify step at ingest
+    cities = np.asarray(["nyc", "sfo", "chi", "bos", "lax", "sea"])
+    ci_all = cities[rng.integers(0, 6, n_total)]
+    amt_all = rng.integers(1, 100, n_total)
+    hdk.import_pydict({"city": ci_all[sl], "amt": amt_all[sl]},
+                      name="mstr", process_local=True)
+    got3 = hdk.sql("SELECT city, COUNT(*) AS c, SUM(amt) AS s FROM mstr "
+                   "GROUP BY city ORDER BY city").to_pandas()
+    df3 = pd.DataFrame({"city": ci_all, "amt": amt_all})
+    exp3 = (df3.groupby("city").agg(c=("city", "size"), s=("amt", "sum"))
+            .reset_index().sort_values("city").reset_index(drop=True))
+    assert got3["city"].tolist() == exp3["city"].tolist(), got3
+    assert got3["c"].tolist() == exp3["c"].tolist(), got3
+    assert got3["s"].tolist() == exp3["s"].tolist(), got3
+    # dict-key join: process-local fact x replicated dim on the string
+    # key (cross-dictionary translation handles the dim's own dict)
+    hdk.import_pydict({"city": cities.tolist(),
+                       "tz": [-5, -8, -6, -5, -8, -8]}, name="mcity")
+    got4 = hdk.sql("SELECT d.tz AS tz, COUNT(*) AS c FROM mstr "
+                   "JOIN mcity d ON mstr.city = d.city "
+                   "GROUP BY d.tz ORDER BY tz").to_pandas()
+    tzmap = dict(zip(cities.tolist(), [-5, -8, -6, -5, -8, -8]))
+    exp4 = (df3.assign(tz=df3["city"].map(tzmap)).groupby("tz")
+            .agg(c=("tz", "size")).reset_index())
+    assert got4["tz"].tolist() == exp4["tz"].tolist(), got4
+    assert got4["c"].tolist() == exp4["c"].tolist(), got4
+    # string literal filter crosses the unified code space too
+    got5 = hdk.sql("SELECT COUNT(*) AS c FROM mstr WHERE city = 'sfo'"
+                   ).to_pandas()
+    assert got5["c"].iloc[0] == int((df3.city == "sfo").sum()), got5
+    print(f"proc{pid} DICT OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -398,3 +398,89 @@ def test_dist_multi_operand_distinct_falls_back(rng):
     a, b = q(dist), q(solo)
     assert dist._executor._dist_agg_route == "shuffled"
     assert_frames_match(a, b)
+
+
+def test_dist_window_rank_sum(pair):
+    """Window functions in a dist session route through the explicit
+    shuffle plan (parallel/dist_window.py): rows shuffle to their
+    partition-owner shard, the local window engine runs there, results
+    route back by global position — no GSPMD fallback for the sort."""
+    dist, solo, df = pair
+    sql = ("SELECT k, big, "
+           "RANK() OVER (PARTITION BY k ORDER BY big) AS r, "
+           "SUM(v) OVER (PARTITION BY k) AS s FROM t")
+    a = dist.sql(sql).to_pandas()
+    b = solo.sql(sql).to_pandas()
+    assert_frames_match(a, b)
+
+
+def test_dist_window_row_number_after_filter(pair):
+    """Filter-dead rows must not occupy window positions post-shuffle."""
+    dist, solo, df = pair
+    sql = ("SELECT k, big, "
+           "ROW_NUMBER() OVER (PARTITION BY k ORDER BY big) AS rn "
+           "FROM t WHERE v > 0")
+    a = dist.sql(sql).to_pandas()
+    b = solo.sql(sql).to_pandas()
+    assert_frames_match(a, b)
+
+
+def test_dist_window_lag_lead(pair):
+    dist, solo, df = pair
+    sql = ("SELECT big, "
+           "LAG(big, 1) OVER (PARTITION BY k ORDER BY big) AS lg, "
+           "LEAD(big, 1) OVER (PARTITION BY k ORDER BY big) AS ld FROM t")
+    a = dist.sql(sql).to_pandas()
+    b = solo.sql(sql).to_pandas()
+    assert_frames_match(a, b)
+
+
+def test_dist_window_global_falls_back(pair):
+    """No partition keys: a single shard would own all rows — the GSPMD
+    fallback must still give correct results."""
+    dist, solo, df = pair
+    sql = "SELECT big, RANK() OVER (ORDER BY big) AS r FROM t"
+    a = dist.sql(sql).to_pandas()
+    b = solo.sql(sql).to_pandas()
+    assert_frames_match(a, b)
+
+
+def test_dist_fragment_pruning(rng):
+    """Dist sessions keep min/max fragment skipping (VERDICT-r2 #6):
+    a selective range filter prunes on the host and shards only the
+    surviving fragments."""
+    n = 12_000
+    df = pd.DataFrame({
+        "dt": np.arange(n, dtype=np.int64),  # monotone: perfect stats
+        "v": rng.normal(size=n),
+    })
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "storage.fragment_size": 1000})
+    t = dist.import_pandas(df, name="pr_t")
+    res = (t.filter((t["dt"] >= 3000) & (t["dt"] < 4000))
+           .agg([], "count", "sum(v)").run().to_pandas())
+    stats = dist._executor._frag_prune_stats
+    assert stats is not None and stats["selected"] < stats["total"]
+    exp = df[(df.dt >= 3000) & (df.dt < 4000)]
+    assert res["count"].iloc[0] == len(exp)
+    assert np.isclose(res["v_sum"].iloc[0], exp["v"].sum())
+
+
+def test_dist_fragment_streaming(rng):
+    """Over-budget dist scans stream fragment chunks (sharded per
+    chunk) instead of materializing the whole table."""
+    n = 20_000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.normal(size=n),
+    })
+    dist = hdk_tpu.HDK(**{"dist.enable": True,
+                          "storage.fragment_size": 1000,
+                          "exec.scan_stream_bytes": 32_000})
+    t = dist.import_pandas(df, name="fsd_t")
+    res = t.agg("g", "count", "sum(v)").run().to_pandas()
+    ch = dist._executor._frag_stream_chunks
+    assert ch and ch > 1
+    exp = df.groupby("g").agg(count=("g", "size"),
+                              v_sum=("v", "sum")).reset_index()
+    assert_frames_match(res, exp, approx_cols=("v_sum",))

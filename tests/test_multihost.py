@@ -51,3 +51,5 @@ def test_two_process_mesh_groupby():
         assert p.returncode == 0, f"proc{i} failed:\n{out[-2000:]}"
         assert f"proc{i} OK" in out
         assert f"proc{i} E2E OK" in out, f"proc{i} e2e failed:\n{out[-2000:]}"
+        assert f"proc{i} DICT OK" in out, (
+            f"proc{i} dict unification failed:\n{out[-2000:]}")

@@ -228,16 +228,24 @@ def test_join_chain_reorders_by_cardinality(hdk, chain_tables):
                         approx_cols=("v", "w", "lbl"))
 
 
-def test_join_chain_respects_dependencies(hdk, chain_tables):
-    """A join keyed on a column produced by an EARLIER build side cannot
-    be hoisted before it; the chain stays in written order."""
+def test_join_chain_snowflake_goes_bushy(hdk, chain_tables):
+    """A join keyed on a column produced by an EARLIER build side is a
+    snowflake arm: the bushy enumerator (optimizer._enumerate_bushy,
+    reference: FromTableReordering.cpp generalized) plans dima⋈dimx
+    FIRST — cost 40 rows — instead of running both joins over the
+    fact table."""
     fact, dima, _, dimx = chain_tables
     j1 = fact.join(dima, "k", "k")
     j = j1.join(dimx, "x", "x")  # x comes from dima (5 < 40 rows)
     plan = hdk.explain(j)
-    # written order preserved: dima innermost (prints first), dimx above
-    assert plan.index("Scan(chain_dima") < plan.index("Scan(chain_dimx")
-    assert "Project" not in plan.splitlines()[0]  # pass did not fire
+    lines = plan.splitlines()
+    # bushy shape: the dim⋈dim join nests under the fact join's rhs
+    fact_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    inner_join = next(i for i, l in enumerate(lines)
+                      if "Join" in l and i > fact_join)
+    dima_i = next(i for i, l in enumerate(lines) if "chain_dima" in l)
+    dimx_i = next(i for i, l in enumerate(lines) if "chain_dimx" in l)
+    assert inner_join < dima_i < dimx_i  # dima/dimx under the inner join
     fdf = fact.run().to_pandas()
     adf = dima.run().to_pandas().rename(columns={"k": "k_r"})
     xdf = dimx.run().to_pandas().rename(columns={"x": "x_r"})
