@@ -2386,17 +2386,30 @@ class Executor:
             out = self._exec_join_dist(node, results)
             if out is not None:
                 return out
-        lhs = self._materialize_input(node.inputs[0], results)
-        rhs = self._materialize_input(node.inputs[1], results)
+        # masked inputs: a filtered probe/build side keeps its row_mask
+        # instead of paying an eager compaction (one 1.3-2.2 s/1e8-row
+        # gather PER COLUMN — the dominant cost of filtered joins like
+        # TPC-H Q3's shipdate-filtered lineitem).  Dead rows fold into
+        # the key NULL sentinels below, so they can never match.
+        lhs = self._input_table_masked(node.inputs[0], results)
+        rhs = self._input_table_masked(node.inputs[1], results)
         resolve_l = lambda ref: lhs.columns[ref.index] if ref.node is node.inputs[0] else _raise_ref(ref)
         resolve_r = lambda ref: rhs.columns[ref.index] if ref.node is node.inputs[1] else _raise_ref(ref)
 
         def eval_keys(exprs, table, which):
             resolve = (lambda ref: table.columns[ref.index])
-            return [
+            out = [
                 _broadcast(self.scalar.evaluate(e, resolve), table.nrows)
                 for e in exprs
             ]
+            if table.row_mask is not None:
+                # filter-dead rows become NULL keys: NULL never matches
+                # (hash sentinels / perfect-table validity), so masked
+                # rows drop out of the join without a compaction
+                out = [MaskedCol(k.data, combine_masks(k.mask,
+                                                       table.row_mask))
+                       for k in out]
+            return out
 
         lhs_keys = eval_keys([l for l, _ in node.key_pairs], lhs, 0)
         rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
@@ -2456,7 +2469,11 @@ class Executor:
             ref.index for _, r in node.key_pairs
             for ref in collect_column_refs(r)
         })
-        ht_objs = [rhs.columns[i].data for i in rhs_ref_idx]
+        # the row_mask is part of the build identity: with masked
+        # (uncompacted) inputs, two different filters over the same base
+        # table share column buffers — only the mask distinguishes them
+        ht_objs = [rhs.columns[i].data for i in rhs_ref_idx] + (
+            [rhs.row_mask] if rhs.row_mask is not None else [])
 
         # perfect (dense direct-index) join: single int-ish key with a
         # small value range and unique build keys (reference:
@@ -2514,13 +2531,15 @@ class Executor:
         if jt == nd.JoinType.SEMI:
             n = int(matched.sum())
             return lhs.gather(nonzero_indices(matched, n))
+        unmatched = (~matched if lhs.row_mask is None
+                     else (~matched) & lhs.row_mask)
         if jt == nd.JoinType.ANTI:
-            n = int((~matched).sum())
-            return lhs.gather(nonzero_indices(~matched, n))
+            n = int(unmatched.sum())
+            return lhs.gather(nonzero_indices(unmatched, n))
 
         # LEFT: residual already folded into the match set
-        n_un = int((~matched).sum())
-        un_idx = nonzero_indices(~matched, n_un)
+        n_un = int(unmatched.sum())
+        un_idx = nonzero_indices(unmatched, n_un)
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
 
     def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
@@ -2540,9 +2559,18 @@ class Executor:
             stats = jnp.stack([jnp.min(bk.fill(0)), jnp.max(bk.fill(0))])
             lo, hi = (int(x) for x in np.asarray(stats))  # host sync
             range_size = hi - lo + 1
+            # density guard: a dense table costs range_size entries of
+            # memory, so tiny builds with huge ranges stay on the hash
+            # route — but SPARSE bounded ranges (e.g. a filtered FK
+            # build keeping 9% of [0, 15M) in TPC-H Q3) must still
+            # qualify: the sorted-hash probe + expand costs seconds and
+            # a compile per candidate-count where the dense table costs
+            # range_size*4B once (measured Q3 @SF10: 11.3 s -> sub-s)
             if (range_size <= 0
                     or range_size > self.config.exec.join.perfect_hash_range_limit
-                    or range_size > max(rhs.nrows * 8, 1 << 16)):
+                    or range_size > max(rhs.nrows, 1) * 1024
+                    or range_size > max(rhs.nrows * 8, 1 << 16)
+                    and lhs.nrows < self.config.exec.join.spread_join_min_rows):
                 self._hashtable_cache.put(sig, ht_objs, (None, None, False))
                 return None
             build_fn = self.code_cache.get_or_build(
@@ -2581,9 +2609,11 @@ class Executor:
             return self._fields_table(node, lhs.gather(
                 nonzero_indices(matched, n)))
         if jt == nd.JoinType.ANTI:
-            n = int((~matched).sum())
+            alive = (~matched if lhs.row_mask is None
+                     else (~matched) & lhs.row_mask)
+            n = int(alive.sum())
             return self._fields_table(node, lhs.gather(
-                nonzero_indices(~matched, n)))
+                nonzero_indices(alive, n)))
 
         bslot_key = (
             f"pjbslots/{range_size}/{table.min_key}/{rhs.nrows}"

@@ -138,7 +138,7 @@ def _minmax_identity(dtype, is_min: bool):
 _FEW_SEGMENTS = 4
 
 
-def _seg_sum(vals, gid, n, sorted_):
+def _seg_sum(vals, gid, n, sorted_, is_ones: bool = False):
     """Segment sum, TPU-tiered: masked vector reductions for a handful
     of segments, blocked one-hot MXU contraction up to
     ``onehot.SEGMENT_LIMIT`` (scatter with 64-bit payloads serializes:
@@ -158,7 +158,8 @@ def _seg_sum(vals, gid, n, sorted_):
             jnp.sum(jnp.where(_bcast(gid == g, v64), v64, zero), axis=0)
             for g in range(n)])
     if vals.ndim == 1 and n <= onehot.SEGMENT_LIMIT:
-        return onehot.seg_sum(vals, gid, n)
+        return onehot.seg_sums([vals], gid, n,
+                               ones_ids=(0,) if is_ones else ())[0]
     # multi-dim slot matrices (HLL registers, t-digest centroids) keep
     # the single scatter op: the one-hot path would unroll one
     # contraction per trailing column (thousands for a 2^p register
@@ -297,11 +298,13 @@ def _sum_plan(spec: AggSpec, gid, num: int, ones):
     return None
 
 
-def _seg_sum_many(cols, gid, num: int, sorted_: bool):
+def _seg_sum_many(cols, gid, num: int, sorted_: bool, ones_obj=None):
     """Segment-sum many columns at once: every 1-D column in the one-hot
     window shares a single contraction; the rest fall back to
     per-column ``_seg_sum`` tiering.  Duplicate column objects (shared
-    ones/masks) are summed once."""
+    ones/masks) are summed once.  ``ones_obj`` identifies the shared
+    all-ones COUNT column so it rides the 2-operand count contraction
+    (ops/onehot.py ones_ids)."""
     uniq: Dict[int, int] = {}
     ucols = []
     slots = []
@@ -314,13 +317,16 @@ def _seg_sum_many(cols, gid, num: int, sorted_: bool):
     results: List[Optional[jnp.ndarray]] = [None] * len(ucols)
     oh = [i for i, c in enumerate(ucols)
           if c.ndim == 1 and _FEW_SEGMENTS < num <= onehot.SEGMENT_LIMIT]
-    if len(oh) >= 2:
-        sums = onehot.seg_sums([ucols[i] for i in oh], gid, num)
+    ones_pos = [j for j, i in enumerate(oh) if ucols[i] is ones_obj]
+    if len(oh) >= 2 or ones_pos:
+        sums = onehot.seg_sums([ucols[i] for i in oh], gid, num,
+                               ones_ids=ones_pos)
         for j, i in enumerate(oh):
             results[i] = sums[j]
     for i, c in enumerate(ucols):
         if results[i] is None:
-            results[i] = _seg_sum(c, gid, num, sorted_)
+            results[i] = _seg_sum(c, gid, num, sorted_,
+                                  is_ones=(c is ones_obj))
     return [results[s] for s in slots]
 
 
@@ -340,7 +346,8 @@ def _agg_slots(spec: AggSpec, gid, row_valid, n: int, sorted_: bool) -> AggResul
         return jnp.ones(gid.shape, jnp.bool_)
 
     if k == AggKind.COUNT and spec.operand is None:
-        cnt = _seg_sum(ones_like_rows(), gid, num, sorted_)[:n]
+        cnt = _seg_sum(ones_like_rows(), gid, num, sorted_,
+                       is_ones=True)[:n]
         return AggResult([cnt])
 
     v = spec.operand
@@ -798,7 +805,7 @@ def groupby_perfect(
                 plans.append((idxs, resolve))
             else:
                 plans.append(None)
-        sums = _seg_sum_many(batch_cols, gid, n + 1, False)
+        sums = _seg_sum_many(batch_cols, gid, n + 1, False, ones_obj=ones)
         exists = sums[0][:n] > 0
         agg_cols = []
         for spec, plan in zip(specs, plans):

@@ -131,14 +131,21 @@ def _int_limbs(v2: jnp.ndarray) -> List[jnp.ndarray]:
 
 
 def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
-             n: int) -> List[jnp.ndarray]:
+             n: int, ones_ids: Sequence[int] = ()) -> List[jnp.ndarray]:
     """Segment sums of several columns sharing one factored contraction.
 
     Returns one (n,) array per column: int64 for integer/bool inputs
     (bit-exact), float64 for floating inputs.
-    """
+
+    ``ones_ids``: column indices the CALLER asserts are all-ones (COUNT
+    slots).  Those never enter the slot operand — the per-gid count is
+    the pure two-operand contraction A^T@B of the one-hot factors, which
+    skips the 3-operand einsum entirely (XLA's contraction order for
+    'nkb,nbh,nbl' materializes a huge intermediate: measured 98 ms vs
+    21 ms per 1e7 rows at E=1504 for a single ones column)."""
     gid2, cols2, nb = _pad_blocks(gid, n, columns)
     hi_n, lo_n = _factor(n)
+    ones_set = set(ones_ids)
 
     int_slots: List[jnp.ndarray] = []   # (nb, B) f32 limbs
     int_plan: List[Tuple[int, List[int]]] = []  # (col idx, limb slot ids)
@@ -146,6 +153,8 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
     flt_plan: List[Tuple[int, int]] = []
     f64_ids: List[int] = []
     for i, v2 in enumerate(cols2):
+        if i in ones_set:
+            continue  # counts come from the one-hot factors alone
         if jnp.issubdtype(v2.dtype, jnp.floating):
             if v2.dtype == jnp.float64:
                 f64_ids.append(i)
@@ -168,7 +177,7 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
     # row-chunked passes: the one-hot operands / f64 selects are bounded
     # per pass (~4M rows) so transients never scale with total rows
     nbp = max(1, (1 << 22) // _BLOCK)
-    int_tot = flt_tot = None
+    int_tot = flt_tot = cnt_tot = None
     f64_tot = {i: None for i in f64_ids}
 
     def add(a, b):
@@ -183,6 +192,14 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
                             jnp.float64(0))
             f64_tot[i] = add(f64_tot[i], jnp.sum(jnp.sum(sel, axis=1),
                                                  axis=0))
+        if ones_set:
+            A, B = _onehots(g, n, jnp.bfloat16)
+            if A is None:  # flat: counts = column sums of B
+                part = jnp.sum(B.astype(jnp.float32), axis=1)
+            else:
+                part = jnp.einsum('nbh,nbl->nhl', A, B,
+                                  preferred_element_type=jnp.float32)
+            cnt_tot = add(cnt_tot, jnp.sum(part.astype(jnp.int64), axis=0))
         if int_stacked is not None:
             A, B = _onehots(g, n, jnp.bfloat16)
             chunk = int_stacked[b0:b0 + nbp]
@@ -209,6 +226,10 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
 
     for i in f64_ids:
         out[i] = f64_tot[i]
+    if cnt_tot is not None:
+        cnt = cnt_tot.reshape(-1)[:n]
+        for i in ones_set:
+            out[i] = cnt
     if use_pallas:
         tot = _pallas_int_sums(gid2.reshape(-1), int_slots, n)
         for i, ids in int_plan:

@@ -234,3 +234,49 @@ def test_mixed_numeric_key_types(hdk, rng):
     rhs2 = pd.DataFrame({"kf": np.arange(20) + 0.5, "w": np.arange(20)})
     tr2 = hdk.import_pandas(rhs2, name="mix_r2")
     assert len(tl.join(tr2, "k", "kf").run().to_pandas()) == 0
+
+
+def test_filtered_join_masked_inputs(hdk, rng):
+    """Filtered join inputs stay masked (no eager compaction): dead rows
+    must never match, for every join type."""
+    lhs = pd.DataFrame({"k": rng.integers(0, 30, 500),
+                        "f": rng.integers(0, 2, 500)})
+    rhs = pd.DataFrame({"k": np.arange(30), "g": rng.integers(0, 2, 30),
+                        "w": rng.normal(size=30)})
+    tl = hdk.import_pandas(lhs, name="mj_l")
+    tr = hdk.import_pandas(rhs, name="mj_r")
+    fl = lhs[lhs.f == 1]
+    fr = rhs[rhs.g == 1]
+    inner = (tl.filter(tl["f"] == 1).join(tr.filter(tr["g"] == 1), "k", "k")
+             .run().to_pandas())
+    exp = fl.merge(fr, on="k")
+    assert len(inner) == len(exp)
+    anti = (tl.filter(tl["f"] == 1)
+            .join(tr.filter(tr["g"] == 1), "k", "k", how="anti")
+            .run().to_pandas())
+    exp_anti = fl[~fl.k.isin(fr.k)]
+    assert sorted(anti["k"].tolist()) == sorted(exp_anti["k"].tolist())
+    left = (tl.filter(tl["f"] == 1)
+            .join(tr.filter(tr["g"] == 1), "k", "k", how="left")
+            .run().to_pandas())
+    assert len(left) == len(fl)
+
+
+def test_masked_build_cache_not_poisoned(hdk, rng):
+    """Two different filters over the SAME build table share column
+    buffers when inputs stay masked — the hashtable/value-table caches
+    must key on the row_mask too, or the second query reuses the first
+    filter's build table."""
+    lhs = pd.DataFrame({"k": rng.integers(0, 40, 2000)})
+    rhs = pd.DataFrame({"k": np.arange(40), "g": np.arange(40) % 4,
+                        "w": np.arange(40, dtype=np.float32)})
+    tl = hdk.import_pandas(lhs, name="cp_l")
+    tr = hdk.import_pandas(rhs, name="cp_r")
+    for gval in (0, 1, 2):
+        got = (tl.join(tr.filter(tr["g"] == gval), "k", "k")
+               .agg([], "count", "sum(w)").run().to_pandas())
+        sub = rhs[rhs.g == gval]
+        exp = lhs.merge(sub, on="k")
+        assert got["count"].iloc[0] == len(exp), f"g={gval}"
+        assert np.isclose(got["w_sum"].iloc[0], exp["w"].sum(),
+                          rtol=1e-4), f"g={gval}"
