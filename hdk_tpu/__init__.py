@@ -413,6 +413,18 @@ class HDK:
 
         return self.import_arrow(pq.read_table(path), name)
 
+    def import_json(self, path, name: Optional[str] = None,
+                    **read_options) -> QueryNode:
+        """Line-delimited JSON files via the Arrow reader (reference:
+        ArrowStorage importJson*, ArrowStorage.h:29-135)."""
+        import pyarrow as pa
+        import pyarrow.json as pajson
+
+        paths = path if isinstance(path, (list, tuple)) else [path]
+        tables = [pajson.read_json(p, **read_options) for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return self.import_arrow(at, name)
+
     def create_table(self, name: str, schema: Dict[str, object]) -> QueryNode:
         """Empty table from {col: type-string-or-Type}
         (reference: hdk.py:2130 create_table)."""

@@ -1090,8 +1090,12 @@ class Executor:
             elif not all_alg:
                 out = self._exec_aggregate_dist_shuffled(
                     node, source, chain, src_node, used, size, key)
-            # else: perfect layout + algebraic aggs -> GSPMD dense-buffer
-            # path below (local partials + AllReduce, already optimal)
+            else:
+                # perfect layout + algebraic aggs -> GSPMD dense-buffer
+                # path below (local partials + AllReduce, already
+                # optimal); recorded so commlog captures with zero
+                # explicit collectives are interpretable
+                self._dist_agg_route = "gspmd_dense"
             if out is not None:
                 return out
 

@@ -119,3 +119,25 @@ def test_csv_parquet_import(hdk, tmp_path):
     pq.write_table(at, tmp_path / "t.parquet")
     ht2 = hdk.import_parquet(str(tmp_path / "t.parquet"), name="pq_t")
     assert ht2.run().row_count == 2
+
+
+def test_import_json(tmp_path, rng):
+    """Line-delimited JSON ingest (reference: ArrowStorage importJson)."""
+    import json as _json
+
+    import hdk_tpu
+
+    p = tmp_path / "t.json"
+    rows = [{"a": int(i), "b": float(i) / 2, "s": f"v{i % 3}"}
+            for i in range(50)]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    hdk = hdk_tpu.HDK()
+    t = hdk.import_json(str(p), name="jt")
+    got = t.agg("s", "count", "sum(a)").sort("s").run().to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    exp = (df.groupby("s").agg(count=("s", "size"), a_sum=("a", "sum"))
+           .reset_index())
+    assert got["count"].tolist() == exp["count"].tolist()
+    assert got["a_sum"].tolist() == exp["a_sum"].tolist()
