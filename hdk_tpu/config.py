@@ -71,6 +71,10 @@ class ExecConfig:
     # fragment skipping via per-fragment min/max stats (reference:
     # Execute.h:540 skipFragmentPair); exec/prune.py
     enable_fragment_skipping: bool = True
+    # measured-feedback route tuning near cost-model tier boundaries
+    # (exec/feedback.py — explore each candidate route once with synced
+    # timing, then stick with the measured winner)
+    enable_route_feedback: bool = True
     # fragment-streamed aggregation: scans whose used columns exceed
     # this many bytes execute per fragment-group chunk with partial-slot
     # merging, so tables larger than HBM stream through the device

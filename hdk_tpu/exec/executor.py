@@ -361,6 +361,11 @@ class Executor:
         self._join_route = None  # last join route (observability)
         self._ndv_estimate = None  # last sampling-NDV estimate
         self._groupby_attempts = 0  # compile attempts of the last group-by
+        from .feedback import RouteFeedback
+
+        # measured-feedback route tuning (P3 autotune seam, feedback.py)
+        self._feedback = RouteFeedback(
+            enabled=config.exec.enable_route_feedback)
         self._demand: Optional[Dict[int, Optional[set]]] = None
         self._frag_prune_stats = None  # last fragment-skip counters
         self._frag_stream_chunks = None  # last fragment-stream chunk count
@@ -1042,9 +1047,31 @@ class Executor:
 
         pmode = self._pallas_groupby_mode(node, layout, nrows0)
 
+        # measured-feedback route tuning (exec/feedback.py, the P3
+        # autotune seam): near the one-hot/sort tier boundary either
+        # route can win depending on row count and agg mix — the first
+        # repetitions of a plan shape time each candidate warm (forced
+        # 1-element-readback sync), later repetitions run the winner
+        route = "perfect" if layout is not None else "sort"
+        measure = False
+        tune_sig = None
+        if (layout is not None and self._mesh is None and pmode is None
+                and self._feedback.enabled
+                and 512 < layout.entry_count <= gb.onehot.SEGMENT_LIMIT
+                and nrows0 >= (1 << 16)):
+            tune_sig = chain_key(
+                _schema_sig(source), chain, node,
+                self._dict_generation_sig(chain, node)
+                + f"tunegrp/u{used}/n{nrows0}")
+            route, measure = self._feedback.choose(
+                tune_sig, ["perfect", "sort"])
+        layout_eff = layout if route == "perfect" else None
+        if layout is not None and layout_eff is None:
+            cap = min(nrows0, layout.entry_count)
+
         def make_key(cap_):
-            extra = (f"layout={layout.mins}/{layout.sizes}/pl{pmode}"
-                     if layout
+            extra = (f"layout={layout_eff.mins}/{layout_eff.sizes}/pl{pmode}"
+                     if layout_eff
                      else f"sortcap={cap_}/rng={key_ranges}") + f"u{used}"
             return chain_key(_schema_sig(source), chain, node,
                              self._dict_generation_sig(chain, node) + extra
@@ -1061,9 +1088,9 @@ class Executor:
                     for k in node.keys
                 ]
                 specs = self._build_specs(node, resolve, nrows0)
-                if layout is not None:
+                if layout_eff is not None:
                     kc, ac, exists = gb.groupby_perfect(
-                        keys, layout, specs, rm, pallas_mode=pmode)
+                        keys, layout_eff, specs, rm, pallas_mode=pmode)
                     return kc, ac, exists, None
                 kc, ac, exists, n_groups = gb.groupby_sort(
                     keys, specs, cap_, row_valid=rm, key_ranges=key_ranges)
@@ -1103,12 +1130,20 @@ class Executor:
         while True:
             self._groupby_attempts += 1
             fn = self.code_cache.get_or_build(key, lambda: build(cap))
-            key_cols, agg_cols, exists, n_groups = fn(
-                [source.columns[i] for i in used], source.row_mask)
+            args = ([source.columns[i] for i in used], source.row_mask)
+            if measure and tune_sig is not None:
+                from . import feedback as fb
+
+                (key_cols, agg_cols, exists, n_groups), secs = \
+                    fb.timed_sync(fn, *args)
+                self._feedback.record(tune_sig, route, secs)
+                measure = False
+            else:
+                key_cols, agg_cols, exists, n_groups = fn(*args)
             cols = list(key_cols) + list(agg_cols)
-            if layout is not None:
+            if layout_eff is not None:
                 return ExecTable(list(node.fields), list(node.output_types),
-                                 cols, layout.entry_count, exists)
+                                 cols, layout_eff.entry_count, exists)
             n = int(n_groups)  # host sync: group count
             if n <= cap:
                 break
@@ -2880,13 +2915,22 @@ class Executor:
 
     # ------------------------------------------------------------------
     def _exec_union(self, node: nd.LogicalUnion, results) -> ExecTable:
-        parts = [self._materialize_input(i, results) for i in node.inputs]
+        # masked inputs: a filtered branch contributes its row_mask to
+        # the union's row_mask instead of paying per-column compaction
+        # gathers; in dist sessions the sharded branches concatenate
+        # without materializing (the P8 union gap)
+        parts = [self._input_table_masked(i, results) for i in node.inputs]
         # zero-row inputs contribute nothing and may lack shape info
         # (e.g. an array column's width) — drop them up front
         live = [p for p in parts if p.nrows > 0]
         if not live:
             return ExecTable.empty(list(node.fields),
                                    list(node.output_types))
+        row_mask = None
+        if any(p.row_mask is not None for p in live):
+            row_mask = jnp.concatenate([
+                (p.row_mask if p.row_mask is not None
+                 else jnp.ones((p.nrows,), jnp.bool_)) for p in live])
         cols: List[MaskedCol] = []
         for ci, ty in enumerate(node.output_types):
             dt = jnp.dtype(ty.physical_dtype())
@@ -2917,7 +2961,7 @@ class Executor:
                 mask = None
             cols.append(MaskedCol(data, mask))
         return ExecTable(list(node.fields), list(node.output_types), cols,
-                         sum(p.nrows for p in live))
+                         sum(p.nrows for p in live), row_mask)
 
     def _exec_values(self, node: nd.LogicalValues) -> ExecTable:
         cols = []

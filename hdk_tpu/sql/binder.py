@@ -905,10 +905,17 @@ class Binder:
                 idx = o.expr.value - 1
                 if not (0 <= idx < node.size()):
                     raise SqlError(f"ORDER BY position {o.expr.value} out of range")
-            elif isinstance(o.expr, A.Col) and o.expr.table is None:
+            elif isinstance(o.expr, A.Col):
+                # output aliases resolve first (SQL ORDER BY scoping); a
+                # table-qualified name whose bare name uniquely matches
+                # an output column refers to it too (e.g. ORDER BY r.x
+                # after GROUP BY r.x — the qualifier namespace is gone
+                # post-aggregate but the column survives by name)
                 names = [f.lower() for f in node.fields]
-                if o.expr.name.lower() in names:
-                    idx = names.index(o.expr.name.lower())
+                bare = o.expr.name.lower()
+                if bare in names and (o.expr.table is None
+                                      or names.count(bare) == 1):
+                    idx = names.index(bare)
             if idx is None:
                 bound = self.bind_expr(o.expr, node,
                                        Scope([(None, list(node.fields))]))
@@ -1325,6 +1332,18 @@ class Binder:
             s = int(rest[0]) if rest else 0
             return ir.Constant(t.time64(t.TimeUnit.SECOND, False),
                                int(h) * 3600 + int(m) * 60 + s)
+        if isinstance(e.value, str):
+            # string literals live in a session-wide transient dictionary
+            # so they can be PROJECTED as dict codes (reference:
+            # StringDictionaryProxy transient ids); comparisons against
+            # dict columns translate across dictionaries in the scalar
+            # compiler
+            d = getattr(self.session, "_literal_dict", None)
+            if d is None:
+                d = self.session._dicts.create()
+                self.session._literal_dict = d
+            d.get_or_add(e.value)
+            return ir.Constant(t.dict_text(d.dict_id, False), e.value)
         from ..builder import _to_expr
 
         return _to_expr(e.value)
