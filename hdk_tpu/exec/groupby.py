@@ -1090,14 +1090,30 @@ def groupby_sort(
     packed = try_pack_keys(keys, key_ranges)
     composite, pack_layout = packed if packed is not None else (None, None)
 
+    # fast-tail eligibility decided UP FRONT: the fast tail never uses
+    # the permutation (keys unpack from the composite; aggregates come
+    # from cumsum differences), so its sort skips the iota payload —
+    # 4 of ~20 bytes/row of sort traffic
+    fast = (composite is not None and nrows > 0
+            and all(s.kind in (AggKind.COUNT, AggKind.SUM, AggKind.AVG,
+                               AggKind.STDDEV_SAMP, AggKind.VAR_SAMP)
+                    and not s.distinct for s in specs))
+
     # ---- ONE variadic payload-carrying sort (ops/sortops.py): the
     # operand columns ride the radix passes instead of being gathered
     # through HBM afterwards (6.5x at 1e8 rows) ----------------------
     if composite is not None:
         sort_key = composite
+        # a composite whose packed range fits int32 sorts on half the
+        # key bytes (the 50M-NDV bench key is 26 bits)
+        total_range = max(st * size for _lo, size, st in pack_layout)
+        if total_range < (1 << 31) - 1:
+            sort_key = sort_key.astype(jnp.int32)
+            sentinel = jnp.iinfo(jnp.int32).max
+        else:
+            sentinel = jnp.iinfo(jnp.int64).max
         if row_valid is not None:
-            sort_key = jnp.where(row_valid, sort_key,
-                                 jnp.iinfo(jnp.int64).max)
+            sort_key = jnp.where(row_valid, sort_key, sentinel)
         skeys = [sort_key]
     else:
         skeys = []
@@ -1109,7 +1125,8 @@ def groupby_sort(
                 kv = jnp.where(key.mask, kv, jnp.iinfo(jnp.int64).max)
             skeys.append(kv)
     pay = so.PayloadSet()
-    pay.add(jax.lax.iota(jnp.int32, nrows))  # perm, for rep extraction
+    perm_slot = (None if fast
+                 else pay.add(jax.lax.iota(jnp.int32, nrows)))
     rv_slot = (pay.add(row_valid)
                if composite is not None and row_valid is not None else None)
     spec_slots = []
@@ -1122,7 +1139,7 @@ def groupby_sort(
                 slots.append((pay.add(col.data), pay.add(col.mask)))
         spec_slots.append(slots)
     sorted_keys, sorted_pay = so.sort_with_payload(skeys, pay.arrays)
-    perm = sorted_pay[0]
+    perm = sorted_pay[perm_slot] if perm_slot is not None else None
 
     if composite is not None:
         boundary = so.changed(sorted_keys[0])
@@ -1159,10 +1176,6 @@ def groupby_sort(
     # ~9 s at 1e8 rows (gather ~1.3-2.2 s EACH on v5e); the compaction
     # sort carries all end-row cumsums + the composite key to the front
     # in ~0.9 s and group values become adjacent-element differences. --
-    fast = (composite is not None and nrows > 0
-            and all(s.kind in (AggKind.COUNT, AggKind.SUM, AggKind.AVG,
-                               AggKind.STDDEV_SAMP, AggKind.VAR_SAMP)
-                    and not s.distinct for s in specs))
     if fast:
         last = jnp.concatenate([boundary[1:], jnp.ones((1,), jnp.bool_)])
         csums: List[jnp.ndarray] = [
