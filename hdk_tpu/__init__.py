@@ -571,9 +571,13 @@ class HDK:
         return self._run(node, **options)
 
     # -- execution ----------------------------------------------------------
-    def explain(self, node_or_sql) -> str:
+    def explain(self, node_or_sql, analyze: bool = False) -> str:
         """Plan text (reference: EXPLAIN / just_explain,
-        RelAlgExecutor.cpp:239-267)."""
+        RelAlgExecutor.cpp:239-267).  ``analyze=True`` EXECUTES the
+        query with every step forced + timed (honest sync per step) and
+        annotates each plan line with [ms, rows] — the EXPLAIN ANALYZE
+        role, combining the reference's EXPLAIN with its DebugTimer
+        DurationTree."""
         from .exec.explain import explain_dag
         from .exec.optimizer import optimize_dag
 
@@ -586,7 +590,20 @@ class HDK:
         else:
             node = node_or_sql
         dag = optimize_dag(_ir_node.QueryDag(node), self._config)
-        return explain_dag(dag.root)
+        annotations = None
+        if analyze:
+            ex = self._executor
+            ex._analyze = True
+            ex._step_times = {}
+            try:
+                ex.execute(dag)
+            finally:
+                ex._analyze = False
+            annotations = {
+                nid: f"{ms:.1f} ms, {rows} rows"
+                for nid, (ms, rows) in ex._step_times.items()
+            }
+        return explain_dag(dag.root, annotations)
 
     def _run(self, node, **options) -> QueryResult:
         """Execute with per-query options (reference: QueryOptions,

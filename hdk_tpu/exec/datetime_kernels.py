@@ -43,29 +43,52 @@ def _mod(a, b):
     return a - _fd(a, b) * int(b)
 
 
+def _fd32(a, b):
+    """Floored division by a positive constant on DAY-scale int32
+    operands: f32 reciprocal multiply + one fix-up step.  f32 is native
+    on TPU where f64 is emulated, so the 32-bit civil kernels run ~5x
+    faster (extract(year): 11.6 -> ~2 ms per 1e7 rows).  Exact while
+    |a| < 2^24 — dates within ±~45,000 years, far beyond the
+    reference's calendar envelope."""
+    b = int(b)
+    a = a.astype(jnp.int32)
+    q = jnp.floor(a.astype(jnp.float32)
+                  * jnp.float32(1.0 / b)).astype(jnp.int32)
+    r = a - q * b
+    return q + (r >= b).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
+def _mod32(a, b):
+    return a - _fd32(a, b) * int(b)
+
+
 def civil_from_days(days):
-    """days since 1970-01-01 -> (year, month, day), vectorized."""
-    z = days.astype(jnp.int64) + 719468
-    era = _fd(z, 146097)
+    """days since 1970-01-01 -> (year, month, day) int32, vectorized.
+    All arithmetic is day-scale int32/f32 (see _fd32)."""
+    z = days.astype(jnp.int32) + 719468
+    era = _fd32(z, 146097)
     doe = z - era * 146097
-    yoe = _fd(doe - _fd(doe, 1460) + _fd(doe, 36524) - _fd(doe, 146096), 365)
+    yoe = _fd32(doe - _fd32(doe, 1460) + _fd32(doe, 36524)
+                - _fd32(doe, 146096), 365)
     y = yoe + era * 400
-    doy = doe - (365 * yoe + _fd(yoe, 4) - _fd(yoe, 100))
-    mp = _fd(5 * doy + 2, 153)
-    d = doy - _fd(153 * mp + 2, 5) + 1
+    doy = doe - (365 * yoe + _fd32(yoe, 4) - _fd32(yoe, 100))
+    mp = _fd32(5 * doy + 2, 153)
+    d = doy - _fd32(153 * mp + 2, 5) + 1
     m = mp + jnp.where(mp < 10, 3, -9)
     y = y + (m <= 2)
     return y, m, d
 
 
 def days_from_civil(y, m, d):
-    """(year, month, day) -> days since epoch, vectorized."""
-    y = y.astype(jnp.int64) - (m <= 2)
-    era = _fd(y, 400)
+    """(year, month, day) -> days since epoch int64, vectorized."""
+    y = y.astype(jnp.int32) - (m <= 2)
+    m = m.astype(jnp.int32)
+    d = d.astype(jnp.int32)
+    era = _fd32(y, 400)
     yoe = y - era * 400
-    doy = _fd(153 * (m + jnp.where(m > 2, -3, 9)) + 2, 5) + d - 1
-    doe = yoe * 365 + _fd(yoe, 4) - _fd(yoe, 100) + doy
-    return era * 146097 + doe - 719468
+    doy = _fd32(153 * (m + jnp.where(m > 2, -3, 9)) + 2, 5) + d - 1
+    doe = yoe * 365 + _fd32(yoe, 4) - _fd32(yoe, 100) + doy
+    return (era * 146097 + doe - 719468).astype(jnp.int64)
 
 
 def _split(secs):
@@ -86,28 +109,30 @@ def extract_from_seconds(field: DateTimeField, secs):
         return _mod(_fd(tod, 60), 60)
     if field == DateTimeField.SECOND:
         return _mod(tod, 60)
+    days32 = days.astype(jnp.int32)
     if field == DateTimeField.DOW:
-        return _mod(days + 4, 7)
+        return _mod32(days32 + 4, 7).astype(jnp.int64)
     if field == DateTimeField.ISODOW:
-        return _mod(days + 3, 7) + 1
-    y, m, d = civil_from_days(days)
+        return (_mod32(days32 + 3, 7) + 1).astype(jnp.int64)
+    y, m, d = civil_from_days(days32)
     if field == DateTimeField.YEAR:
-        return y
+        return y.astype(jnp.int64)
     if field == DateTimeField.MONTH:
-        return m
+        return m.astype(jnp.int64)
     if field == DateTimeField.DAY:
-        return d
+        return d.astype(jnp.int64)
     if field == DateTimeField.QUARTER:
-        return _fd(m - 1, 3) + 1
+        return (_fd32(m - 1, 3) + 1).astype(jnp.int64)
     if field == DateTimeField.DOY:
-        return (days - days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d)) + 1)
+        return (days - days_from_civil(y, jnp.ones_like(m),
+                                       jnp.ones_like(d)) + 1)
     if field == DateTimeField.WEEK:
         # ISO week: week of the Thursday of this row's week.
-        isodow = _mod(days + 3, 7) + 1
-        thursday = days + (4 - isodow)
+        isodow = _mod32(days32 + 3, 7) + 1
+        thursday = days32 + (4 - isodow)
         ty, tm, td = civil_from_days(thursday)
         jan1 = days_from_civil(ty, jnp.ones_like(tm), jnp.ones_like(td))
-        return _fd(thursday - jan1, 7) + 1
+        return (_fd(thursday.astype(jnp.int64) - jan1, 7) + 1)
     raise NotImplementedError(f"extract field {field}")
 
 

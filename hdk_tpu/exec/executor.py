@@ -359,6 +359,8 @@ class Executor:
             enabled=config.cache.enable_hashtable_cache)
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
+        self._analyze = False  # EXPLAIN ANALYZE: force + time every step
+        self._step_times: Dict[int, Tuple[float, int]] = {}
         self._ndv_estimate = None  # last sampling-NDV estimate
         self._groupby_attempts = 0  # compile attempts of the last group-by
         from .feedback import RouteFeedback
@@ -442,9 +444,14 @@ class Executor:
             if (isinstance(node, nd.Sort)
                     and node.inputs[0].id in fused_aggs
                     and node.inputs[0].id not in results):
+                t0 = _time.monotonic()
                 out = self._exec_fused_agg_sort(node, node.inputs[0], results)
                 if out is not None:
                     results[node.id] = out
+                    if self._analyze:
+                        self._force_table(out)
+                        self._step_times[node.id] = (
+                            (_time.monotonic() - t0) * 1e3, out.nrows)
                     continue
                 # unfusable after all: run the aggregate, fall through
                 results[node.inputs[0].id] = self._exec_aggregate(
@@ -463,6 +470,14 @@ class Executor:
             with DebugTimer(f"step:{type(node).__name__}#{node.id}"):
                 t0 = _time.monotonic()
                 results[node.id] = self._exec_step(node, results)
+                if self._analyze:
+                    # EXPLAIN ANALYZE: force this step's outputs (lazy
+                    # thunks + async dispatch) so the recorded time is
+                    # the step's true device cost, not dispatch time
+                    self._force_table(results[node.id])
+                    self._step_times[node.id] = (
+                        (_time.monotonic() - t0) * 1e3,
+                        results[node.id].nrows)
                 if _LOG.enabled_for("DEBUG1"):
                     extras = ""
                     if self._dist_agg_route and isinstance(
@@ -2747,6 +2762,17 @@ class Executor:
         if cond.mask is not None:
             out = out & cond.mask
         return out
+
+    @staticmethod
+    def _force_table(table: ExecTable) -> None:
+        """Evaluate lazy columns and sync (1-element readbacks — the
+        only trustworthy completion signal on the tunneled dev TPU)."""
+        for c in table.columns:
+            np.asarray(jax.device_get(c.data.ravel()[:1]))
+            if c.mask is not None:
+                np.asarray(jax.device_get(c.mask.ravel()[:1]))
+        if table.row_mask is not None:
+            np.asarray(jax.device_get(table.row_mask.ravel()[:1]))
 
     def _fields_table(self, node, table: ExecTable) -> ExecTable:
         return ExecTable(list(node.fields), list(node.output_types),

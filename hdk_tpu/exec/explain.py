@@ -53,12 +53,19 @@ def _node_line(node: nd.Node) -> str:
     return type(node).__name__
 
 
-def explain_dag(root: nd.Node) -> str:
-    """Indented plan tree, root first (reference explain format)."""
+def explain_dag(root: nd.Node, annotations=None) -> str:
+    """Indented plan tree, root first (reference explain format).
+
+    ``annotations``: {node.id: text} appended per line — EXPLAIN ANALYZE
+    measurements (reference role: EXPLAIN + the DebugTimer DurationTree
+    combined)."""
     lines: List[str] = []
 
     def visit(node: nd.Node, depth: int) -> None:
-        lines.append("  " * depth + _node_line(node))
+        extra = ""
+        if annotations and node.id in annotations:
+            extra = f"  [{annotations[node.id]}]"
+        lines.append("  " * depth + _node_line(node) + extra)
         for inp in node.inputs:
             visit(inp, depth + 1)
 

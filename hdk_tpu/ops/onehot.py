@@ -87,13 +87,16 @@ def _factor(n: int) -> Tuple[int, int]:
 
     n <= _LANE stays flat (HI == 1, LO == n: a 10-wide one-hot beats a
     lane-padded 128-wide one 1.7x — measured q2 at E=10).  Larger n
-    factors over LO = 128 lanes with HI a power of two (measured:
-    HI=22 runs 2.6x slower than HI=32 for the same E)."""
+    factors over LO = 128 lanes with HI a power of two AND at least 32:
+    the MXU runs the (B, HI) x (B, LO) contraction pathologically slowly
+    for thin HI (measured: HI=16 21.1 ms vs HI=32 8.4 ms per 1e7 rows
+    for the SAME int8 count — also the earlier HI=22 vs 32 finding);
+    padding HI only wastes discard columns."""
     if n <= _LANE:
         return 1, n
     lo = _LANE
     hi = max(1, math.ceil((n + 1) / lo))
-    hi = 1 << (hi - 1).bit_length()
+    hi = max(1 << (hi - 1).bit_length(), 32)
     return hi, lo
 
 
@@ -193,12 +196,16 @@ def seg_sums(columns: Sequence[jnp.ndarray], gid: jnp.ndarray,
             f64_tot[i] = add(f64_tot[i], jnp.sum(jnp.sum(sel, axis=1),
                                                  axis=0))
         if ones_set:
-            A, B = _onehots(g, n, jnp.bfloat16)
+            # INT8 one-hot factors: the v5e MXU runs int8 matmuls ~5x
+            # faster than bf16 for this shape (measured 7.2 ms vs
+            # 36.5 ms per 1e7 rows at E=2432) and the i32 accumulator
+            # is exact for any block size
+            A, B = _onehots(g, n, jnp.int8)
             if A is None:  # flat: counts = column sums of B
-                part = jnp.sum(B.astype(jnp.float32), axis=1)
+                part = jnp.sum(B.astype(jnp.int32), axis=1)
             else:
                 part = jnp.einsum('nbh,nbl->nhl', A, B,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.int32)
             cnt_tot = add(cnt_tot, jnp.sum(part.astype(jnp.int64), axis=0))
         if int_stacked is not None:
             A, B = _onehots(g, n, jnp.bfloat16)

@@ -98,3 +98,19 @@ def test_topk_pattern(ht, data):
            .sort_values(["count", "a"], ascending=[False, True], kind="stable")
            .head(5).reset_index(drop=True))
     assert_frames_match(res, exp, ordered=True)
+
+
+def test_sort_with_array_column_payload(hdk, rng):
+    """ORDER BY with a fixed-width ARRAY column in the output: 2D
+    payloads ride the payload-carrying sort (r2 ADVICE follow-up)."""
+    import pandas as pd
+
+    n = 500
+    k = rng.integers(0, 100, n)
+    arrs = [[int(x) for x in row] for row in rng.integers(0, 9, (n, 3))]
+    t = hdk.import_pydict({"k": k, "a": arrs}, name="sortarr_t")
+    got = t.sort(("k", "desc")).run().to_pandas()
+    order = np.argsort(-k, kind="stable")
+    assert got["k"].tolist() == k[order].tolist()
+    exp_a = [arrs[i] for i in order]
+    assert [list(v) for v in got["a"]] == exp_a
