@@ -87,3 +87,25 @@ def test_device_cache_budget_eviction():
     out = ht.agg([], "sum(c0)", "sum(c7)").run().to_pandas()
     assert out["c0_sum"][0] == out["c7_sum"][0] == 499500
     device_cache_manager().set_budget(12 << 30)
+
+
+def test_explain_analyze(rng):
+    """EXPLAIN ANALYZE executes the query with every step forced and
+    annotates plan lines with [ms, rows] (the EXPLAIN + DebugTimer
+    DurationTree combination)."""
+    import re
+
+    import hdk_tpu
+
+    hdk = hdk_tpu.HDK()
+    t = hdk.import_pydict({"k": rng.integers(0, 5, 2000),
+                           "v": rng.integers(0, 50, 2000)}, name="ea_t")
+    q = t.filter(t["v"] > 10).agg("k", "count", "sum(v)").sort("k")
+    plain = hdk.explain(q)
+    assert "ms," not in plain  # no annotations without analyze
+    analyzed = hdk.explain(q, analyze=True)
+    stamps = re.findall(r"\[(\d+\.\d) ms, (\d+) rows\]", analyzed)
+    assert stamps, analyzed
+    # the terminal step reports the (possibly fused) output rows
+    assert any(int(rows) <= 6 for _ms, rows in stamps), analyzed
+    assert not hdk._executor._analyze  # flag resets even on success
