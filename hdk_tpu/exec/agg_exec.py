@@ -1,0 +1,736 @@
+"""Aggregate step compiler (mixin half of the Executor).
+
+Split out of exec/executor.py (round 4): single-device group-by routing
+(perfect/sort tiers, measured feedback), the fused agg+sort path,
+fragment-streamed aggregation, no-group aggregates, and perfect-layout
+inference.  Distributed aggregation routes live in exec/dist_exec.py.
+
+Reference map: GroupByAndAggregate.cpp (layout choice),
+NativeCodegen.cpp:1403 compileWorkUnit (the step compiler analog),
+Execute.cpp:2291 (watchdog / retry ladder).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as t
+from ..ir import expr as ir
+from ..ir import node as nd
+from ..utils.logger import get_channel
+
+_LOG = get_channel("exec")
+from . import groupby as gb
+from . import ranges as rng
+from . import sort as srt
+from .codecache import chain_key
+from .common import (ExecTable, _PrunedScanColumns, _TWO_PHASE_KINDS,
+                     _broadcast, _next_pow2, _schema_sig)
+from .masked import MaskedCol, combine_masks
+from .scalar import ExecError
+
+
+class AggExecMixin:
+    def _exec_aggregate(self, node: nd.Aggregate, results) -> ExecTable:
+        source, chain, src_node = self._resolve_chain(node.inputs[0], results)
+        specs_meta = [
+            (a.kind, a.type, a.distinct, a.arg1, a.interpolation)
+            for a in node.aggs
+        ]
+
+        if not node.keys:
+            return self._agg_nogroup(node, source, chain, src_node)
+
+        if source.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+
+        # layout choice from static ranges (no device sync); if stats
+        # can't bound a key, probe min/max on device — one tiny kernel +
+        # sync (reference: ExpressionRange falls back to runtime metadata)
+        layout = self._static_perfect_layout(node)
+        key_ranges = None
+        if layout is None:
+            layout, key_ranges = self._dynamic_perfect_layout(
+                node, source, chain, src_node)
+        cap = min(source.nrows,
+                  self.config.exec.group_by.default_max_groups)
+        if key_ranges is not None:
+            # distinct groups cannot exceed the key-range product
+            prod = 1
+            for lo_r, hi_r, _nul in key_ranges:
+                prod *= (hi_r - lo_r + 2)
+                if prod > cap:
+                    break
+            cap = min(cap, max(prod, 1))
+        self._ndv_estimate = None
+        if layout is None and cap > (1 << 20):
+            # unbounded (or loosely bounded) keys: size the buffer from
+            # the sampling estimator; 3x slack makes widen-retries rare
+            est = self._estimate_ndv_sample(node, source, chain, src_node)
+            if est is not None:
+                self._ndv_estimate = est
+                cap = min(cap, max(256, est * 3))
+        terminal_exprs = list(node.keys) + [
+            a.operand for a in node.aggs if a.operand is not None] + [
+            a.operand2 for a in node.aggs
+            if getattr(a, "operand2", None) is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
+        nrows0 = source.nrows
+        size = len(source.fields)
+
+        # fragment-streamed execution for over-budget scans (static
+        # perfect layouts only: a dynamic range probe would itself
+        # materialize the whole column on device)
+        if layout is not None and key_ranges is None:
+            plan = self._fragment_stream_plan(node, source, chain,
+                                              src_node, used)
+            if plan is not None:
+                return self._exec_aggregate_fragmented(
+                    node, source, chain, src_node, used, size, layout, plan)
+
+        pmode = self._pallas_groupby_mode(node, layout, nrows0)
+
+        # measured-feedback route tuning (exec/feedback.py, the P3
+        # autotune seam): near the one-hot/sort tier boundary either
+        # route can win depending on row count and agg mix — the first
+        # repetitions of a plan shape time each candidate warm (forced
+        # 1-element-readback sync), later repetitions run the winner
+        route = "perfect" if layout is not None else "sort"
+        measure = False
+        tune_sig = None
+        if (layout is not None and self._mesh is None and pmode is None
+                and self._feedback.enabled
+                and 512 < layout.entry_count <= gb.onehot.SEGMENT_LIMIT
+                and nrows0 >= (1 << 16)):
+            tune_sig = chain_key(
+                _schema_sig(source), chain, node,
+                self._dict_generation_sig(chain, node)
+                + f"tunegrp/u{used}/n{nrows0}")
+            route, measure = self._feedback.choose(
+                tune_sig, ["perfect", "sort"])
+        layout_eff = layout if route == "perfect" else None
+        if layout is not None and layout_eff is None:
+            cap = min(nrows0, layout.entry_count)
+
+        def make_key(cap_):
+            extra = (f"layout={layout_eff.mins}/{layout_eff.sizes}/pl{pmode}"
+                     if layout_eff
+                     else f"sortcap={cap_}/rng={key_ranges}") + f"u{used}"
+            return chain_key(_schema_sig(source), chain, node,
+                             self._dict_generation_sig(chain, node) + extra
+                             + f"/n{source.nrows}")
+
+        def build(cap_):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask, nrows=nrows0)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                keys = [
+                    _broadcast(self.scalar.evaluate(k, resolve), nrows0)
+                    for k in node.keys
+                ]
+                specs = self._build_specs(node, resolve, nrows0)
+                if layout_eff is not None:
+                    kc, ac, exists = gb.groupby_perfect(
+                        keys, layout_eff, specs, rm, pallas_mode=pmode)
+                    return kc, ac, exists, None
+                kc, ac, exists, n_groups = gb.groupby_sort(
+                    keys, specs, cap_, row_valid=rm, key_ranges=key_ranges)
+                return kc, ac, exists, n_groups
+
+            return jax.jit(fn)
+
+        key = make_key(cap)
+        # distributed sessions route high-NDV aggregation off the GSPMD
+        # fallback: algebraic aggs through the skew-proof two-phase
+        # shuffle (local combine -> all_to_all of partials -> merge),
+        # holistic aggs (COUNT DISTINCT/QUANTILE/TOP_K/CORR/distinct)
+        # through the raw-row shuffle so each key's rows co-locate
+        if self._mesh is not None:
+            all_alg = all(a.kind in _TWO_PHASE_KINDS and not a.distinct
+                          for a in node.aggs)
+            out = None
+            if all_alg and layout is None:
+                out = self._exec_aggregate_dist(node, source, chain,
+                                                src_node, used, size, key)
+            elif not all_alg and self._distinct_split_applicable(node):
+                out = self._exec_aggregate_dist_distinct(
+                    node, source, chain, src_node, used, size, key)
+            elif not all_alg:
+                out = self._exec_aggregate_dist_shuffled(
+                    node, source, chain, src_node, used, size, key)
+            else:
+                # perfect layout + algebraic aggs -> GSPMD dense-buffer
+                # path below (local partials + AllReduce, already
+                # optimal); recorded so commlog captures with zero
+                # explicit collectives are interpretable
+                self._dist_agg_route = "gspmd_dense"
+            if out is not None:
+                return out
+
+        self._groupby_attempts = 0
+        while True:
+            self._groupby_attempts += 1
+            fn = self.code_cache.get_or_build(key, lambda: build(cap))
+            args = ([source.columns[i] for i in used], source.row_mask)
+            if measure and tune_sig is not None:
+                from . import feedback as fb
+
+                (key_cols, agg_cols, exists, n_groups), secs = \
+                    fb.timed_sync(fn, *args)
+                self._feedback.record(tune_sig, route, secs)
+                measure = False
+            else:
+                key_cols, agg_cols, exists, n_groups = fn(*args)
+            cols = list(key_cols) + list(agg_cols)
+            if layout_eff is not None:
+                return ExecTable(list(node.fields), list(node.output_types),
+                                 cols, layout_eff.entry_count, exists)
+            n = int(n_groups)  # host sync: group count
+            if n <= cap:
+                break
+            # group-cap overflow: the buffer clamped the tail groups, so
+            # re-run with the now-known exact group count (reference:
+            # OUT_OF_SLOTS -> widen-and-retry ladder, Execute.cpp:2291)
+            if not self.config.exec.allow_retry:
+                raise ExecError(
+                    f"group count {n} exceeds buffer cap {cap} "
+                    f"(exec.allow_retry disabled)")
+            cap = min(nrows0, n)
+            key = make_key(cap)
+        trim = self.code_cache.get_or_build(
+            key + f"|trim{n}",
+            lambda: jax.jit(lambda cs: [
+                MaskedCol(c.data[:n],
+                          c.mask[:n] if c.mask is not None else None)
+                for c in cs
+            ]))
+        return ExecTable(list(node.fields), list(node.output_types),
+                         trim(cols), n)
+
+    def _exec_fused_agg_sort(self, sort_node: nd.Sort, node: nd.Aggregate,
+                             results) -> Optional[ExecTable]:
+        """ONE jitted program for Aggregate -> Sort (+LIMIT window):
+        group-by into the dense buffer, sort the buffer rows with dead
+        groups pushed last, emit a validity window.  Kills the Q4-class
+        fixed overhead of 3 dispatches + 2 host syncs (VERDICT r1 #3)."""
+        source, chain, src_node = self._resolve_chain(node.inputs[0], results)
+        if source.nrows == 0:
+            return None
+        layout = self._static_perfect_layout(node)
+        key_ranges = None
+        if layout is None:
+            layout, key_ranges = self._dynamic_perfect_layout(
+                node, source, chain, src_node)
+        cap = min(source.nrows,
+                  self.config.exec.group_by.default_max_groups)
+        prod = None
+        if key_ranges is not None:
+            prod = 1
+            for lo_r, hi_r, _nul in key_ranges:
+                prod *= (hi_r - lo_r + 2)
+                if prod > cap:
+                    break
+            cap = min(cap, max(prod, 1))
+        self._ndv_estimate = None
+        if layout is None and cap > (1 << 20):
+            est = self._estimate_ndv_sample(node, source, chain, src_node)
+            if est is not None:
+                self._ndv_estimate = est
+                cap = min(cap, max(256, est * 3))
+        terminal_exprs = list(node.keys) + [
+            a.operand for a in node.aggs if a.operand is not None] + [
+            a.operand2 for a in node.aggs
+            if getattr(a, "operand2", None) is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
+        nrows0 = source.nrows
+        size = len(source.fields)
+        out_types = list(node.output_types)
+        sf = sort_node.sort_fields
+        descs = [f.desc for f in sf]
+        nfs = [f.nulls_first for f in sf]
+        limit, offset = sort_node.limit, sort_node.offset
+        # overflow impossible when the buffer covers every row or the
+        # whole key-range product: skip the group-count host sync
+        can_overflow = (layout is None and cap < nrows0
+                        and (prod is None or prod > cap))
+        pmode = self._pallas_groupby_mode(node, layout, nrows0)
+
+        def make_key(cap_):
+            extra = ((f"layout={layout.mins}/{layout.sizes}/pl{pmode}"
+                      if layout
+                      else f"sortcap={cap_}/rng={key_ranges}")
+                     + f"u{used}|fsort"
+                     + f"{[(f.field_index, f.desc, f.nulls_first) for f in sf]}"
+                     + f"/{limit}/{offset}")
+            return chain_key(_schema_sig(source), chain, node,
+                             self._dict_generation_sig(chain, node) + extra
+                             + f"/n{nrows0}")
+
+        def build(cap_):
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask, nrows=nrows0)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                keys = [
+                    _broadcast(self.scalar.evaluate(k, resolve), nrows0)
+                    for k in node.keys
+                ]
+                specs = self._build_specs(node, resolve, nrows0)
+                if layout is not None:
+                    kc, ac, exists = gb.groupby_perfect(
+                        keys, layout, specs, rm, pallas_mode=pmode)
+                    n_groups = jnp.asarray(0, jnp.int32)
+                    nbuf = layout.entry_count
+                else:
+                    kc, ac, exists, n_groups = gb.groupby_sort(
+                        keys, specs, cap_, row_valid=rm,
+                        key_ranges=key_ranges)
+                    nbuf = cap_
+                cols = list(kc) + list(ac)
+                scols = [
+                    self._sortable(cols[f.field_index],
+                                   out_types[f.field_index])
+                    for f in sf
+                ]
+                live = exists.sum()
+                topn = (offset + limit
+                        if (len(scols) == 1 and limit is not None
+                            and 0 < offset + limit
+                            <= self.config.exec.streaming_topn_max
+                            and offset + limit < nbuf)
+                        else None)
+                if topn is not None:
+                    # single ORDER BY key + small LIMIT: lax.top_k of
+                    # the orderable key replaces the full payload sort
+                    # of the group buffer (0.9 s at 5e7 groups -> ~50 ms)
+                    # and the per-column output access is a topn-sized
+                    # gather.  Dead groups take a strict sentinel level
+                    # above every live key (same scheme as _exec_sort's
+                    # streaming top-n).
+                    key64 = srt.sort_keys_int64(scols, descs, nfs)[0]
+                    imax = jnp.iinfo(jnp.int64).max
+                    key64 = jnp.where(exists,
+                                      jnp.minimum(key64, imax - 1), imax)
+                    _, idx = jax.lax.top_k(~key64, topn)
+                    out = [
+                        MaskedCol(c.data[idx],
+                                  c.mask[idx] if c.mask is not None
+                                  else None)
+                        for c in cols
+                    ]
+                    pos = jnp.arange(topn, dtype=jnp.int64)
+                    end = jnp.minimum(live, offset + limit)
+                    window = (pos >= offset) & (pos < end)
+                    return out, window, n_groups
+                # ONE payload-carrying sort (live groups first, then the
+                # ORDER BY keys): argsort + per-column permutation
+                # gathers cost ~1.3-2.2 s PER COLUMN at 5e7 groups
+                from ..ops import sortops as so
+
+                skeys = [~exists] + srt.sort_keys_int64(scols, descs, nfs)
+                pay = so.PayloadSet()
+                slots = []
+                for c in cols:
+                    slots.append((pay.add(c.data), pay.add(c.mask)))
+                _, sorted_pay = so.sort_with_payload(skeys, pay.arrays)
+                out = [
+                    MaskedCol(sorted_pay[di],
+                              sorted_pay[mi] if mi is not None else None)
+                    for di, mi in slots
+                ]
+                pos = jnp.arange(nbuf, dtype=jnp.int64)
+                end = (live if limit is None
+                       else jnp.minimum(live, offset + limit))
+                window = (pos >= offset) & (pos < end)
+                return out, window, n_groups
+
+            return jax.jit(fn)
+
+        key = make_key(cap)
+        while True:
+            fn = self.code_cache.get_or_build(key, lambda: build(cap))
+            cols, window, n_groups = fn(
+                [source.columns[i] for i in used], source.row_mask)
+            if not can_overflow:
+                break
+            n = int(n_groups)  # host sync only when overflow is possible
+            if n <= cap:
+                break
+            if not self.config.exec.allow_retry:
+                raise ExecError(
+                    f"group count {n} exceeds buffer cap {cap} "
+                    f"(exec.allow_retry disabled)")
+            cap = min(nrows0, n)
+            key = make_key(cap)
+        # the streaming-top-n branch emits topn-sized buffers; the full
+        # sort emits the whole group buffer — size from the output
+        nbuf = int(window.shape[0])
+        return ExecTable(list(sort_node.fields),
+                         list(sort_node.output_types), cols, nbuf, window)
+
+
+    # -- fragment-streamed aggregation (reference: per-fragment kernels,
+    # QueryFragmentDescriptor.h:64): a scan whose used columns exceed
+    # the budget executes chunk-by-chunk over fragment groups with ONE
+    # compiled program and elementwise partial-slot merging — a table
+    # larger than HBM streams through the device, and the watchdog gets
+    # a check point per chunk.
+    def _fragment_stream_plan(self, node, source, chain, src_node, used):
+        """None, or (table, chunks, chunk_rows): consecutive-fragment
+        chunks covering the scan, all padded to ``chunk_rows``."""
+        from ..parallel.dist_groupby import _COMBINE
+
+        # dist sessions stream too (VERDICT-r2 gap): chunks device_put
+        # row-sharded, GSPMD runs the per-chunk perfect agg; a scan-pad
+        # row_mask is irrelevant because chunks re-slice the host table
+        if source.row_mask is not None and self._mesh is None:
+            return None
+        if isinstance(source.columns, _PrunedScanColumns):
+            return None  # pruning already shrank the resident data
+        if not isinstance(src_node, nd.Scan):
+            return None
+        if not all(a.kind in _COMBINE and not a.distinct
+                   and a.kind != ir.AggKind.APPROX_QUANTILE
+                   for a in node.aggs):
+            return None
+        # window functions see ALL rows by definition — a per-chunk
+        # evaluation would restart them at every chunk boundary
+        from .optimizer import _contains_window
+
+        for n_ in chain:
+            exprs = (n_.exprs if isinstance(n_, nd.Project)
+                     else [n_.condition])
+            if any(_contains_window(e) for e in exprs):
+                return None
+        if any(_contains_window(e)
+               for e in list(node.keys)
+               + [a.operand for a in node.aggs if a.operand is not None]):
+            return None
+        table = src_node.table
+        frags = table.fragments
+        if len(frags) < 2 or table.nrows == 0:
+            return None
+        bpr = 0  # bytes per row over used columns
+        for i in used:
+            col = table.column(source.fields[i])
+            bpr += col.data.dtype.itemsize + (
+                1 if col.validity is not None else 0)
+        budget = (self.config.exec.scan_stream_bytes
+                  or self.config.storage.device_cache_budget_bytes // 2)
+        if bpr * table.nrows <= budget:
+            return None
+        target = max(1, budget // max(bpr, 1))
+        chunks = []
+        cur_start = None
+        cur_rows = 0
+        for (r0, r1) in frags:
+            if cur_start is None:
+                cur_start, cur_rows = r0, r1 - r0
+            elif cur_rows + (r1 - r0) > target:
+                chunks.append((cur_start, r0))
+                cur_start, cur_rows = r0, r1 - r0
+            else:
+                cur_rows += r1 - r0
+        chunks.append((cur_start, frags[-1][1]))
+        if len(chunks) < 2:
+            return None
+        chunk_rows = max(r1 - r0 for r0, r1 in chunks)
+        if self._mesh is not None:  # shardable chunk shape
+            ndev = self._mesh.devices.size
+            chunk_rows += (-chunk_rows) % ndev
+        return table, chunks, chunk_rows
+
+    def _exec_aggregate_fragmented(self, node, source, chain, src_node,
+                                   used, size, layout, plan) -> ExecTable:
+        from ..parallel.dist_groupby import _COMBINE
+
+        table, chunks, chunk_rows = plan
+        self._frag_stream_chunks = len(chunks)
+        n = layout.entry_count if layout is not None else 1
+        key = chain_key(
+            _schema_sig(source), chain, node,
+            self._dict_generation_sig(chain, node)
+            + f"fragstream/{n}/{chunk_rows}/u{used}"
+            + (f"/l{layout.mins}{layout.sizes}" if layout else ""))
+
+        def build():
+            def fn(sub_cols, pad_valid):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(
+                    src_node, source_cols, chain, pad_valid,
+                    nrows=chunk_rows)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                specs = self._build_specs(node, resolve, chunk_rows)
+                if layout is not None:
+                    keys = [
+                        _broadcast(self.scalar.evaluate(k, resolve),
+                                   chunk_rows)
+                        for k in node.keys
+                    ]
+                    gid, in_range = gb.perfect_gid(keys, layout, rm)
+                else:
+                    live = (jnp.ones((chunk_rows,), jnp.bool_)
+                            if rm is None else rm)
+                    gid = jnp.where(live, 0, 1).astype(jnp.int32)
+                    in_range = live
+                slots = [gb._agg_slots(s, gid, in_range, n, False).slots
+                         for s in specs]
+                exists = gb._seg_sum(in_range, gid, n + 1, False)[:n] > 0
+                return slots, exists
+
+            return jax.jit(fn)
+
+        def combine_build():
+            def fn(acc, slots, acc_exists, exists):
+                out = []
+                for a_spec, acc_s, new_s in zip(node.aggs, acc, slots):
+                    rules = _COMBINE[a_spec.kind]
+                    merged = []
+                    for rule, a, b in zip(rules, acc_s, new_s):
+                        if rule == "sum":
+                            merged.append(a + b)
+                        elif rule == "min":
+                            merged.append(jnp.minimum(a, b))
+                        else:
+                            merged.append(jnp.maximum(a, b))
+                    out.append(merged)
+                return out, acc_exists | exists
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        combine = self.code_cache.get_or_build(key + "|comb", combine_build)
+        sharding = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self._mesh,
+                                     PartitionSpec(self._mesh.axis_names[0]))
+
+        def put(arr):
+            return (jnp.asarray(arr) if sharding is None
+                    else jax.device_put(np.asarray(arr), sharding))
+
+        acc = exists = None
+        for (r0, r1) in chunks:
+            rows = r1 - r0
+            sub_cols = []
+            for i in used:
+                col = table.column(source.fields[i])
+                data = np.asarray(col.data[r0:r1])
+                mask = (np.asarray(col.validity[r0:r1])
+                        if col.validity is not None else None)
+                if rows < chunk_rows:
+                    pad = chunk_rows - rows
+                    data = np.concatenate(
+                        [data, np.zeros((pad,) + data.shape[1:],
+                                        data.dtype)])
+                    if mask is not None:
+                        mask = np.concatenate(
+                            [mask, np.zeros((pad,) + mask.shape[1:],
+                                            np.bool_)])
+                sub_cols.append(MaskedCol(
+                    put(data), put(mask) if mask is not None else None))
+            pad_valid = (None if rows == chunk_rows else
+                         put(np.arange(chunk_rows) < rows))
+            slots, ex = fn(sub_cols, pad_valid)
+            if acc is None:
+                acc, exists = slots, ex
+            else:
+                acc, exists = combine(acc, slots, exists, ex)
+            self._check_watchdog_budget()
+
+        agg_cols = []
+        for a, slots in zip(node.aggs, acc):
+            spec = gb.AggSpec(a.kind, None, a.type, a.distinct, a.arg1,
+                              a.interpolation, **self._sketch_kwargs())
+            agg_cols.append(gb.AggResult(list(slots)).finalize(spec, None))
+        if layout is not None:
+            key_cols = gb.perfect_key_columns_from_types(
+                [k.type for k in node.keys], layout)
+            return ExecTable(list(node.fields), list(node.output_types),
+                             key_cols + agg_cols, n, exists)
+        cols = [MaskedCol(c.data, c.mask) for c in agg_cols]
+        return ExecTable(list(node.fields), list(node.output_types), cols, 1)
+
+    def _check_watchdog_budget(self) -> None:
+        """Mid-step deadline check between fragment chunks — finer
+        granularity than the reference's between-kernel checks allow us
+        otherwise (DynamicWatchdog.h:26-28; an XLA program itself is
+        not interruptible, but the chunk loop is)."""
+        if self._deadline is not None and _time.monotonic() > self._deadline:
+            raise ExecError("watchdog: query time budget exceeded")
+
+    def _agg_nogroup(self, node: nd.Aggregate, source: ExecTable,
+                     chain, src_node) -> ExecTable:
+        terminal_exprs = [a.operand for a in node.aggs
+                          if a.operand is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node)
+                        + f"nogroup/u{used}/n{source.nrows}")
+        nrows0 = source.nrows
+        size = len(source.fields)
+        plan = self._fragment_stream_plan(node, source, chain, src_node,
+                                          used)
+        if plan is not None:
+            return self._exec_aggregate_fragmented(
+                node, source, chain, src_node, used, size, None, plan)
+
+        def build():
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask, nrows=nrows0)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                specs = self._build_specs(node, resolve, nrows0)
+                scalars = gb.nogroup_agg(specs, nrows0, rm)
+                return [
+                    MaskedCol(jnp.reshape(s.data, (1,)),
+                              jnp.reshape(s.mask, (1,))
+                              if s.mask is not None else None)
+                    for s in scalars
+                ]
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols = fn([source.columns[i] for i in used], source.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols, 1)
+
+    def _build_specs(self, node: nd.Aggregate, resolve, nrows) -> List[gb.AggSpec]:
+        specs = []
+        for agg in node.aggs:
+            operand = None
+            if agg.operand is not None:
+                operand = _broadcast(
+                    self.scalar.evaluate(agg.operand, resolve), nrows)
+            operand2 = None
+            if getattr(agg, "operand2", None) is not None:
+                operand2 = _broadcast(
+                    self.scalar.evaluate(agg.operand2, resolve), nrows)
+            specs.append(gb.AggSpec(agg.kind, operand, agg.type, agg.distinct,
+                                    agg.arg1, agg.interpolation, operand2,
+                                    **self._sketch_kwargs()))
+        return specs
+
+    def _sketch_kwargs(self):
+        g = self.config.exec.group_by
+        return dict(hll_p=g.hll_precision, hll_budget=g.hll_register_budget,
+                    td_c=g.tdigest_centroids,
+                    td_budget=g.tdigest_centroid_budget)
+
+    def _pallas_groupby_mode(self, node: nd.Aggregate, layout,
+                             nrows: int) -> Optional[str]:
+        """Route eligible COUNT-class perfect-hash aggregations through
+        the Pallas one-hot-matmul kernel (ops/pallas_groupby.py) in the
+        512 < entries <= ~4096 window.  Opt-in (exec.prefer_pallas_groupby):
+        the factored one-hot contraction (ops/onehot.py) measured 3x
+        faster, so the default path is XLA.  f32 accumulation is exact
+        for counts below 2^24 rows."""
+        if not self.config.exec.prefer_pallas_groupby:
+            return None
+        if layout is None or layout.entry_count <= gb.DENSE_SCATTER_LIMIT:
+            return None
+        if nrows >= (1 << 24):
+            return None
+        if not all(a.kind == ir.AggKind.COUNT and not a.distinct
+                   for a in node.aggs):
+            return None
+        from ..ops import pallas_groupby as pk
+
+        n_slots = 1 + sum(
+            1 for a in node.aggs
+            if a.operand is not None and a.operand.type.nullable)
+        if not pk.supported2(layout.entry_count, n_slots):
+            return None
+        if self.config.exec.interpret_pallas:
+            return "interpret"
+        return "real" if jax.default_backend() != "cpu" else None
+
+    def _static_perfect_layout(self, node: nd.Aggregate):
+        ranges = []
+        for k in node.keys:
+            ok = (k.type.is_integer() or k.type.is_boolean()
+                  or k.type.is_dict_encoded_string()
+                  or (k.type.is_date()
+                      and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+            if not ok:
+                return None
+            r = rng.infer_range(k)
+            if r is None:
+                return None
+            ranges.append(r)
+        return gb.choose_perfect_layout(
+            [k.type for k in node.keys], ranges,
+            self.config.exec.group_by.perfect_hash_entries_limit)
+
+    def _dynamic_perfect_layout(self, node: nd.Aggregate, source: ExecTable,
+                                chain, src_node):
+        """Probe key min/max with a jitted reduction when fragment stats
+        can't bound the expression (e.g. cast(float as int) keys)."""
+        for k in node.keys:
+            ok = (k.type.is_integer() or k.type.is_boolean()
+                  or k.type.is_dict_encoded_string()
+                  or (k.type.is_date()
+                      and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+            if not ok:
+                return None, None
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node)
+                        + f"rangeprobe/n{source.nrows}")
+        used = self._used_columns(src_node, chain, list(node.keys))
+        # key on the *used* columns only: unused columns stay lazy
+        cache_objs = [source.columns[i].data for i in used] + [source.row_mask]
+        cached = self._layout_cache.get(key, cache_objs)
+        if cached is not None:
+            return cached
+        nrows0 = source.nrows
+        size = len(source.fields)
+
+        def build():
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                env, final, rm = self._chain_env(src_node, source_cols, chain,
+                                                row_mask, nrows=nrows0)
+                resolve = lambda ref: env[ref.node.id][ref.index]
+                out = []
+                for kx in node.keys:
+                    v = _broadcast(self.scalar.evaluate(kx, resolve), nrows0)
+                    data = v.data.astype(jnp.int64)
+                    live = combine_masks(v.mask, rm)
+                    if live is not None:
+                        big = jnp.iinfo(jnp.int64)
+                        lo = jnp.min(jnp.where(live, data, big.max))
+                        hi = jnp.max(jnp.where(live, data, big.min))
+                    else:
+                        lo = jnp.min(data)
+                        hi = jnp.max(data)
+                    out.append(jnp.stack([lo, hi]))
+                return jnp.stack(out)  # (n_keys, 2): ONE host transfer
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        probed = np.asarray(fn([source.columns[i] for i in used],
+                               source.row_mask))  # host sync
+        ranges = []
+        for (lo_i, hi_i), k in zip(probed.tolist(), node.keys):
+            if lo_i > hi_i:  # no live rows
+                lo_i, hi_i = 0, 0
+            ranges.append((int(lo_i), int(hi_i), k.type.nullable))
+        layout = gb.choose_perfect_layout(
+            [k.type for k in node.keys], ranges,
+            self.config.exec.group_by.perfect_hash_entries_limit)
+        result = (layout, tuple(ranges))
+        self._layout_cache.put(key, cache_objs, result)
+        return result
+

@@ -1,0 +1,609 @@
+"""Join executor (mixin half of the Executor).
+
+Split out of exec/executor.py (round 4): the single-device join routes
+(loop join, sorted-hash pair table, perfect dense table with
+sparse-range admission, value-table probe, delta-spread FK route),
+residual evaluation and left-outer padding.  Distributed join routing
+lives in exec/dist_exec.py.
+
+Reference map: PerfectJoinHashTable.h:54, BaselineJoinHashTable.h,
+JoinHashImpl.h:55-95, HashJoin.cpp (the CPU/GPU hash-table tiers these
+routes replace with sort/spread designs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as t
+from ..ir import expr as ir
+from ..ir import node as nd
+from ..utils.logger import get_channel
+
+_LOG = get_channel("exec")
+from . import join as jn
+from .codecache import chain_key
+from .common import (ExecTable, _LazyThunkColumns, _broadcast,
+                     _next_pow2, _raise_ref, _rebind_to_join_output,
+                     _schema_sig)
+from .masked import MaskedCol, combine_masks, nonzero_indices
+from .scalar import ExecError
+
+
+class JoinExecMixin:
+    def _exec_loop_join(self, node: nd.Join, results) -> ExecTable:
+        """Cartesian (loop) join for key-less INNER joins: CROSS JOIN and
+        the non-equi ON fallback (reference: IRCodegen.cpp:513 loop-join
+        codegen; gated like the reference by JoinConfig.enable_loop_join
+        and the inner-table row cap)."""
+        jcfg = self.config.exec.join
+        if not jcfg.enable_loop_join:
+            raise ExecError(
+                "cross/loop join disabled (exec.join.enable_loop_join)")
+        assert node.join_type == nd.JoinType.INNER
+        lhs = self._materialize_input(node.inputs[0], results)
+        rhs = self._materialize_input(node.inputs[1], results)
+        if lhs.nrows == 0 or rhs.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+        if rhs.nrows > jcfg.loop_join_inner_table_max_num_rows:
+            raise ExecError(
+                f"loop-join inner table has {rhs.nrows} rows, above "
+                f"join.loop_join_inner_table_max_num_rows="
+                f"{jcfg.loop_join_inner_table_max_num_rows}")
+        ln, rn = lhs.nrows, rhs.nrows
+        wd = self.config.exec.watchdog
+        if wd.enable and ln * rn > wd.max_rows_per_step:
+            raise ExecError(
+                f"watchdog: loop join would produce {ln * rn} rows")
+        from .codecache import _h, expr_sig
+
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        key = _h(["loopjoin", _schema_sig(lhs), _schema_sig(rhs), ln, rn,
+                  "" if node.residual is None
+                  else expr_sig(node.residual, sig_ids)])
+
+        def build():
+            def fn(lcols, rcols, lmask, rmask):
+                li = jnp.repeat(jnp.arange(ln, dtype=jnp.int32), rn)
+                ri = jnp.tile(jnp.arange(rn, dtype=jnp.int32), ln)
+                gl = [MaskedCol(c.data[li], c.mask[li]
+                                if c.mask is not None else None)
+                      for c in lcols]
+                gr = [MaskedCol(c.data[ri], c.mask[ri]
+                                if c.mask is not None else None)
+                      for c in rcols]
+                rm = None
+                if lmask is not None:
+                    rm = lmask[li]
+                if rmask is not None:
+                    rm = rmask[ri] if rm is None else (rm & rmask[ri])
+                if node.residual is not None:
+                    resolve = lambda ref: (
+                        gl[ref.index] if ref.node is node.inputs[0]
+                        else gr[ref.index])
+                    cond = self.scalar.evaluate(node.residual, resolve)
+                    m = cond.data.astype(jnp.bool_)
+                    if cond.mask is not None:
+                        m = m & cond.mask
+                    rm = m if rm is None else (rm & m)
+                return gl + gr, rm
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, rm = fn(list(lhs.columns), list(rhs.columns),
+                      lhs.row_mask, rhs.row_mask)
+        return ExecTable(list(node.fields), list(node.output_types), cols,
+                         ln * rn, rm)
+
+    def _exec_join(self, node: nd.Join, results) -> ExecTable:
+        if not node.key_pairs:
+            return self._exec_loop_join(node, results)
+        if self._mesh is not None:
+            out = self._exec_join_dist(node, results)
+            if out is not None:
+                return out
+        # masked inputs: a filtered probe/build side keeps its row_mask
+        # instead of paying an eager compaction (one 1.3-2.2 s/1e8-row
+        # gather PER COLUMN — the dominant cost of filtered joins like
+        # TPC-H Q3's shipdate-filtered lineitem).  Dead rows fold into
+        # the key NULL sentinels below, so they can never match.
+        lhs = self._input_table_masked(node.inputs[0], results)
+        rhs = self._input_table_masked(node.inputs[1], results)
+        resolve_l = lambda ref: lhs.columns[ref.index] if ref.node is node.inputs[0] else _raise_ref(ref)
+        resolve_r = lambda ref: rhs.columns[ref.index] if ref.node is node.inputs[1] else _raise_ref(ref)
+
+        def eval_keys(exprs, table, which):
+            resolve = (lambda ref: table.columns[ref.index])
+            out = [
+                _broadcast(self.scalar.evaluate(e, resolve), table.nrows)
+                for e in exprs
+            ]
+            if table.row_mask is not None:
+                # filter-dead rows become NULL keys: NULL never matches
+                # (hash sentinels / perfect-table validity), so masked
+                # rows drop out of the join without a compaction
+                out = [MaskedCol(k.data, combine_masks(k.mask,
+                                                       table.row_mask))
+                       for k in out]
+            return out
+
+        lhs_keys = eval_keys([l for l, _ in node.key_pairs], lhs, 0)
+        rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
+        # cross-dictionary string keys: translate rhs codes into the lhs
+        # dictionary (reference: StringDictionaryTranslationMgr)
+        for i, (le, re_) in enumerate(node.key_pairs):
+            lt, rt = le.type, re_.type
+            if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
+                    and lt.dict_id != rt.dict_id):  # type: ignore[attr-defined]
+                data, mask = self.scalar.translate_dict_codes(
+                    rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
+                rhs_keys[i] = MaskedCol(data, mask)
+            elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
+                # mixed numeric key types (e.g. INT = DOUBLE from an IN
+                # subquery): hash_keys encodes each side's raw bits, so
+                # 31 and 31.0 would never match — promote both sides to
+                # the common SQL type first (reference: Analyzer
+                # normalizes operand types before hash-join key check,
+                # normalize_column_pairs)
+                ld, rd = lhs_keys[i].data.dtype, rhs_keys[i].data.dtype
+                if (jnp.issubdtype(ld, jnp.number)
+                        and jnp.issubdtype(rd, jnp.number)):
+                    ct = jnp.promote_types(ld, rd)
+                    if ld != ct:
+                        lhs_keys[i] = MaskedCol(
+                            lhs_keys[i].data.astype(ct), lhs_keys[i].mask)
+                    if rd != ct:
+                        rhs_keys[i] = MaskedCol(
+                            rhs_keys[i].data.astype(ct), rhs_keys[i].mask)
+        jt = node.join_type
+
+        if lhs.nrows == 0:
+            return ExecTable.empty(node.fields, node.output_types)
+        if rhs.nrows == 0:
+            if jt in (nd.JoinType.INNER, nd.JoinType.SEMI):
+                return ExecTable.empty(node.fields, node.output_types)
+            if jt == nd.JoinType.ANTI:
+                return lhs
+            return self._left_pad(node, lhs, rhs,
+                                  jnp.zeros((0,), jnp.int32),
+                                  jnp.zeros((0,), jnp.int32),
+                                  jnp.arange(lhs.nrows, dtype=jnp.int32))
+
+        from ..ir.expr import collect_column_refs
+        from .codecache import _h, expr_sig
+
+        # stable positional ids so structurally-equal joins share caches
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        plan_sig = _h([
+            ";".join(f"{expr_sig(l, sig_ids)}={expr_sig(r, sig_ids)}"
+                     for l, r in node.key_pairs),
+            node.join_type.value, _schema_sig(lhs), _schema_sig(rhs),
+            lhs.nrows, rhs.nrows,
+        ])
+
+        rhs_ref_idx = sorted({
+            ref.index for _, r in node.key_pairs
+            for ref in collect_column_refs(r)
+        })
+        # the row_mask is part of the build identity: with masked
+        # (uncompacted) inputs, two different filters over the same base
+        # table share column buffers — only the mask distinguishes them
+        ht_objs = [rhs.columns[i].data for i in rhs_ref_idx] + (
+            [rhs.row_mask] if rhs.row_mask is not None else [])
+
+        # perfect (dense direct-index) join: single int-ish key with a
+        # small value range and unique build keys (reference:
+        # PerfectJoinHashTable; falls back to the sorted-hash table on
+        # duplicates or oversized range, like HashJoin::getInstance)
+        self._join_route = "perfect"  # refined to "spread" inside
+        perfect_out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
+                                             rhs_keys, plan_sig, ht_objs, jt)
+        if perfect_out is not None:
+            return perfect_out
+        self._join_route = "hash"
+        table = self._hashtable_cache.get(plan_sig + "|ht", ht_objs)
+        if table is None:
+            build_fn = self.code_cache.get_or_build(
+                plan_sig + "|build",
+                lambda: jax.jit(lambda ks: jn.build(ks)))
+            table = build_fn(rhs_keys)
+            self._hashtable_cache.put(plan_sig + "|ht", ht_objs, table)
+
+        probe_fn = self.code_cache.get_or_build(
+            plan_sig + "|probe",
+            lambda: jax.jit(lambda tbl, lks: (
+                lambda lo_hi: (lo_hi[0], lo_hi[1],
+                               jnp.sum(lo_hi[1] - lo_hi[0]))
+            )(jn.probe_ranges(tbl, lks))))
+        lo, hi, total_dev = probe_fn(table, lhs_keys)
+        total = int(total_dev)  # host sync: candidate count
+        if total == 0:
+            l_keep = r_keep = jnp.zeros((0,), jnp.int32)
+        else:
+            expand_fn = self.code_cache.get_or_build(
+                plan_sig + f"|expand{total}",
+                lambda: jax.jit(lambda tbl, lo_, hi_, lks, rks: (
+                    lambda pair: (pair[0], pair[1],
+                                  jn.verify_pairs(rks, lks, pair[0], pair[1]))
+                )(jn.expand_pairs(tbl, lo_, hi_, total))))
+            l_idx, r_idx, ok = expand_fn(table, lo, hi, lhs_keys, rhs_keys)
+            if node.residual is not None and jt != nd.JoinType.INNER:
+                ok = ok & self._residual_on_pairs(node, lhs, rhs, l_idx, r_idx)
+            m = int(ok.sum())  # host sync: verified match count
+            keep_fn = self.code_cache.get_or_build(
+                plan_sig + f"|keep{total}/{m}",
+                lambda: jax.jit(lambda li, ri, okk: (
+                    lambda kp: (li[kp], ri[kp])
+                )(nonzero_indices(okk, m))))
+            l_keep, r_keep = keep_fn(l_idx, r_idx, ok)
+
+        if jt == nd.JoinType.INNER:
+            out = self._pair_table(node, lhs, rhs, l_keep, r_keep)
+            if node.residual is not None:
+                out = self._apply_residual(node, out)
+            return out
+
+        matched = jnp.zeros((lhs.nrows,), jnp.bool_).at[l_keep].set(True)
+        if jt == nd.JoinType.SEMI:
+            n = int(matched.sum())
+            return lhs.gather(nonzero_indices(matched, n))
+        unmatched = (~matched if lhs.row_mask is None
+                     else (~matched) & lhs.row_mask)
+        if jt == nd.JoinType.ANTI:
+            n = int(unmatched.sum())
+            return lhs.gather(nonzero_indices(unmatched, n))
+
+        # LEFT: residual already folded into the match set
+        n_un = int(unmatched.sum())
+        un_idx = nonzero_indices(unmatched, n_un)
+        return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
+
+    def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
+                          plan_sig, ht_objs, jt):
+        if len(node.key_pairs) != 1:
+            return None
+        kt = node.key_pairs[0][1].type
+        ok = (kt.is_integer() or kt.is_boolean()
+              or kt.is_dict_encoded_string()
+              or (kt.is_date() and kt.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
+        if not ok:
+            return None
+        sig = plan_sig + "|perfect"
+        cached = self._hashtable_cache.get(sig, ht_objs)
+        if cached is None:
+            bk = rhs_keys[0]
+            stats = jnp.stack([jnp.min(bk.fill(0)), jnp.max(bk.fill(0))])
+            lo, hi = (int(x) for x in np.asarray(stats))  # host sync
+            range_size = hi - lo + 1
+            # density guard: a dense table costs range_size entries of
+            # memory, so tiny builds with huge ranges stay on the hash
+            # route — but SPARSE bounded ranges (e.g. a filtered FK
+            # build keeping 9% of [0, 15M) in TPC-H Q3) must still
+            # qualify: the sorted-hash probe + expand costs seconds and
+            # a compile per candidate-count where the dense table costs
+            # range_size*4B once (measured Q3 @SF10: 11.3 s -> sub-s)
+            if (range_size <= 0
+                    or range_size > self.config.exec.join.perfect_hash_range_limit
+                    or range_size > max(rhs.nrows, 1) * 1024
+                    or range_size > max(rhs.nrows * 8, 1 << 16)
+                    and lhs.nrows < self.config.exec.join.spread_join_min_rows):
+                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
+                return None
+            build_fn = self.code_cache.get_or_build(
+                f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}",
+                lambda: jax.jit(functools.partial(
+                    jn.build_perfect, min_key=lo, range_size=range_size)))
+            table, unique, n_set = build_fn(bk)
+            if not bool(unique):  # duplicate keys: OneToMany -> generic
+                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
+                return None
+            # every slot occupied => probe matching needs no table gather
+            complete = int(n_set) == range_size
+            cached = (table, range_size, complete)
+            self._hashtable_cache.put(sig, ht_objs, cached)
+        table, range_size, complete = cached
+        if table is None:
+            return None
+        if node.residual is not None and jt != nd.JoinType.INNER:
+            # residual ON conditions affect matching; use the generic path
+            return None
+
+        # value-table route: per-probe-row key slots, zero table gathers
+        # when the table is complete, one (the occupancy check) otherwise;
+        # each USED build column then costs one direct vt[slot] gather
+        # instead of the rows[slot] -> col[row] dependent chain (measured
+        # 1.52 s -> 0.76 s per column at 1e8x1e7 rows on v5e).
+        slot_fn = self.code_cache.get_or_build(
+            f"pjslots/{range_size}/{table.min_key}/{lhs.nrows}"
+            f"/{lhs_keys[0].data.dtype}/{lhs_keys[0].mask is None}/{complete}",
+            lambda: jax.jit(functools.partial(
+                jn.perfect_match, range_size=range_size, complete=complete)))
+        slots, matched = slot_fn(table, lhs_keys[0])
+
+        if jt == nd.JoinType.SEMI:
+            n = int(matched.sum())
+            return self._fields_table(node, lhs.gather(
+                nonzero_indices(matched, n)))
+        if jt == nd.JoinType.ANTI:
+            alive = (~matched if lhs.row_mask is None
+                     else (~matched) & lhs.row_mask)
+            n = int(alive.sum())
+            return self._fields_table(node, lhs.gather(
+                nonzero_indices(alive, n)))
+
+        bslot_key = (
+            f"pjbslots/{range_size}/{table.min_key}/{rhs.nrows}"
+            f"/{rhs_keys[0].data.dtype}/{rhs_keys[0].mask is None}")
+        bslot_fn = self.code_cache.get_or_build(
+            bslot_key, lambda: jax.jit(functools.partial(
+                jn.build_slots, min_key=table.min_key,
+                range_size=range_size)))
+
+        if jt == nd.JoinType.INNER:
+            m = int(matched.sum())
+            if m == lhs.nrows and lhs.row_mask is None:
+                if complete and node.residual is None:
+                    out = self._try_spread_join(
+                        node, lhs, rhs, slots, sig, range_size,
+                        lambda: bslot_fn(rhs_keys[0]), ht_objs)
+                    if out is not None:
+                        self._join_route = "spread"
+                        return out
+                # every probe row matched (FK-style join): skip the keep
+                # compaction entirely, lhs columns pass through untouched
+                out = self._pair_table_slots(
+                    node, lhs, rhs, None, slots, None, sig,
+                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+            else:
+                keep = nonzero_indices(matched, m)
+                out = self._pair_table_slots(
+                    node, lhs, rhs, keep, slots[keep], None, sig,
+                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+            if node.residual is not None:
+                out = self._apply_residual(node, out)
+            return out
+        # LEFT (one-to-one): value-table lookup at match or pad null
+        if node.residual is not None:
+            raise ExecError(
+                "residual ON condition on LEFT join not supported yet")
+        return self._pair_table_slots(
+            node, lhs, rhs, None, slots, matched, sig,
+            lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs,
+            lhs_mask=lhs.row_mask)
+
+    def _residual_on_pairs(self, node: nd.Join, lhs: ExecTable,
+                           rhs: ExecTable, l_idx, r_idx):
+        """Residual ON condition on candidate pairs (reference: residual
+        join quals in the generated probe loop, IRCodegen.cpp)."""
+        lhs_node, rhs_node = node.inputs
+
+        def resolve(ref: ir.ColumnRef) -> MaskedCol:
+            if ref.node is lhs_node:
+                c = lhs.columns[ref.index]
+                return MaskedCol(c.data[l_idx],
+                                 c.mask[l_idx] if c.mask is not None else None)
+            if ref.node is rhs_node:
+                c = rhs.columns[ref.index]
+                return MaskedCol(c.data[r_idx],
+                                 c.mask[r_idx] if c.mask is not None else None)
+            raise ExecError(f"unresolvable residual ref {ref!r}")
+
+        cond = self.scalar.evaluate(node.residual, resolve)
+        out = cond.data.astype(jnp.bool_)
+        if cond.mask is not None:
+            out = out & cond.mask
+        return out
+
+    @staticmethod
+    def _force_table(table: ExecTable) -> None:
+        """Evaluate lazy columns and sync (1-element readbacks — the
+        only trustworthy completion signal on the tunneled dev TPU)."""
+        for c in table.columns:
+            np.asarray(jax.device_get(c.data.ravel()[:1]))
+            if c.mask is not None:
+                np.asarray(jax.device_get(c.mask.ravel()[:1]))
+        if table.row_mask is not None:
+            np.asarray(jax.device_get(table.row_mask.ravel()[:1]))
+
+    def _fields_table(self, node, table: ExecTable) -> ExecTable:
+        return ExecTable(list(node.fields), list(node.output_types),
+                         table.columns, table.nrows, table.row_mask)
+
+    def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows,
+                     ht_objs):
+        """One rhs column scattered into key-slot order, cached per plan
+        + buffer identity (reference: HashtableRecycler.h:32).  The cache
+        identity includes the build KEY buffers (``ht_objs``) — the slot
+        layout depends on the key column, so a rebuilt key buffer under a
+        live value buffer must invalidate the table."""
+        vt_sig = sig + f"|vt{ci}"
+        id_objs = [c.data] + list(ht_objs)
+        cached = self._hashtable_cache.get(vt_sig, id_objs)
+        if cached is None:
+            vt_fn = self.code_cache.get_or_build(
+                f"vtbuild/{range_size}/{rhs_nrows}/{c.data.dtype}"
+                f"/{c.data.shape[1:]}/{c.mask is None}",
+                lambda: jax.jit(functools.partial(
+                    jn.build_value_table, range_size=range_size)))
+            cached = vt_fn(c, bslots_fn())
+            self._hashtable_cache.put(vt_sig, id_objs, cached)
+        return cached
+
+    @staticmethod
+    def _spreadable_dtype(dt) -> bool:
+        """Dtypes spread_inner_fk can delta-encode exactly on TPU: ≤4-byte
+        ints/f32/bool plus int64 (split into i32 words).  f64 is out —
+        no f64 bitcast compiles on TPU — as is uint64 (pathological on
+        TPU generally, NOTES.md)."""
+        dt = jnp.dtype(dt)
+        if dt == jnp.bool_:
+            return True
+        if jnp.issubdtype(dt, jnp.floating):
+            return dt.itemsize == 4
+        if jnp.issubdtype(dt, jnp.integer):
+            return dt.itemsize <= 4 or dt == jnp.int64
+        return False
+
+    def _try_spread_join(self, node: nd.Join, lhs: ExecTable,
+                         rhs: ExecTable, slots, sig, range_size,
+                         bslots_fn, ht_objs) -> Optional[ExecTable]:
+        """Delta-spread FK join (jn.spread_inner_fk): applies when the
+        rest of the DAG reads ONLY build-side columns of this join, so
+        losing probe-row order costs nothing and every consumed column
+        is spread gather-free.  Output keeps build rows interleaved as
+        dead rows under row_mask (lazy compaction)."""
+        if lhs.nrows < self.config.exec.join.spread_join_min_rows:
+            return None
+        demand = (self._demand or {}).get(node.id, None)
+        if demand is None:  # all columns (or unknown): probe order wins
+            return None
+        nl = len(lhs.fields)
+        if any(i < nl for i in demand):
+            return None
+        rhs_idx = sorted(i - nl for i in demand)
+        if not rhs_idx:
+            return None
+        rcols = [rhs.columns[i] for i in rhs_idx]
+        if any(c.data.ndim != 1 for c in rcols):
+            return None  # array columns can't ride lax.sort
+        if not all(self._spreadable_dtype(c.data.dtype) for c in rcols):
+            return None  # f64/u64: no exact TPU delta encoding
+        memo: dict = {}
+
+        def bslots():
+            if "bs" not in memo:
+                memo["bs"] = bslots_fn()
+            return memo["bs"]
+
+        vts = [self._value_table(sig, i, c, bslots, range_size, rhs.nrows,
+                                 ht_objs)
+               for i, c in zip(rhs_idx, rcols)]
+        fn = self.code_cache.get_or_build(
+            sig + f"|spread/{lhs.nrows}/{tuple(rhs_idx)}",
+            lambda: jax.jit(functools.partial(
+                jn.spread_inner_fk, range_size=range_size)))
+        is_probe, outcols = fn(slots, vts)
+
+        def undemanded(j):
+            def thunk():
+                raise ExecError(
+                    f"internal: spread-join column {j} pulled but not in "
+                    f"the demand set {sorted(demand)} (column-demand "
+                    f"analysis bug)")
+            return thunk
+
+        by_out = {nl + i: MaskedCol(d, m)
+                  for i, (d, m) in zip(rhs_idx, outcols)}
+        cols = _LazyThunkColumns([
+            (lambda v=by_out[j]: v) if j in by_out else undemanded(j)
+            for j in range(len(node.fields))
+        ])
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, range_size + lhs.nrows, is_probe)
+
+    def _pair_table_slots(self, node: nd.Join, lhs: ExecTable,
+                          rhs: ExecTable, l_idx, slots, rhs_valid, sig,
+                          bslots_fn, range_size, ht_objs,
+                          lhs_mask=None) -> ExecTable:
+        """Perfect-join output via per-column VALUE TABLES: each used rhs
+        column is scattered once into key-slot order (cached per plan,
+        reference: HashtableRecycler.h:32) and probed with ONE direct
+        vt[slot] gather — replacing the rows[slot] -> col[row] dependent
+        gather chain (measured 1.52 s -> 0.76 s per used column at
+        1e8 x 1e7 rows).  ``l_idx=None`` = lhs passes through untouched;
+        ``rhs_valid`` masks unmatched rows (LEFT join nulls)."""
+        memo: dict = {}
+
+        def bslots():
+            if "bs" not in memo:
+                memo["bs"] = bslots_fn()
+            return memo["bs"]
+
+        def lthunk(c):
+            if l_idx is None:
+                return lambda: c
+            return lambda: MaskedCol(
+                c.data[l_idx], c.mask[l_idx] if c.mask is not None else None)
+
+        def rthunk(c, ci):
+            def thunk():
+                vtd, vtm = self._value_table(sig, ci, c, bslots,
+                                             range_size, rhs.nrows, ht_objs)
+                data = vtd[slots]
+                mask = rhs_valid
+                if vtm is not None:
+                    m2 = vtm[slots]
+                    if mask is None:
+                        mask = m2
+                    elif m2.ndim > 1:
+                        mask = m2 & mask[:, None]
+                    else:
+                        mask = mask & m2
+                return MaskedCol(data, mask)
+            return thunk
+
+        cols = _LazyThunkColumns(
+            [lthunk(c) for c in lhs.columns]
+            + [rthunk(c, ci) for ci, c in enumerate(rhs.columns)])
+        nrows = lhs.nrows if l_idx is None else int(l_idx.shape[0])
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, nrows, lhs_mask)
+
+    def _pair_table(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
+                    l_idx, r_idx) -> ExecTable:
+        """Join output with LAZY per-column gathers: a downstream step
+        that uses only some columns never pays the HBM random-gather for
+        the rest (measured 1.3 s per 1e8-row gather — the dominant join
+        cost).  ``l_idx=None`` = identity (every probe row matched, in
+        order): lhs columns pass through untouched."""
+        def lthunk(c):
+            if l_idx is None:
+                return lambda: c
+            return lambda: MaskedCol(
+                c.data[l_idx], c.mask[l_idx] if c.mask is not None else None)
+
+        def rthunk(c):
+            return lambda: MaskedCol(
+                c.data[r_idx], c.mask[r_idx] if c.mask is not None else None)
+
+        cols = _LazyThunkColumns([lthunk(c) for c in lhs.columns]
+                                 + [rthunk(c) for c in rhs.columns])
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, int(r_idx.shape[0]))
+
+    def _left_pad(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
+                  l_idx, r_idx, un_idx) -> ExecTable:
+        """LEFT join output: matched pairs ++ unmatched lhs with null rhs."""
+        n_match = int(l_idx.shape[0])
+        n_un = int(un_idx.shape[0])
+        l_all = jnp.concatenate([l_idx, un_idx]) if n_match else un_idx
+        lcols = lhs.gather(l_all.astype(jnp.int32)).columns
+        rcols = []
+        for c in rhs.columns:
+            matched_part = c.data[r_idx] if n_match else jnp.zeros(
+                (0,), c.data.dtype)
+            pad = jnp.zeros((n_un,), c.data.dtype)
+            data = jnp.concatenate([matched_part, pad])
+            mm = (c.mask[r_idx] if c.mask is not None else
+                  jnp.ones((n_match,), jnp.bool_))
+            mask = jnp.concatenate([mm, jnp.zeros((n_un,), jnp.bool_)])
+            rcols.append(MaskedCol(data, mask))
+        return ExecTable(list(node.fields), list(node.output_types),
+                         lcols + rcols, n_match + n_un)
+
+    def _apply_residual(self, node: nd.Join, out: ExecTable) -> ExecTable:
+        resolve_out = lambda ref: out.columns[ref.index]
+        cond = self.scalar.evaluate(
+            _rebind_to_join_output(node.residual, node), resolve_out)
+        mask = cond.data.astype(jnp.bool_)
+        if cond.mask is not None:
+            mask = mask & cond.mask
+        n = int(mask.sum())
+        return out.gather(nonzero_indices(mask, n))
+
