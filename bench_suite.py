@@ -22,14 +22,43 @@ import time
 import numpy as np
 
 
-def bench_query(fn, iters=3, warmup=1):
-    """Pipelined throughput timing (hdk_tpu.utils.benchtime: a host
-    readback is the only trustworthy completion signal on the tunneled
-    dev TPU; the batched final sync amortizes its round-trip)."""
-    from hdk_tpu.utils.benchtime import measure as timed
+def bench_query(fn, iters=3, warmup=1, hdk=None):
+    """Cold/warm split + repetition variance (VERDICT r3 weak #2/#9):
 
-    m = timed(fn, warmup=max(warmup, 1), iters=max(iters, 3))
-    return float(m["throughput_s"])
+    * ``cold_seconds`` — the FIRST fully-synced execution (all jit
+      builds + tunnel compiles included);
+    * ``seconds`` / ``seconds_min`` — median/min of 3 independent warm
+      pipelined-throughput samples (hdk_tpu.utils.benchtime: a host
+      readback is the only trustworthy completion signal on the
+      tunneled dev TPU; the batched final sync amortizes round-trips);
+    * ``jit_builds`` — CodeCache misses attributable to this config
+      (each miss wraps one jax.jit => one tunnel compile per shape);
+    * ``warm_builds`` — builds AFTER the cold run (0 = fully cached).
+    """
+    import jax
+    from hdk_tpu.utils import benchtime
+
+    misses0 = hdk._executor.code_cache.misses if hdk is not None else 0
+    t0 = time.perf_counter()
+    jax.device_get(benchtime._tips(fn()))
+    cold = time.perf_counter() - t0
+    misses_cold = hdk._executor.code_cache.misses if hdk is not None else 0
+    samples = sorted(
+        float(benchtime.measure(fn, warmup=1, iters=max(iters, 3))
+              ["throughput_s"]) for _ in range(3))
+    misses_end = hdk._executor.code_cache.misses if hdk is not None else 0
+    return {
+        "seconds": samples[1],
+        "seconds_min": samples[0],
+        "seconds_samples": samples,
+        "cold_seconds": round(cold, 3),
+        "jit_builds": misses_cold - misses0,
+        "warm_builds": misses_end - misses_cold,
+    }
+
+
+def _rec(config: str, rows: int, m: dict) -> dict:
+    return {"config": config, "rows_per_sec": rows / m["seconds"], **m}
 
 
 def bench_join(hdk, scale: float):
@@ -50,9 +79,8 @@ def bench_join(hdk, scale: float):
     def q():
         return t.join(p, "k", "k").agg([], "count", "sum(fee)").run()
 
-    secs = bench_query(q)
-    return {"config": f"join {n_probe}x{n_build} int64 key",
-            "seconds": secs, "rows_per_sec": n_probe / secs}
+    return _rec(f"join {n_probe}x{n_build} int64 key", n_probe,
+                bench_query(q, hdk=hdk))
 
 
 def bench_high_ndv(hdk, scale: float):
@@ -68,17 +96,15 @@ def bench_high_ndv(hdk, scale: float):
     def q():
         return t.agg("k", "count", "sum(v)").run()
 
-    secs = bench_query(q)
+    m = bench_query(q, hdk=hdk)
 
     def q_sorted():
         return t.agg("k", "count").sort(("count", "desc"), limit=100).run()
 
-    secs2 = bench_query(q_sorted)
+    m2 = bench_query(q_sorted, hdk=hdk)
     return [
-        {"config": f"groupby {n} rows ~{ndv} distinct keys",
-         "seconds": secs, "rows_per_sec": n / secs},
-        {"config": f"groupby+top100 {n} rows ~{ndv} keys",
-         "seconds": secs2, "rows_per_sec": n / secs2},
+        _rec(f"groupby {n} rows ~{ndv} distinct keys", n, m),
+        _rec(f"groupby+top100 {n} rows ~{ndv} keys", n, m2),
     ]
 
 
@@ -125,9 +151,8 @@ def bench_zipf_join(hdk, scale: float):
     def q():
         return t.join(p, "k", "k").agg([], "count", "sum(fee)").run()
 
-    secs = bench_query(q)
-    return {"config": f"zipf_join {n_probe}x{n_build} a=1.3 skew",
-            "seconds": secs, "rows_per_sec": n_probe / secs}
+    return _rec(f"zipf_join {n_probe}x{n_build} a=1.3 skew", n_probe,
+                bench_query(q, hdk=hdk))
 
 
 def bench_tpch_q3(hdk, scale: float):
@@ -178,9 +203,8 @@ def bench_tpch_q3(hdk, scale: float):
             "GROUP BY l_orderkey, o_orderdate, o_shippriority "
             "ORDER BY revenue DESC, o_orderdate LIMIT 10")
 
-    secs = bench_query(q3)
-    return {"config": f"tpch_q3 {n_li} lineitem rows (3-table join)",
-            "seconds": secs, "rows_per_sec": n_li / secs}
+    return _rec(f"tpch_q3 {n_li} lineitem rows (3-table join)", n_li,
+                bench_query(q3, hdk=hdk))
 
 
 def bench_tpch(hdk, scale: float):
@@ -201,9 +225,8 @@ def bench_tpch(hdk, scale: float):
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus")
 
-    secs = bench_query(q1)
-    out.append({"config": f"tpch_q1 {rows} rows", "seconds": secs,
-                "rows_per_sec": rows / secs})
+    out.append(_rec(f"tpch_q1 {rows} rows", rows,
+                    bench_query(q1, hdk=hdk)))
 
     # Q6 shape: selective filter + global agg
     def q6():
@@ -213,9 +236,8 @@ def bench_tpch(hdk, scale: float):
             "AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
 
-    secs = bench_query(q6)
-    out.append({"config": f"tpch_q6 {rows} rows", "seconds": secs,
-                "rows_per_sec": rows / secs})
+    out.append(_rec(f"tpch_q6 {rows} rows", rows,
+                    bench_query(q6, hdk=hdk)))
     return out
 
 

@@ -386,10 +386,37 @@ class HDK:
 
     def import_arrow(self, at, name: Optional[str] = None,
                      schema=None) -> QueryNode:
-        """reference: hdk.py:2361 import_arrow."""
+        """reference: hdk.py:2361 import_arrow.
+
+        With ``storage.prefetch_device`` (default on), each column's
+        device transfer is issued on the ingest worker the moment its
+        host decode completes, overlapping the next column's decode —
+        and fragment stats warm in the background, so the first query
+        pays neither (SURVEY §2.7 P3 ingest/compute overlap)."""
         name = self._table_name(name)
-        cols = _imp.columns_from_arrow(at, self._dicts, schema)
-        return self._register(name, cols)
+        if not self._config.storage.prefetch_device:
+            cols = _imp.columns_from_arrow(at, self._dicts, schema)
+            return self._register(name, cols)
+        from .storage.table import Column, ColumnInfo
+
+        tid = self._schema.next_table_id(DATA_SCHEMA_ID)
+        built = []
+
+        def pipeline(tup):
+            cname, typ, data, validity = tup
+            col = Column(ColumnInfo(tid, len(built), cname, typ),
+                         data, validity)
+            built.append(col)
+            col.prefetch_device()
+
+        _imp.columns_from_arrow(at, self._dicts, schema, pipeline=pipeline)
+        from .storage.table import Table as _Table
+
+        table = _Table(tid, name, built,
+                       self._config.storage.fragment_size)
+        table.prefetch_stats_async()
+        self._schema.register(table)
+        return self.scan(name)
 
     def import_pandas(self, df, name: Optional[str] = None) -> QueryNode:
         return self.import_arrow(

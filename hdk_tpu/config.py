@@ -109,6 +109,11 @@ class StorageConfig:
     # the C++ importer at ingest; device transfer of codes is already
     # lazy via _LazyScanColumns)
     device_cache_budget_bytes: int = 12 << 30  # HBM column-cache budget
+    # ingest/compute overlap: as each column's host decode finishes its
+    # device transfer is issued on a background worker, so decode of the
+    # next column overlaps the transfer (reference: ColumnFetcher
+    # overlaps per-fragment fetch with kernels, ColumnFetcher.h:42-90)
+    prefetch_device: bool = True
 
 
 @dataclass

@@ -86,6 +86,7 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
             enabled=config.cache.enable_hashtable_cache)
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
+        self._dist_window_route = None  # last dist window route
         self._analyze = False  # EXPLAIN ANALYZE: force + time every step
         self._step_times: Dict[int, Tuple[float, int]] = {}
         self._ndv_estimate = None  # last sampling-NDV estimate
@@ -542,7 +543,8 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
 
     # ------------------------------------------------------------------
     def _exec_sort(self, node: nd.Sort, results) -> ExecTable:
-        source, chain, src_node = self._resolve_chain(node.inputs[0], results)
+        source, chain, src_node = self._resolve_chain_windowed(
+            node.inputs[0], results)
         if source.nrows == 0 or not node.sort_fields:
             inp = (self._exec_chain_root(node.inputs[0], results)
                    if chain else source)

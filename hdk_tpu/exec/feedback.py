@@ -76,3 +76,15 @@ def _force(tree) -> None:
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ravel"):
             np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def timed_wall(fn):
+    """Explore-once wall timing for multi-stage routes (join paths mix
+    cached jits with host syncs, so there is no single callable to hand
+    timed_sync): run ``fn`` twice — the first run pays every compile,
+    the second is the timed warm execution.  ``fn`` must force its own
+    outputs (e.g. Executor._force_table).  Returns (out, seconds)."""
+    fn()
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0

@@ -201,12 +201,62 @@ class JoinExecMixin:
         # small value range and unique build keys (reference:
         # PerfectJoinHashTable; falls back to the sorted-hash table on
         # duplicates or oversized range, like HashJoin::getInstance)
-        self._join_route = "perfect"  # refined to "spread" inside
-        perfect_out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
-                                             rhs_keys, plan_sig, ht_objs, jt)
-        if perfect_out is not None:
-            return perfect_out
-        self._join_route = "hash"
+        def attempt(pref):
+            """Execute one route preference.  None = static default
+            (spread > value-table > sorted-hash); a named route returns
+            None when its admission fails."""
+            if pref != "hash":
+                self._join_route = "perfect"  # refined to "spread" inside
+                out_ = self._try_perfect_join(node, lhs, rhs, lhs_keys,
+                                              rhs_keys, plan_sig, ht_objs,
+                                              jt, route=pref)
+                if out_ is not None or pref is not None:
+                    return out_
+            self._join_route = "hash"
+            return self._hash_join(node, lhs, rhs, lhs_keys, rhs_keys,
+                                   plan_sig, ht_objs, jt)
+
+        # measured-feedback route tuning (exec/feedback.py; VERDICT r3
+        # #8): spread vs value-table vs sorted-hash have tunnel-state-
+        # dependent crossovers (NOTES: 585 vs 810 ms at 1e8) — the first
+        # repetitions of a plan signature time each admissible route
+        # warm (timed_wall: one extra warm execution, all outputs
+        # forced so lazy-column routes are compared at full demand),
+        # later repetitions run the measured winner.
+        if (self._feedback.enabled and self._mesh is None
+                and lhs.nrows >= (1 << 16)):
+            from . import feedback as fb
+
+            tune_sig = plan_sig + "|tunejoin"
+            while True:
+                pref, measure = self._feedback.choose(
+                    tune_sig, ["spread", "value", "hash"])
+                if not measure:
+                    out = attempt(pref)
+                    if out is not None:
+                        return out
+                    break  # winner inadmissible (shape drift): static
+                def run():
+                    o = attempt(pref)
+                    if o is not None:
+                        self._force_table_demanded(o)
+                    return o
+
+                out, secs = fb.timed_wall(run)
+                if out is None:
+                    # inadmissible candidate: poison it so exploration
+                    # never retries this route for this plan signature
+                    self._feedback.record(tune_sig, pref, float("inf"))
+                    continue
+                self._feedback.record(tune_sig, pref, secs)
+                return out
+        return attempt(None)
+
+    def _hash_join(self, node, lhs, rhs, lhs_keys, rhs_keys, plan_sig,
+                   ht_objs, jt):
+        """Generic sorted-hash join route (reference:
+        BaselineJoinHashTable): build once per (keys, mask) identity,
+        probe ranges, expand candidate pairs, verify exact keys."""
         table = self._hashtable_cache.get(plan_sig + "|ht", ht_objs)
         if table is None:
             build_fn = self.code_cache.get_or_build(
@@ -265,8 +315,14 @@ class JoinExecMixin:
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
 
     def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
-                          plan_sig, ht_objs, jt):
+                          plan_sig, ht_objs, jt, route=None):
+        """``route``: None = spread-then-value default; "spread" = only
+        the delta-spread output qualifies (None otherwise); "value" =
+        skip the spread attempt (measured-feedback candidates)."""
         if len(node.key_pairs) != 1:
+            return None
+        if route == "spread" and (jt != nd.JoinType.INNER
+                                  or node.residual is not None):
             return None
         kt = node.key_pairs[0][1].type
         ok = (kt.is_integer() or kt.is_boolean()
@@ -348,18 +404,23 @@ class JoinExecMixin:
         if jt == nd.JoinType.INNER:
             m = int(matched.sum())
             if m == lhs.nrows and lhs.row_mask is None:
-                if complete and node.residual is None:
+                if (complete and node.residual is None
+                        and route in (None, "spread")):
                     out = self._try_spread_join(
                         node, lhs, rhs, slots, sig, range_size,
                         lambda: bslot_fn(rhs_keys[0]), ht_objs)
                     if out is not None:
                         self._join_route = "spread"
                         return out
+                if route == "spread":
+                    return None  # spread inadmissible for this shape
                 # every probe row matched (FK-style join): skip the keep
                 # compaction entirely, lhs columns pass through untouched
                 out = self._pair_table_slots(
                     node, lhs, rhs, None, slots, None, sig,
                     lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+            elif route == "spread":
+                return None  # spread needs all-matched unmasked probes
             else:
                 keep = nonzero_indices(matched, m)
                 out = self._pair_table_slots(
@@ -399,6 +460,24 @@ class JoinExecMixin:
         if cond.mask is not None:
             out = out & cond.mask
         return out
+
+    @staticmethod
+    def _force_table_demanded(table: ExecTable) -> None:
+        """_force_table, but skips demand-poisoned lazy columns (the
+        spread route materializes only the consumer-demanded set; its
+        other thunks raise by design).  Every route is timed on the
+        columns it actually produces — the same set a real consumer
+        would pull."""
+        for i in range(len(table.columns)):
+            try:
+                c = table.columns[i]
+                np.asarray(jax.device_get(c.data.ravel()[:1]))
+                if c.mask is not None:
+                    np.asarray(jax.device_get(c.mask.ravel()[:1]))
+            except ExecError:
+                continue
+        if table.row_mask is not None:
+            np.asarray(jax.device_get(table.row_mask.ravel()[:1]))
 
     @staticmethod
     def _force_table(table: ExecTable) -> None:

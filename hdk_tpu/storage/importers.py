@@ -183,6 +183,14 @@ def _arrow_column(
         if validity is not None:
             filled = pc.fill_null(filled, 0)
         data = np.asarray(filled, dtype=np_dtype)
+        if declared is not None and not declared.is_array():
+            # honor the declared schema like the pydict path does
+            # (reference: ArrowStorage type coercion on import,
+            # ArrowStorageUtils.cpp) — e.g. int64 epoch seconds
+            # declared as a TIMESTAMP column
+            data = data.astype(declared.physical_dtype(), copy=False)
+            return declared.with_nullable(
+                declared.nullable or nullable), data, validity
         return typ.with_nullable(nullable), data, validity
 
     if pa.types.is_list(at) or pa.types.is_large_list(at):
@@ -299,12 +307,19 @@ def columns_from_arrow(
     table: "pa.Table",
     dicts: DictionaryRegistry,
     schema: Optional[Dict[str, t.Type]] = None,
+    pipeline=None,
 ) -> List[Tuple[str, t.Type, np.ndarray, Optional[np.ndarray]]]:
+    """``pipeline``: per-column callback fired as soon as that column's
+    host decode finishes — the ingest/compute-overlap seam (the session
+    hands each column to the transfer worker while the next column
+    decodes; reference: ColumnFetcher.h:42-90)."""
     out = []
     for name in table.column_names:
         declared = (schema or {}).get(name)
         typ, data, validity = _arrow_column(name, table.column(name), dicts, declared)
         out.append((name, typ, data, validity))
+        if pipeline is not None:
+            pipeline(out[-1])
     return out
 
 

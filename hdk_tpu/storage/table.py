@@ -110,6 +110,21 @@ class Column:
         device_cache_manager().note_use(self, nbytes)
         return got
 
+    def prefetch_device(self) -> None:
+        """Issue this column's device transfer on the shared ingest
+        worker, so the NEXT column's host decode overlaps this one's
+        transfer (ingest/compute overlap — the reference overlaps
+        per-fragment fetch with kernel execution, ColumnFetcher.h:42-90
+        + the TBB kernel pool, Execute.cpp:2753).  Errors surface on
+        the query path's own device_arrays call, never here."""
+        def work():
+            try:
+                self.device_arrays()
+            except Exception:  # defer to the foreground call
+                self.drop_device_cache()
+
+        _ingest_pool().submit(work)
+
     def drop_device_cache(self, _from_manager: bool = False) -> None:
         self._device = None
         self._device_pruned = None  # fragment-pruned gather cache
@@ -132,6 +147,23 @@ class Column:
                 or sl.ndim > 1):
             return FragmentStats(row_start, row_end, None, None, nulls)
         return FragmentStats(row_start, row_end, sl.min().item(), sl.max().item(), nulls)
+
+
+_INGEST_POOL = None
+_INGEST_POOL_LOCK = threading.Lock()
+
+
+def _ingest_pool():
+    """Process-wide single-worker transfer pipeline: ONE worker keeps
+    transfers ordered and bounds contention with the decode thread."""
+    global _INGEST_POOL
+    with _INGEST_POOL_LOCK:
+        if _INGEST_POOL is None:
+            import concurrent.futures
+
+            _INGEST_POOL = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="hdk-ingest")
+        return _INGEST_POOL
 
 
 class Table:
@@ -188,6 +220,19 @@ class Table:
         self._by_name[ROWID_NAME] = col
         self.columns.append(col)
         return col
+
+    def prefetch_stats_async(self) -> None:
+        """Warm per-fragment min/max stats on the ingest worker — the
+        perfect-layout choice then needs no first-query host pass."""
+        def work():
+            for c in self.columns:
+                for frag in self.fragments:
+                    try:
+                        self.stats(c.info.name, frag)
+                    except Exception:
+                        return
+
+        _ingest_pool().submit(work)
 
     # -- fragments ----------------------------------------------------------
     @property

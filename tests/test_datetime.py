@@ -179,3 +179,47 @@ def test_interval_in_filter(hdk, rng):
                   ).to_pandas()
     exp = int((dates < pd.Timestamp("2018-01-30")).sum())
     assert int(got["c"][0]) == exp
+
+
+def test_extract_year_bounded_fast_path_boundaries(hdk):
+    """Stats-bounded YEAR fast path (compare-adds against Jan-1 epoch
+    boundaries; exec/scalar.py _extract_year_bounded): exact at year
+    boundaries, leap days, and whole-second edges — differential
+    against pandas over a deliberately boundary-heavy sample."""
+    import calendar
+
+    edges = []
+    for y in range(2011, 2021):
+        j1 = calendar.timegm((y, 1, 1, 0, 0, 0))
+        edges += [j1 - 1, j1, j1 + 1]                  # new-year seconds
+        edges.append(calendar.timegm((y, 12, 31, 23, 59, 59)))
+        if y % 4 == 0:
+            edges.append(calendar.timegm((y, 2, 29, 12, 0, 0)))
+    rng = np.random.default_rng(5)
+    span = (calendar.timegm((2021, 1, 1, 0, 0, 0))
+            - calendar.timegm((2011, 1, 1, 0, 0, 0)))
+    fill = calendar.timegm((2011, 1, 1, 0, 0, 0)) + rng.integers(
+        0, span, 5000)
+    secs = np.concatenate([np.array(edges, np.int64), fill])
+    from hdk_tpu import types as tt
+
+    ht = hdk.import_pydict(
+        {"ts": secs}, name="ybf_t",
+        schema={"ts": tt.timestamp(tt.TimeUnit.SECOND, False)})
+    got = ht.proj(y=ht["ts"].extract("year")).run().to_pandas()["y"]
+    exp = pd.to_datetime(pd.Series(secs), unit="s").dt.year
+    np.testing.assert_array_equal(got.to_numpy(), exp.to_numpy())
+
+
+def test_extract_year_wide_span_falls_back(hdk):
+    """>64-year spans use the civil-calendar kernel — same answers."""
+    rng = np.random.default_rng(6)
+    secs = rng.integers(-2_000_000_000, 4_000_000_000, 4000)  # ~1906-2096
+    from hdk_tpu import types as tt
+
+    ht = hdk.import_pydict(
+        {"ts": secs}, name="ybw_t",
+        schema={"ts": tt.timestamp(tt.TimeUnit.SECOND, False)})
+    got = ht.proj(y=ht["ts"].extract("year")).run().to_pandas()["y"]
+    exp = pd.to_datetime(pd.Series(secs), unit="s").dt.year
+    np.testing.assert_array_equal(got.to_numpy(), exp.to_numpy())

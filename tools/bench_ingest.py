@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Ingest/compute-overlap benchmark (SURVEY §2.7 P3; VERDICT r3 #9).
+
+Measures wall time of (import_csv + first query) with the ingest
+pipeline ON (storage.prefetch_device: per-column device transfer issued
+while the next column decodes, fragment stats warmed in the background)
+vs OFF (sequential: decode everything, then the first query pays
+transfer + stats).  Fresh subprocess per mode per repetition (tunnel
+sessions degrade; CRITICAL measurement facts in NOTES.md).
+
+Writes BENCH_INGEST.json.  Reference analog: ColumnFetcher overlaps
+per-fragment fetch with kernel execution (ColumnFetcher.h:42-90,
+TBB kernel pool Execute.cpp:2753).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROWS = int(os.environ.get("INGEST_ROWS", "10000000"))
+REPS = int(os.environ.get("INGEST_REPS", "3"))
+
+
+def make_csv(path: str, rows: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    rng = np.random.default_rng(31)
+    at = pa.table({
+        "cab": rng.integers(0, 2, rows).astype(np.int8),
+        "passengers": rng.integers(0, 9, rows).astype(np.int8),
+        "amount": rng.gamma(2.0, 8.0, rows).astype(np.float32),
+        "distance": rng.gamma(1.5, 2.5, rows).astype(np.float32),
+        "pickup": np.int64(1356998400) + rng.integers(0, 4 * 365 * 86400,
+                                                      rows),
+        "vendor": np.asarray(["ACME", "BETA", "GAMMA", "DELTA"])[
+            rng.integers(0, 4, rows)],
+    })
+    pacsv.write_csv(at, path)
+
+
+def run_one(csv_path: str, prefetch: bool) -> None:
+    import hdk_tpu
+
+    t0 = time.perf_counter()
+    hdk = hdk_tpu.HDK(**{"storage.prefetch_device": prefetch})
+    t = hdk.import_csv(csv_path, name="ing_t")
+    res = t.agg(["cab", "vendor"], "count", "sum(amount)",
+                "min(distance)", "max(pickup)").run()
+    res.to_pandas()  # full materialization = the only honest sync
+    secs = time.perf_counter() - t0
+    print(json.dumps({"prefetch": prefetch, "seconds": secs}))
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        run_one(sys.argv[i + 1], sys.argv[i + 2] == "on")
+        return
+    d = tempfile.mkdtemp(prefix="hdk_ingest_")
+    csv_path = os.path.join(d, "ingest.csv")
+    make_csv(csv_path, ROWS)
+    out = {"rows": ROWS, "on": [], "off": []}
+    for _ in range(REPS):
+        for mode in ("on", "off"):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 csv_path, mode],
+                capture_output=True, text=True, timeout=1800)
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")]
+            if lines:
+                out[mode].append(json.loads(lines[-1])["seconds"])
+            else:
+                print(f"mode={mode} FAILED: {proc.stdout[-500:]}"
+                      f"{proc.stderr[-500:]}", file=sys.stderr)
+    os.remove(csv_path)
+    if out["on"] and out["off"]:
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        out["median_on_s"] = med(out["on"])
+        out["median_off_s"] = med(out["off"])
+        out["speedup_import_plus_first_query"] = round(
+            out["median_off_s"] / out["median_on_s"], 3)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_INGEST.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
