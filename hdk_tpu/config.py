@@ -95,6 +95,16 @@ class ExecConfig:
     streaming_topn_max: int = 100000
     # (parallel_top_min dissolved: CPU-thread top-k tiling has no TPU
     # analog — lax.top_k is a single fused device op)
+    # eager aggregation (Yan/Larson): push a decomposable group-by below
+    # an INNER join when its probe-side keys cover the join keys — the
+    # pre-aggregate replaces the probe-side random-gather join traffic
+    # with a bounded-key dense reduction (optimizer.py
+    # push_aggregation_below_join; reference analog: the join/agg
+    # orderings RelAlgDag coalescing preserves are re-derived here as a
+    # cost-gated rewrite)
+    enable_eager_aggregation: bool = True
+    eager_agg_min_rows: int = 1 << 23  # est probe rows below: skip
+    eager_agg_min_ratio: float = 2.0  # est probe/build ratio below: skip
     watchdog: WatchdogConfig = field(default_factory=WatchdogConfig)
     group_by: GroupByConfig = field(default_factory=GroupByConfig)
     join: JoinConfig = field(default_factory=JoinConfig)

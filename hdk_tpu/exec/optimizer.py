@@ -794,6 +794,206 @@ def rewrite_in_values(dag: nd.QueryDag) -> nd.QueryDag:
     return _transform(dag, visit)
 
 
+# ---------------------------------------------------------------------------
+# eager aggregation (group-by pushdown below a join)
+# ---------------------------------------------------------------------------
+
+# kinds that decompose into partial-agg + combine through a duplicating
+# join: the INNER join replicates each partial row once per matching
+# build row, and SUM/COUNT re-add (MIN/MAX re-take) those replicas with
+# exactly the multiplicity the original row-level aggregate saw
+_EAGER_COMBINE = {
+    ir.AggKind.COUNT: ir.AggKind.SUM,
+    ir.AggKind.SUM: ir.AggKind.SUM,
+    ir.AggKind.MIN: ir.AggKind.MIN,
+    ir.AggKind.MAX: ir.AggKind.MAX,
+}
+
+
+def _subst_project(e: ir.Expr, p: nd.Project) -> ir.Expr:
+    if isinstance(e, ir.ColumnRef) and e.node is p:
+        return p.exprs[e.index]
+    ops = [_subst_project(o, p) for o in e.operands()]
+    return e.rebuild(*ops) if ops else e
+
+
+def _rebase_to(e: ir.Expr, old_node: nd.Node, new_node: nd.Node,
+               shift: int = 0) -> ir.Expr:
+    if isinstance(e, ir.ColumnRef) and e.node is old_node:
+        return ir.ColumnRef(e.type, new_node, e.index + shift)
+    ops = [_rebase_to(o, old_node, new_node, shift) for o in e.operands()]
+    return e.rebuild(*ops) if ops else e
+
+
+def push_aggregation_below_join(dag: nd.QueryDag,
+                                config: Config) -> nd.QueryDag:
+    """Eager aggregation (Yan & Larson's eager group-by, VLDB'95): for
+
+        Aggregate(keys=K, aggs=A, Project* (Join[inner](L, R)))
+
+    where every agg in A is decomposable (COUNT/SUM/MIN/MAX, non-
+    distinct) and references only L, rewrite to
+
+        Aggregate(K', combine(A), Join[inner](Aggregate(L, JK∪K_L, A'), R))
+
+    — the pre-aggregate runs on L at join-key granularity, the join
+    replicates partial rows per matching R row, and the outer combine
+    (SUM of partial COUNT/SUM, MIN/MAX of partial MIN/MAX) restores the
+    original multiplicities exactly, so the rewrite is correct for ANY
+    R-side duplication.  Cost-gated: fires when the probe side is large
+    (exec.eager_agg_min_rows) and dominates the build side
+    (eager_agg_min_ratio) — then the probe-side random-gather join
+    traffic (the dominant cost of filtered FK joins, e.g. TPC-H Q3's
+    60M-row lineitem probe) collapses to a bounded-key dense reduction.
+
+    Reference analog: the reference keeps aggregates above joins and
+    makes the join fast with perfect hash tables
+    (PerfectJoinHashTable.h:54); on TPU the probe is an HBM random
+    gather (~1.3 s/1e8 rows) while a dense bounded-key reduction is
+    scatter/sort-shaped, so the TPU-native plan inverts the order.
+    """
+    cfg = config.exec
+    if not cfg.enable_eager_aggregation:
+        return dag
+    from .codecache import expr_sig
+    from .cost import estimate_rows
+
+    consumers: Dict[int, int] = {}
+    for node in dag.topo_order():
+        for i in node.inputs:
+            consumers[i.id] = consumers.get(i.id, 0) + 1
+
+    def visit(old: nd.Node, cur: nd.Node) -> Optional[nd.Node]:
+        if not isinstance(cur, nd.Aggregate) or not cur.keys:
+            return None
+        if any(a.distinct or a.kind not in _EAGER_COMBINE
+               for a in cur.aggs):
+            return None
+        # descend through exclusively-consumed Projects to an INNER join
+        chain: List[nd.Project] = []
+        o, c = old.inputs[0], cur.inputs[0]
+        while (isinstance(c, nd.Project)
+               and consumers.get(o.id, 0) == 1):
+            chain.append(c)
+            o, c = o.inputs[0], c.inputs[0]
+        if (not isinstance(c, nd.Join)
+                or c.join_type != nd.JoinType.INNER
+                or c.residual is not None or not c.key_pairs
+                or consumers.get(o.id, 0) != 1):
+            return None
+        join: nd.Join = c
+        lhs_node, rhs_node = join.inputs
+        nl = len(lhs_node.fields)
+
+        # compose aggregate exprs through the Project chain down to the
+        # join's output columns
+        def compose(e: ir.Expr) -> ir.Expr:
+            for p in chain:
+                e = _subst_project(e, p)
+            return e
+
+        keys = [compose(k) for k in cur.keys]
+        aggs = [a.rebuild(*(compose(op) for op in a.operands()))
+                for a in cur.aggs]
+        if any(_contains_window(e) for e in keys + list(aggs)):
+            return None
+
+        def side_of(e: ir.Expr) -> str:
+            refs = _collect_refs(e)
+            if not refs:
+                return "C"  # constant key: passes through either side
+            if any(r.node is not join for r in refs):
+                return "X"
+            sides = {"L" if r.index < nl else "R" for r in refs}
+            return sides.pop() if len(sides) == 1 else "X"
+
+        key_sides = [side_of(k) for k in keys]
+        if any(s == "X" for s in key_sides):
+            return None
+        for a in aggs:
+            if any(side_of(op) != "L" for op in a.operands()):
+                return None  # agg over R (or mixed): not decomposable here
+
+        # cost gate: the pre-aggregate pays one pass over L; it wins
+        # when L dominates (probe-side traffic is the join's cost)
+        est_l = estimate_rows(lhs_node)
+        if (est_l < cfg.eager_agg_min_rows
+                or est_l < cfg.eager_agg_min_ratio
+                * max(estimate_rows(rhs_node), 1.0)):
+            return None
+
+        def rebase_l(e: ir.Expr) -> ir.Expr:
+            return _rebase_to(e, join, lhs_node)
+
+        # pre-aggregate keys: the join keys (required granularity: the
+        # join must still see every distinct key value) plus any extra
+        # L-side group keys (finer granularity, still correct)
+        sig_ids = {lhs_node.id: "L"}
+        pre_keys: List[ir.Expr] = [lk for lk, _ in join.key_pairs]
+        pre_sigs = [expr_sig(k, sig_ids) for k in pre_keys]
+        key_slot: Dict[int, int] = {}  # original key idx -> pre_keys idx
+        for i, (k, s) in enumerate(zip(keys, key_sides)):
+            if s != "L":
+                continue
+            rk = rebase_l(k)
+            ks = expr_sig(rk, sig_ids)
+            if ks in pre_sigs:
+                key_slot[i] = pre_sigs.index(ks)
+            else:
+                key_slot[i] = len(pre_keys)
+                pre_keys.append(rk)
+                pre_sigs.append(ks)
+        pre_aggs = [
+            ir.AggExpr(a.type, a.kind,
+                       rebase_l(a.operand) if a.operand is not None
+                       else None)
+            for a in aggs
+        ]
+        npk = len(pre_keys)
+        pre_fields = [f"__pk{i}" for i in range(npk)] + [
+            f"__pa{j}" for j in range(len(pre_aggs))]
+        preagg = nd.Aggregate(lhs_node, pre_keys, pre_aggs, pre_fields)
+
+        new_pairs = [
+            (ir.ColumnRef(preagg.output_types[i], preagg, i), rk)
+            for i, (_, rk) in enumerate(join.key_pairs)
+        ]
+        newjoin = nd.Join(preagg, rhs_node, new_pairs, nd.JoinType.INNER)
+        npre = len(pre_fields)
+
+        new_keys: List[ir.Expr] = []
+        for i, (k, s) in enumerate(zip(keys, key_sides)):
+            if s == "L":
+                p = key_slot[i]
+                new_keys.append(
+                    ir.ColumnRef(newjoin.output_types[p], newjoin, p))
+            elif s == "R":
+                new_keys.append(
+                    _rebase_to(_rebase_to(k, join, rhs_node, -nl),
+                               rhs_node, newjoin, npre))
+            else:  # constant
+                new_keys.append(k)
+        # partial-agg column j sits at join output slot npk+j; its type
+        # is the pre-agg output type there
+        new_aggs = [
+            ir.AggExpr(a.type, _EAGER_COMBINE[a.kind],
+                       ir.ColumnRef(newjoin.output_types[npk + j],
+                                    newjoin, npk + j))
+            for j, a in enumerate(aggs)
+        ]
+        return nd.Aggregate(newjoin, new_keys, new_aggs, cur.fields)
+
+    mapping: Dict[int, nd.Node] = {}
+    for node in dag.topo_order():
+        new_inputs = [mapping[i.id] for i in node.inputs]
+        changed = any(ni is not oi
+                      for ni, oi in zip(new_inputs, node.inputs))
+        cur = _rebuild_node(node, new_inputs, mapping) if changed else node
+        repl = visit(node, cur)
+        mapping[node.id] = repl if repl is not None else cur
+    return nd.QueryDag(mapping[dag.root.id])
+
+
 def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = eliminate_identity_projections(dag)
     dag = fold_filters(dag)
@@ -801,4 +1001,5 @@ def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = push_down_filters(dag)
     dag = reorder_join_chains(dag)
     dag = reorder_join_inputs(dag)
+    dag = push_aggregation_below_join(dag, config)
     return dag

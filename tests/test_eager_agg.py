@@ -1,0 +1,200 @@
+"""Eager aggregation (push group-by below INNER join): plan shape +
+pandas-differential correctness, including R-side duplicate join keys
+(the correctness-critical case: the join replicates partial rows and
+the combine aggregate must restore the original multiplicities).
+
+Reference semantics target: aggregates over joins in
+omniscidb/Tests/ArrowBasedExecuteTest.cpp (GROUP BY over JOIN blocks);
+the rewrite itself is the TPU-native plan inversion documented at
+optimizer.push_aggregation_below_join.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hdk_tpu
+from harness import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def hdk():
+    h = hdk_tpu.HDK()
+    # fire on tiny test tables
+    h.config.exec.eager_agg_min_rows = 64
+    h.config.exec.eager_agg_min_ratio = 1.0
+    return h
+
+
+@pytest.fixture(scope="module")
+def data(hdk):
+    rng = np.random.default_rng(71)
+    n_l, n_r = 4000, 64
+    lhs = {
+        "fk": rng.integers(0, n_r, n_l),
+        "val": rng.normal(size=n_l),
+        "qty": rng.integers(1, 10, n_l),
+        "extra": rng.integers(0, 5, n_l),
+    }
+    rhs = {
+        "pk": rng.permutation(n_r),
+        "cat": rng.integers(0, 4, n_r).astype(np.int8),
+        "w": rng.normal(size=n_r),
+    }
+    hdk.import_pydict(lhs, name="ea_l")
+    hdk.import_pydict(rhs, name="ea_r")
+    # duplicate-key build side: every pk appears twice with different cat
+    dup = {
+        "pk": np.concatenate([rhs["pk"], rhs["pk"]]),
+        "cat": np.concatenate([rhs["cat"], rhs["cat"] + 10]).astype(np.int8),
+    }
+    hdk.import_pydict(dup, name="ea_rdup")
+    return (pd.DataFrame(lhs), pd.DataFrame(rhs), pd.DataFrame(dup))
+
+
+def _plan_has_agg_below_join(plan: str) -> bool:
+    ji = plan.index("Join[inner]")
+    return "Aggregate" in plan[ji:]
+
+
+def test_rewrite_fires_and_matches_pandas(hdk, data):
+    ldf, rdf, _ = data
+    l = hdk.scan("ea_l")
+    r = hdk.scan("ea_r")
+    q = l.join(r, "fk", "pk").agg(["fk", "cat"], "count", "sum(val)",
+                                  "min(qty)", "max(qty)")
+    plan = hdk.explain(q)
+    assert _plan_has_agg_below_join(plan), plan
+    res = q.run().to_pandas().sort_values(["fk", "cat"]).reset_index(
+        drop=True)
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby(["fk", "cat"], as_index=False).agg(
+        count=("val", "size"), sum_val=("val", "sum"),
+        min_qty=("qty", "min"), max_qty=("qty", "max"))
+    exp = exp.sort_values(["fk", "cat"]).reset_index(drop=True)
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("sum_val",))
+
+
+def test_duplicate_build_keys_multiplicity(hdk, data):
+    """Partial sums replicate once per duplicate build row; the combine
+    SUM must count each replica exactly once per matching group."""
+    ldf, _, ddf = data
+    l = hdk.scan("ea_l")
+    d = hdk.scan("ea_rdup")
+    q = l.join(d, "fk", "pk").agg(["cat"], "count", "sum(val)")
+    plan = hdk.explain(q)
+    assert _plan_has_agg_below_join(plan), plan
+    res = q.run().to_pandas().sort_values("cat").reset_index(drop=True)
+    m = ldf.merge(ddf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(
+        count=("val", "size"), sum_val=("val", "sum"))
+    exp = exp.sort_values("cat").reset_index(drop=True)
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("sum_val",))
+
+
+def test_group_by_rhs_key_only(hdk, data):
+    """No L-side group key at all: pre-agg at join-key granularity,
+    final agg purely on build-side columns."""
+    ldf, rdf, _ = data
+    l = hdk.scan("ea_l")
+    r = hdk.scan("ea_r")
+    q = l.join(r, "fk", "pk").agg(["cat"], "sum(qty)", "max(val)")
+    assert _plan_has_agg_below_join(hdk.explain(q))
+    res = q.run().to_pandas().sort_values("cat").reset_index(drop=True)
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(
+        sum_qty=("qty", "sum"), max_val=("val", "max"))
+    exp = exp.sort_values("cat").reset_index(drop=True)
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("max_val",))
+
+
+def test_extra_lhs_group_key(hdk, data):
+    """An L-side group key beyond the join key widens the pre-agg
+    granularity but stays correct."""
+    ldf, rdf, _ = data
+    l = hdk.scan("ea_l")
+    r = hdk.scan("ea_r")
+    q = l.join(r, "fk", "pk").agg(["extra", "cat"], "count", "sum(val)")
+    assert _plan_has_agg_below_join(hdk.explain(q))
+    res = q.run().to_pandas().sort_values(["extra", "cat"]).reset_index(
+        drop=True)
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby(["extra", "cat"], as_index=False).agg(
+        count=("val", "size"), sum_val=("val", "sum"))
+    exp = exp.sort_values(["extra", "cat"]).reset_index(drop=True)
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("sum_val",))
+
+
+def test_no_rewrite_for_agg_over_rhs_column(hdk, data):
+    """SUM over a build-side column is not decomposable through the
+    pre-aggregate: the plan must stay agg-above-join."""
+    l = hdk.scan("ea_l")
+    r = hdk.scan("ea_r")
+    q = l.join(r, "fk", "pk").agg(["fk"], "sum(w)")
+    plan = hdk.explain(q)
+    ji = plan.index("Join[inner]")
+    assert "Aggregate" not in plan[ji:], plan
+    # correctness unchanged
+    ldf, rdf, _ = data
+    res = q.run().to_pandas().sort_values("fk").reset_index(drop=True)
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby("fk", as_index=False).agg(sum_w=("w", "sum"))
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp.sort_values("fk").reset_index(drop=True),
+                        approx_cols=("sum_w",))
+
+
+def test_no_rewrite_for_distinct(hdk, data):
+    l = hdk.scan("ea_l")
+    r = hdk.scan("ea_r")
+    j = l.join(r, "fk", "pk")
+    q = j.agg(["cat"], j["qty"].count(distinct=True).name("nd"))
+    plan = hdk.explain(q)
+    ji = plan.index("Join[inner]")
+    assert "Aggregate" not in plan[ji:], plan
+
+
+def test_disabled_by_config(data):
+    h2 = hdk_tpu.HDK()
+    h2.config.exec.enable_eager_aggregation = False
+    h2.config.exec.eager_agg_min_rows = 64
+    ldf = data[0]
+    h2.import_pydict({k: np.asarray(v) for k, v in ldf.items()},
+                     name="ea_l2")
+    h2.import_pydict({"pk": np.arange(64), "cat": np.arange(64) % 4},
+                     name="ea_r2")
+    l = h2.scan("ea_l2")
+    r = h2.scan("ea_r2")
+    q = l.join(r, "fk", "pk").agg(["cat"], "count")
+    plan = h2.explain(q)
+    ji = plan.index("Join[inner]")
+    assert "Aggregate" not in plan[ji:], plan
+
+
+def test_sql_q3_shape_with_nulls(hdk):
+    """Q3-shaped SQL over data with NULL join keys and NULL agg values:
+    NULL keys never join; NULL operands don't contribute to SUM."""
+    rng = np.random.default_rng(99)
+    n_l, n_r = 2000, 50
+    fk = rng.integers(0, n_r, n_l).astype(np.float64)
+    fk[rng.random(n_l) < 0.1] = np.nan
+    val = rng.normal(size=n_l)
+    val[rng.random(n_l) < 0.1] = np.nan
+    hdk.import_pandas(pd.DataFrame({"fk": fk, "val": val}), name="ea_ln")
+    hdk.import_pydict({"pk": np.arange(n_r, dtype=np.float64),
+                       "cat": np.arange(n_r) % 3}, name="ea_rn")
+    res = hdk.sql(
+        "SELECT cat, COUNT(*) AS c, SUM(val) AS s FROM ea_ln, ea_rn "
+        "WHERE fk = pk GROUP BY cat ORDER BY cat").to_pandas()
+    ldf = pd.DataFrame({"fk": fk, "val": val})
+    rdf = pd.DataFrame({"pk": np.arange(n_r, dtype=np.float64),
+                        "cat": np.arange(n_r) % 3})
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(c=("fk", "size"),
+                                               s=("val", "sum"))
+    assert_frames_match(res, exp.sort_values("cat").reset_index(drop=True),
+                        approx_cols=("s",))
