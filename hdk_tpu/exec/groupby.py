@@ -1139,8 +1139,6 @@ def groupby_sort(
     pay = so.PayloadSet()
     perm_slot = (None if fast
                  else pay.add(jax.lax.iota(jnp.int32, nrows)))
-    rv_slot = (pay.add(row_valid)
-               if composite is not None and row_valid is not None else None)
     spec_slots = []
     for spec in specs:
         slots = []
@@ -1155,7 +1153,11 @@ def groupby_sort(
 
     if composite is not None:
         boundary = so.changed(sorted_keys[0])
-        valid_sorted = sorted_pay[rv_slot] if rv_slot is not None else None
+        # dead rows carry the key sentinel (strictly above any packed
+        # composite), so validity is derivable from the sorted key — no
+        # row_valid payload lane rides the sort
+        valid_sorted = ((sorted_keys[0] != sentinel)
+                        if row_valid is not None else None)
     else:
         boundary = jnp.zeros((nrows,), jnp.bool_).at[0].set(True)
         for sk in sorted_keys:

@@ -866,7 +866,8 @@ def push_aggregation_below_join(dag: nd.QueryDag,
     def visit(old: nd.Node, cur: nd.Node) -> Optional[nd.Node]:
         if not isinstance(cur, nd.Aggregate) or not cur.keys:
             return None
-        if any(a.distinct or a.kind not in _EAGER_COMBINE
+        if any(a.distinct or (a.kind not in _EAGER_COMBINE
+                              and a.kind != ir.AggKind.AVG)
                for a in cur.aggs):
             return None
         # descend through exclusively-consumed Projects to an INNER join
@@ -943,12 +944,24 @@ def push_aggregation_below_join(dag: nd.QueryDag,
                 key_slot[i] = len(pre_keys)
                 pre_keys.append(rk)
                 pre_sigs.append(ks)
-        pre_aggs = [
-            ir.AggExpr(a.type, a.kind,
-                       rebase_l(a.operand) if a.operand is not None
-                       else None)
-            for a in aggs
-        ]
+        # AVG decomposes as SUM/COUNT partials + a restoring division
+        # above the combine aggregate (reference: the same split the
+        # reference's shared-mem AVG reduction does, TargetExprBuilder
+        # AVG = agg_sum/agg_count pair)
+        pre_aggs: List[ir.AggExpr] = []
+        agg_plan: List[tuple] = []  # per orig agg: ("d", slot)|("avg", s, c)
+        for a in aggs:
+            if a.kind == ir.AggKind.AVG:
+                agg_plan.append(("avg", len(pre_aggs), len(pre_aggs) + 1))
+                pre_aggs.append(ir.AggExpr(a.type, ir.AggKind.SUM,
+                                           rebase_l(a.operand)))
+                pre_aggs.append(ir.AggExpr(t.int64(False), ir.AggKind.COUNT,
+                                           rebase_l(a.operand)))
+            else:
+                agg_plan.append(("d", len(pre_aggs)))
+                pre_aggs.append(ir.AggExpr(
+                    a.type, a.kind,
+                    rebase_l(a.operand) if a.operand is not None else None))
         npk = len(pre_keys)
         pre_fields = [f"__pk{i}" for i in range(npk)] + [
             f"__pa{j}" for j in range(len(pre_aggs))]
@@ -975,13 +988,46 @@ def push_aggregation_below_join(dag: nd.QueryDag,
                 new_keys.append(k)
         # partial-agg column j sits at join output slot npk+j; its type
         # is the pre-agg output type there
-        new_aggs = [
-            ir.AggExpr(a.type, _EAGER_COMBINE[a.kind],
-                       ir.ColumnRef(newjoin.output_types[npk + j],
-                                    newjoin, npk + j))
-            for j, a in enumerate(aggs)
-        ]
-        return nd.Aggregate(newjoin, new_keys, new_aggs, cur.fields)
+        def pref(j: int) -> ir.ColumnRef:
+            return ir.ColumnRef(newjoin.output_types[npk + j], newjoin,
+                                npk + j)
+
+        new_aggs: List[ir.AggExpr] = []
+        out_plan: List[tuple] = []  # ("d", combined idx)|("avg", s, c)
+        for plan, a in zip(agg_plan, aggs):
+            if plan[0] == "d":
+                out_plan.append(("d", len(new_aggs)))
+                new_aggs.append(ir.AggExpr(a.type, _EAGER_COMBINE[a.kind],
+                                           pref(plan[1])))
+            else:
+                out_plan.append(("avg", len(new_aggs), len(new_aggs) + 1))
+                new_aggs.append(ir.AggExpr(a.type, ir.AggKind.SUM,
+                                           pref(plan[1])))
+                new_aggs.append(ir.AggExpr(t.int64(False), ir.AggKind.SUM,
+                                           pref(plan[2])))
+        if all(p[0] == "d" for p in out_plan):
+            return nd.Aggregate(newjoin, new_keys, new_aggs, cur.fields)
+        # AVG present: combine aggregate + a Project computing s/c (the
+        # all-NULL-operand group yields a NULL partial sum, so the NULL
+        # mask propagates through the division exactly like row-level AVG)
+        nk = len(new_keys)
+        fa_fields = list(cur.fields[:nk]) + [
+            f"__fa{j}" for j in range(len(new_aggs))]
+        final = nd.Aggregate(newjoin, new_keys, new_aggs, fa_fields)
+        exprs: List[ir.Expr] = [
+            ir.ColumnRef(final.output_types[i], final, i) for i in range(nk)]
+        for plan, a in zip(out_plan, aggs):
+            if plan[0] == "d":
+                i = nk + plan[1]
+                exprs.append(ir.ColumnRef(final.output_types[i], final, i))
+            else:
+                s_ref = ir.ColumnRef(final.output_types[nk + plan[1]],
+                                     final, nk + plan[1])
+                c_ref = ir.ColumnRef(final.output_types[nk + plan[2]],
+                                     final, nk + plan[2])
+                exprs.append(ir.BinOp(a.type, ir.BinOpKind.DIV, s_ref,
+                                      c_ref))
+        return nd.Project(final, exprs, cur.fields)
 
     mapping: Dict[int, nd.Node] = {}
     for node in dag.topo_order():

@@ -198,3 +198,42 @@ def test_sql_q3_shape_with_nulls(hdk):
                                                s=("val", "sum"))
     assert_frames_match(res, exp.sort_values("cat").reset_index(drop=True),
                         approx_cols=("s",))
+
+
+def test_avg_decomposition(hdk, data):
+    """AVG decomposes into SUM/COUNT partials + a restoring division;
+    must match row-level AVG including NULL operands and duplicate
+    build keys."""
+    ldf, _, ddf = data
+    l = hdk.scan("ea_l")
+    d = hdk.scan("ea_rdup")
+    q = l.join(d, "fk", "pk").agg(["cat"], "avg(val)", "count",
+                                  "avg(qty)")
+    assert _plan_has_agg_below_join(hdk.explain(q))
+    res = q.run().to_pandas().sort_values("cat").reset_index(drop=True)
+    m = ldf.merge(ddf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(
+        avg_val=("val", "mean"), count=("val", "size"),
+        avg_qty=("qty", "mean"))
+    exp = exp.sort_values("cat").reset_index(drop=True)
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("avg_val", "avg_qty"))
+
+
+def test_avg_with_nulls(hdk):
+    rng = np.random.default_rng(123)
+    n_l, n_r = 3000, 40
+    val = rng.normal(size=n_l)
+    val[rng.random(n_l) < 0.15] = np.nan
+    ldf = pd.DataFrame({"fk": rng.integers(0, n_r, n_l), "val": val})
+    hdk.import_pandas(ldf, name="ea_lavg")
+    rdf = pd.DataFrame({"pk": np.arange(n_r), "cat": np.arange(n_r) % 5})
+    hdk.import_pydict({"pk": rdf.pk.to_numpy(), "cat": rdf.cat.to_numpy()},
+                      name="ea_ravg")
+    res = hdk.sql(
+        "SELECT cat, AVG(val) AS a FROM ea_lavg, ea_ravg "
+        "WHERE fk = pk GROUP BY cat ORDER BY cat").to_pandas()
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(a=("val", "mean"))
+    assert_frames_match(res, exp.sort_values("cat").reset_index(drop=True),
+                        approx_cols=("a",))

@@ -103,10 +103,12 @@ def test_spread_nullable_column(hdk, rng):
 
 def test_f64_column_falls_back(hdk, rng):
     """f64 has no TPU-safe bit representation: the route must decline
-    (value-table gather fallback), and results stay exact."""
+    (value-table gather fallback), and results stay exact — and the
+    demotion must be VISIBLE (route tag + log note; VERDICT r3 weak #8:
+    pandas-default f64 silently losing the spread route)."""
     lhs, rhs = _fk_frames(rng, w=rng.normal(size=64))  # float64
     res = _join_agg(hdk, lhs, rhs, ["sum(w)", "count"])
-    assert hdk._executor._join_route != "spread"
+    assert hdk._executor._join_route == "perfect(spread-demoted:f64)"
     exp = lhs.merge(rhs, on="k")
     assert res["count"].iloc[0] == len(exp)
     assert np.isclose(res["w_sum"].iloc[0], exp["w"].sum(), rtol=1e-9)
