@@ -41,6 +41,10 @@ class GroupByConfig:
     # as-mini-query, CardinalityEstimator.h:59): strided host sample +
     # Chao84 lower-bound; 0 disables (caps fall back to default_max_groups)
     ndv_sample_size: int = 1 << 16
+    # below this many input rows skip sampling: a cap==nrows buffer is
+    # harmless there, while the sample's device->host pull breaks warm
+    # pipelining (measured ~0.1 s/query over the dev tunnel)
+    ndv_sample_min_rows: int = 1 << 23
     # mergeable-sketch sizing (reference: HyperLogLog.h hll_size /
     # CountDistinctDescriptor approx precision; approx_quantile.h TDigest)
     hll_precision: int = 11  # registers per group = 2^p (error ~1.04/sqrt(m))

@@ -53,9 +53,10 @@ class AggExecMixin:
         # layout choice from static ranges (no device sync); if stats
         # can't bound a key, probe min/max on device — one tiny kernel +
         # sync (reference: ExpressionRange falls back to runtime metadata)
-        layout = self._static_perfect_layout(node)
-        key_ranges = None
-        if layout is None:
+        layout, key_ranges = self._static_perfect_layout(node,
+                                                         with_ranges=True)
+        static_stats = layout is not None or key_ranges is not None
+        if not static_stats:
             layout, key_ranges = self._dynamic_perfect_layout(
                 node, source, chain, src_node)
         cap = min(source.nrows,
@@ -69,9 +70,15 @@ class AggExecMixin:
                     break
             cap = min(cap, max(prod, 1))
         self._ndv_estimate = None
-        if layout is None and cap > (1 << 20):
+        if (layout is None
+                and cap > (1 << 20)
+                and source.nrows
+                >= self.config.exec.group_by.ndv_sample_min_rows):
             # unbounded (or loosely bounded) keys: size the buffer from
-            # the sampling estimator; 3x slack makes widen-retries rare
+            # the sampling estimator; 3x slack makes widen-retries rare.
+            # Small inputs skip it: a cap == nrows buffer is harmless
+            # there, while the sample's device->host pull breaks warm
+            # pipelining (~0.1 s/query over the dev tunnel)
             est = self._estimate_ndv_sample(node, source, chain, src_node)
             if est is not None:
                 self._ndv_estimate = est
@@ -87,7 +94,7 @@ class AggExecMixin:
         # fragment-streamed execution for over-budget scans (static
         # perfect layouts only: a dynamic range probe would itself
         # materialize the whole column on device)
-        if layout is not None and key_ranges is None:
+        if layout is not None and static_stats:
             plan = self._fragment_stream_plan(node, source, chain,
                                               src_node, used)
             if plan is not None:
@@ -233,9 +240,9 @@ class AggExecMixin:
             node.inputs[0], results)
         if source.nrows == 0:
             return None
-        layout = self._static_perfect_layout(node)
-        key_ranges = None
-        if layout is None:
+        layout, key_ranges = self._static_perfect_layout(node,
+                                                         with_ranges=True)
+        if layout is None and key_ranges is None:
             layout, key_ranges = self._dynamic_perfect_layout(
                 node, source, chain, src_node)
         cap = min(source.nrows,
@@ -249,7 +256,10 @@ class AggExecMixin:
                     break
             cap = min(cap, max(prod, 1))
         self._ndv_estimate = None
-        if layout is None and cap > (1 << 20):
+        if (layout is None
+                and cap > (1 << 20)
+                and source.nrows
+                >= self.config.exec.group_by.ndv_sample_min_rows):
             est = self._estimate_ndv_sample(node, source, chain, src_node)
             if est is not None:
                 self._ndv_estimate = est
@@ -666,7 +676,13 @@ class AggExecMixin:
             return "interpret"
         return "real" if jax.default_backend() != "cpu" else None
 
-    def _static_perfect_layout(self, node: nd.Aggregate):
+    def _static_perfect_layout(self, node: nd.Aggregate,
+                               with_ranges: bool = False):
+        """``with_ranges=True`` also returns the static key ranges when
+        every key is statically bounded — a layout rejected for SIZE
+        (e.g. a 15M-entry FK key) still hands groupby_sort the ranges it
+        needs for composite packing, skipping the per-execution device
+        min/max probe + host sync the dynamic path pays."""
         ranges = []
         for k in node.keys:
             ok = (k.type.is_integer() or k.type.is_boolean()
@@ -674,14 +690,20 @@ class AggExecMixin:
                   or (k.type.is_date()
                       and k.type.unit == t.TimeUnit.DAY))  # type: ignore[attr-defined]
             if not ok:
-                return None
+                return (None, None) if with_ranges else None
             r = rng.infer_range(k)
             if r is None:
-                return None
+                return (None, None) if with_ranges else None
             ranges.append(r)
-        return gb.choose_perfect_layout(
+        layout = gb.choose_perfect_layout(
             [k.type for k in node.keys], ranges,
             self.config.exec.group_by.perfect_hash_entries_limit)
+        if with_ranges:
+            if any(lo is None or hi is None for lo, hi, _ in ranges):
+                return layout, None
+            return layout, tuple((int(lo), int(hi), bool(nul))
+                                 for lo, hi, nul in ranges)
+        return layout
 
     def _dynamic_perfect_layout(self, node: nd.Aggregate, source: ExecTable,
                                 chain, src_node):

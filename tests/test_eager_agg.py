@@ -237,3 +237,33 @@ def test_avg_with_nulls(hdk):
     exp = m.groupby("cat", as_index=False).agg(a=("val", "mean"))
     assert_frames_match(res, exp.sort_values("cat").reset_index(drop=True),
                         approx_cols=("a",))
+
+
+def test_eager_agg_in_dist_session():
+    """The rewritten plan (pre-agg below join) must execute correctly
+    over a sharded session: the pre-aggregate routes through the dist
+    aggregation paths and the join through the dist join router."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest as _pt
+        _pt.skip("needs multiple (virtual) devices")
+    rng = np.random.default_rng(7)
+    n_l, n_r = 4003, 64  # not divisible by 8: exercises pad+mask
+    ldf = pd.DataFrame({"fk": rng.integers(0, n_r, n_l),
+                        "val": rng.normal(size=n_l)})
+    rdf = pd.DataFrame({"pk": np.arange(n_r), "cat": np.arange(n_r) % 4})
+    h = hdk_tpu.HDK(**{"dist.enable": True})
+    h.config.exec.eager_agg_min_rows = 64
+    h.config.exec.eager_agg_min_ratio = 1.0
+    h.import_pandas(ldf, name="ea_dl")
+    h.import_pandas(rdf, name="ea_dr")
+    l, r = h.scan("ea_dl"), h.scan("ea_dr")
+    q = l.join(r, "fk", "pk").agg(["cat"], "count", "sum(val)", "avg(val)")
+    assert _plan_has_agg_below_join(h.explain(q))
+    res = q.run().to_pandas().sort_values("cat").reset_index(drop=True)
+    m = ldf.merge(rdf, left_on="fk", right_on="pk")
+    exp = m.groupby("cat", as_index=False).agg(
+        count=("val", "size"), sum_val=("val", "sum"),
+        avg_val=("val", "mean"))
+    res.columns = list(exp.columns)
+    assert_frames_match(res, exp, approx_cols=("sum_val", "avg_val"))

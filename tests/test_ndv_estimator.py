@@ -10,7 +10,26 @@ import hdk_tpu
 
 @pytest.fixture()
 def hdk():
-    return hdk_tpu.HDK()
+    # estimator-contract tests run below the production min-rows gate
+    # (the gate exists to spare small inputs the per-query sample pull;
+    # test_small_input_skips_sampling covers the gate itself)
+    return hdk_tpu.HDK(**{"exec.group_by.ndv_sample_min_rows": 1 << 20})
+
+
+def test_small_input_skips_sampling(rng):
+    """Below ndv_sample_min_rows no sample is pulled (cap == nrows is
+    harmless there and the host readback would break warm pipelining);
+    results and single-compile behavior are unchanged."""
+    h = hdk_tpu.HDK()  # default gate (1 << 23)
+    n = 1_200_000
+    ids = rng.integers(0, 30_000, n).astype(np.int64) * 48_271 + 11
+    t = h.import_pydict({"k": ids}, name="ndv_gate")
+    res = t.agg("k", "count").run().to_pandas()
+    ex = h._executor
+    assert ex._ndv_estimate is None
+    assert ex._ndv_sample_seconds == 0.0
+    assert ex._groupby_attempts == 1
+    assert res.shape[0] == len(np.unique(ids))
 
 
 def test_unbounded_key_sizes_from_estimate(hdk, rng):
