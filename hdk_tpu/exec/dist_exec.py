@@ -344,8 +344,33 @@ class DistExecMixin:
         keys, operands, rm = prep([source.columns[i] for i in used],
                                   source.row_mask)
 
+        ndev = self._mesh.devices.size
+        pad = (-nrows0) % ndev
+
         def build():
+            def padc(c):
+                # rows to a multiple of the mesh (tiny locally-
+                # materialized intermediates, e.g. an eager pre-agg
+                # output, aren't scan-padded); dead rows drop via rm
+                if c is None or pad == 0:
+                    return c
+                data = jnp.concatenate(
+                    [c.data, jnp.zeros((pad,) + c.data.shape[1:],
+                                       c.data.dtype)])
+                mask = (jnp.concatenate([c.mask,
+                                         jnp.zeros((pad,), jnp.bool_)])
+                        if c.mask is not None else None)
+                return MaskedCol(data, mask)
+
             def fn(keys_, operands_, rm_):
+                if pad:
+                    keys_ = [padc(k) for k in keys_]
+                    operands_ = [(padc(op), padc(op2))
+                                 for op, op2 in operands_]
+                    base = (jnp.ones((nrows0,), jnp.bool_)
+                            if rm_ is None else rm_)
+                    rm_ = jnp.concatenate(
+                        [base, jnp.zeros((pad,), jnp.bool_)])
                 specs = [
                     gb.AggSpec(a.kind, op, a.type, a.distinct, a.arg1,
                                a.interpolation, op2,

@@ -46,6 +46,8 @@ def make_csv(path: str, rows: int) -> None:
 
 
 def run_one(csv_path: str, prefetch: bool) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import hdk_tpu
 
     t0 = time.perf_counter()
