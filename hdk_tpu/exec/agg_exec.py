@@ -71,14 +71,15 @@ class AggExecMixin:
             cap = min(cap, max(prod, 1))
         self._ndv_estimate = None
         if (layout is None
-                and cap > (1 << 20)
+                and cap > max(1 << 20, source.nrows // 2)
                 and source.nrows
                 >= self.config.exec.group_by.ndv_sample_min_rows):
             # unbounded (or loosely bounded) keys: size the buffer from
             # the sampling estimator; 3x slack makes widen-retries rare.
-            # Small inputs skip it: a cap == nrows buffer is harmless
-            # there, while the sample's device->host pull breaks warm
-            # pipelining (~0.1 s/query over the dev tunnel)
+            # Small inputs skip it (cap == nrows is harmless there) and
+            # so do range-bounded keys whose product already halves the
+            # cap — the 3x-slack estimate can't beat a tight range bound
+            # but the sample pull costs a compile + host round-trip
             est = self._estimate_ndv_sample(node, source, chain, src_node)
             if est is not None:
                 self._ndv_estimate = est
@@ -257,7 +258,7 @@ class AggExecMixin:
             cap = min(cap, max(prod, 1))
         self._ndv_estimate = None
         if (layout is None
-                and cap > (1 << 20)
+                and cap > max(1 << 20, source.nrows // 2)
                 and source.nrows
                 >= self.config.exec.group_by.ndv_sample_min_rows):
             est = self._estimate_ndv_sample(node, source, chain, src_node)

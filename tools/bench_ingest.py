@@ -50,13 +50,22 @@ def run_one(csv_path: str, prefetch: bool) -> None:
         os.path.abspath(__file__))))
     import hdk_tpu
 
-    t0 = time.perf_counter()
     hdk = hdk_tpu.HDK(**{"storage.prefetch_device": prefetch})
-    t = hdk.import_csv(csv_path, name="ing_t")
-    res = t.agg(["cab", "vendor"], "count", "sum(amount)",
-                "min(distance)", "max(pickup)").run()
-    res.to_pandas()  # full materialization = the only honest sync
-    secs = time.perf_counter() - t0
+
+    def import_and_query(name: str) -> float:
+        t0 = time.perf_counter()
+        t = hdk.import_csv(csv_path, name=name)
+        res = t.agg(["cab", "vendor"], "count", "sum(amount)",
+                    "min(distance)", "max(pickup)").run()
+        res.to_pandas()  # full materialization = the only honest sync
+        return time.perf_counter() - t0
+
+    # warmup pass builds the jit programs (tunnel compiles are minutes
+    # and vary 30x run-to-run — they would swamp the decode/transfer
+    # overlap this benchmark exists to measure); the timed pass pays
+    # CSV decode + dict-encode + device transfer + execution only
+    import_and_query("ing_warm")
+    secs = import_and_query("ing_t")
     print(json.dumps({"prefetch": prefetch, "seconds": secs}))
 
 
