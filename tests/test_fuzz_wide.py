@@ -373,3 +373,86 @@ def test_fuzz_dist_distinct(distenv, seed):
     exp = sub.groupby("z")["k"].nunique().reset_index()
     exp.columns = list(got.columns)
     assert_frames_match(got, exp)
+
+
+# ---------------------------------------------------- eager aggregation
+@pytest.fixture(scope="module")
+def eenv():
+    """Session where the eager-agg rewrite fires on fuzz-sized tables;
+    an identical rewrite-disabled session is the second oracle (same
+    engine, agg-above-join plan) alongside pandas."""
+    rng = np.random.default_rng(777)
+    lhs = pd.DataFrame({
+        "fk": rng.integers(0, 30, N),
+        "v": np.round(rng.normal(0, 5, N), 4),
+        "q": rng.integers(-3, 12, N),
+        "g": rng.integers(0, 4, N),
+    })
+    lhs.loc[rng.random(N) < 0.08, "v"] = np.nan
+    rhs = pd.DataFrame({
+        "pk": np.concatenate([np.arange(30),
+                              rng.integers(0, 30, 14)]),  # dup tail
+        "cat": rng.integers(0, 5, 44),
+        "rw": np.round(rng.normal(1, 2, 44), 4),
+    })
+    on_ = hdk_tpu.HDK()
+    on_.config.exec.eager_agg_min_rows = 32
+    on_.config.exec.eager_agg_min_ratio = 1.0
+    off = hdk_tpu.HDK()
+    off.config.exec.enable_eager_aggregation = False
+    for h, suf in ((on_, "on"), (off, "off")):
+        h.import_pandas(lhs, name="fe_l")
+        h.import_pandas(rhs, name="fe_r")
+    return on_, off, lhs, rhs
+
+
+_EAGG = ["count", "sum(v)", "min(q)", "max(q)", "avg(v)", "sum(q)"]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_eager_agg(eenv, seed):
+    """Random key/agg/filter shapes through the eager-agg rewrite,
+    checked against BOTH the rewrite-disabled plan (exact same engine
+    semantics) and pandas."""
+    on_, off, lhs, rhs = eenv
+    rng = np.random.default_rng(9000 + seed)
+    aggs = list(rng.choice(_EAGG, size=int(rng.integers(1, 4)),
+                           replace=False))
+    keys = list(rng.choice(["fk", "g", "cat"],
+                           size=int(rng.integers(1, 3)), replace=False))
+    thr = int(rng.integers(-3, 10))
+
+    def build(h):
+        tl, tr = h.scan("fe_l"), h.scan("fe_r")
+        q = (tl.filter(tl["q"] > thr).join(tr, "fk", "pk")
+             .agg(keys, *aggs))
+        return q
+
+    plan = on_.explain(build(on_))
+    ji = plan.index("Join[inner]")
+    assert "Aggregate" in plan[ji:], f"seed {seed}: rewrite did not fire"
+    got = build(on_).run().to_pandas().sort_values(keys).reset_index(
+        drop=True)
+    ref = build(off).run().to_pandas().sort_values(keys).reset_index(
+        drop=True)
+    approx = tuple(c for c in got.columns if got[c].dtype.kind == "f")
+    assert_frames_match(got, ref, approx_cols=approx)
+    # pandas oracle
+    sub = lhs[lhs["q"] > thr].merge(rhs, left_on="fk", right_on="pk")
+    if len(sub) == 0:
+        assert len(got) == 0
+        return
+    g = sub.groupby(keys)
+    cols = {}
+    for a in aggs:
+        if a == "count":
+            cols["count"] = g.size()
+        else:
+            fn, col = a.split("(")[0], a.split("(")[1][:-1]
+            nm = {"sum": "sum", "min": "min", "max": "max",
+                  "avg": "mean"}[fn]
+            cols[f"{col}_{fn}"] = getattr(g[col], nm)()
+    exp = pd.DataFrame(cols).reset_index()
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    exp.columns = list(got.columns)
+    assert_frames_match(got, exp, approx_cols=approx)
