@@ -622,6 +622,7 @@ class HDK:
             ex = self._executor
             ex._analyze = True
             ex._step_times = {}
+            samp0 = ex._ndv_sample_seconds
             try:
                 ex.execute(dag)
             finally:
@@ -630,6 +631,14 @@ class HDK:
                 nid: f"{ms:.1f} ms, {rows} rows"
                 for nid, (ms, rows) in ex._step_times.items()
             }
+            out = explain_dag(dag.root, annotations)
+            samp = ex._ndv_sample_seconds - samp0
+            if samp > 0:
+                # estimator host pulls are the one round-trip class the
+                # engine otherwise avoids — surface their share
+                out += (f"\n-- sampling estimators (NDV/skew): "
+                        f"{samp * 1000:.1f} ms of host readback\n")
+            return out
         return explain_dag(dag.root, annotations)
 
     def _run(self, node, **options) -> QueryResult:
