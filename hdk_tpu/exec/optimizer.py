@@ -1040,6 +1040,44 @@ def push_aggregation_below_join(dag: nd.QueryDag,
     return nd.QueryDag(mapping[dag.root.id])
 
 
+def pull_projections_above_sort(dag: nd.QueryDag) -> nd.QueryDag:
+    """``Sort(Project(X))`` where the Project is pure column refs
+    becomes ``Project(Sort(X))`` (sort fields remapped through the
+    permutation).  Sorting commutes with a pure projection, and the
+    swap unblocks the executor's agg→sort fusion (ONE device program
+    for GROUP BY + ORDER BY/LIMIT, no trim step, no group-count host
+    sync) for SQL plans, which always interpose the output Project the
+    builder API doesn't.  Reference analog: RelAlgDag coalesces the
+    Sort into the preceding compound node for the same reason
+    (RelAlgDag.cpp create_compound)."""
+    consumers: Dict[int, int] = {}
+    for node in dag.topo_order():
+        for i in node.inputs:
+            consumers[i.id] = consumers.get(i.id, 0) + 1
+
+    def visit(node: nd.Node) -> Optional[nd.Node]:
+        if not isinstance(node, nd.Sort):
+            return None
+        proj = node.inputs[0]
+        if (not isinstance(proj, nd.Project)
+                or consumers.get(proj.id, 0) != 1
+                or not all(isinstance(e, ir.ColumnRef)
+                           for e in proj.exprs)):
+            return None
+        inner = proj.inputs[0]
+        new_sf = [
+            nd.SortField(proj.exprs[f.field_index].index, f.desc,
+                         f.nulls_first)
+            for f in node.sort_fields
+        ]
+        new_sort = nd.Sort(inner, new_sf, node.limit, node.offset)
+        exprs = [ir.ColumnRef(e.type, new_sort, e.index)
+                 for e in proj.exprs]
+        return nd.Project(new_sort, exprs, proj.fields)
+
+    return _transform(dag, visit)
+
+
 def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = eliminate_identity_projections(dag)
     dag = fold_filters(dag)
@@ -1048,4 +1086,5 @@ def optimize_dag(dag: nd.QueryDag, config: Config) -> nd.QueryDag:
     dag = reorder_join_chains(dag)
     dag = reorder_join_inputs(dag)
     dag = push_aggregation_below_join(dag, config)
+    dag = pull_projections_above_sort(dag)
     return dag
