@@ -64,6 +64,13 @@ class JoinConfig:
     # read only build-side columns (exec/join.py spread_inner_fk);
     # below this probe size the value-table gather is cheaper
     spread_join_min_rows: int = 4_000_000
+    # perfect-route INNER joins keep dead probe rows under the output
+    # row_mask (no keep-compaction gathers) when matches are at least
+    # this fraction of probe rows, or when every terminal consumer is
+    # another join (key evaluation folds the mask into NULL sentinels
+    # for free).  Below the fraction, compaction wins: downstream
+    # per-row work shrinks more than the per-column gathers cost.
+    masked_output_min_match_frac: float = 0.125
 
 
 @dataclass

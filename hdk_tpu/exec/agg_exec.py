@@ -35,6 +35,14 @@ from .masked import MaskedCol, combine_masks
 from .scalar import ExecError
 
 
+# aggregate kinds with a closed-form value over a single-row group
+# (the uniqueness-certificate identity pass, _agg_identity_table)
+_IDENTITY_KINDS = frozenset({
+    ir.AggKind.COUNT, ir.AggKind.SUM, ir.AggKind.AVG, ir.AggKind.MIN,
+    ir.AggKind.MAX, ir.AggKind.SINGLE_VALUE, ir.AggKind.SAMPLE,
+})
+
+
 class AggExecMixin:
     def _exec_aggregate(self, node: nd.Aggregate, results) -> ExecTable:
         source, chain, src_node = self._resolve_chain_windowed(
@@ -49,6 +57,10 @@ class AggExecMixin:
 
         if source.nrows == 0:
             return ExecTable.empty(node.fields, node.output_types)
+
+        out = self._agg_identity_table(node, source, chain, src_node)
+        if out is not None:
+            return out
 
         # layout choice from static ranges (no device sync); if stats
         # can't bound a key, probe min/max on device — one tiny kernel +
@@ -206,9 +218,14 @@ class AggExecMixin:
             else:
                 key_cols, agg_cols, exists, n_groups = fn(*args)
             cols = list(key_cols) + list(agg_cols)
+            # group-by output keys are distinct by construction: certify
+            # so a downstream GROUP BY covering them skips re-grouping
+            uniq = ((frozenset(range(len(node.keys))),) if node.keys
+                    else ())
             if layout_eff is not None:
                 return ExecTable(list(node.fields), list(node.output_types),
-                                 cols, layout_eff.entry_count, exists)
+                                 cols, layout_eff.entry_count, exists,
+                                 unique_sets=uniq)
             n = int(n_groups)  # host sync: group count
             if n <= cap:
                 break
@@ -229,7 +246,82 @@ class AggExecMixin:
                 for c in cs
             ]))
         return ExecTable(list(node.fields), list(node.output_types),
-                         trim(cols), n)
+                         trim(cols), n, unique_sets=uniq)
+
+    def _agg_identity_table(self, node: nd.Aggregate, source: ExecTable,
+                            chain, src_node) -> Optional[ExecTable]:
+        """GROUP BY over certified-unique keys: every live row is its
+        own group, so grouping is an identity pass — keys pass through,
+        each aggregate has a closed single-row form (SUM x = x,
+        COUNT(*) = 1, ...), and the row_mask rides along uncompacted.
+        Fires after eager aggregation (optimizer.py) re-groups a
+        pre-aggregated probe side joined 1:1 against unique build keys
+        — the re-group is then a rename, not a second sort (reference
+        analog: Calcite AggregateRemoveRule on unique input keys;
+        single-row agg semantics per GroupByRuntime.cpp agg_* on one
+        matching row)."""
+        if chain or not node.keys or not source.unique_sets:
+            return None
+        if self._mesh is not None:
+            return None  # dist certificates would need global scope
+        if not all(isinstance(k, ir.ColumnRef) and k.node is src_node
+                   for k in node.keys):
+            return None
+        key_idx = {k.index for k in node.keys}
+        if not any(s <= key_idx for s in source.unique_sets):
+            return None
+        if not all(a.kind in _IDENTITY_KINDS for a in node.aggs):
+            return None
+        if any(getattr(a, "operand2", None) is not None for a in node.aggs):
+            return None
+        terminal_exprs = list(node.keys) + [
+            a.operand for a in node.aggs if a.operand is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
+        nrows0 = source.nrows
+        size = len(source.fields)
+        specs_meta = [(a.kind, str(a.type), a.distinct) for a in node.aggs]
+        key = chain_key(_schema_sig(source), chain, node,
+                        self._dict_generation_sig(chain, node)
+                        + f"identity/u{used}/n{nrows0}/{specs_meta}")
+
+        def build():
+            def fn(sub_cols, row_mask):
+                source_cols = self._expand_cols(sub_cols, used, size)
+                resolve = lambda ref: source_cols[ref.index]
+                keys = [
+                    _broadcast(self.scalar.evaluate(k, resolve), nrows0)
+                    for k in node.keys
+                ]
+                aggs = []
+                for a, oty in zip(node.aggs,
+                                  node.output_types[len(node.keys):]):
+                    od = jnp.dtype(oty.physical_dtype())
+                    if a.kind == ir.AggKind.COUNT:
+                        if a.operand is None:
+                            aggs.append(MaskedCol(
+                                jnp.ones((nrows0,), od), None))
+                        else:
+                            v = _broadcast(self.scalar.evaluate(
+                                a.operand, resolve), nrows0)
+                            data = (v.mask.astype(od) if v.mask is not None
+                                    else jnp.ones((nrows0,), od))
+                            aggs.append(MaskedCol(data, None))
+                        continue
+                    v = _broadcast(self.scalar.evaluate(a.operand, resolve),
+                                   nrows0)
+                    data = v.data.astype(od)  # SUM/AVG widen: 1-row exact
+                    aggs.append(MaskedCol(data, v.mask))
+                return keys + aggs, row_mask
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, rm = fn([source.columns[i] for i in used], source.row_mask)
+        _LOG.debug1("group-by over certified-unique keys: identity pass "
+                    "(%d rows, no grouping)", nrows0)
+        return ExecTable(list(node.fields), list(node.output_types),
+                         cols, nrows0, rm,
+                         unique_sets=(frozenset(range(len(node.keys))),))
 
     def _exec_fused_agg_sort(self, sort_node: nd.Sort, node: nd.Aggregate,
                              results) -> Optional[ExecTable]:
@@ -241,6 +333,13 @@ class AggExecMixin:
             node.inputs[0], results)
         if source.nrows == 0:
             return None
+        ident = self._agg_identity_table(node, source, chain, src_node)
+        if ident is not None:
+            # grouping is an identity pass; the Sort runs directly over
+            # the (masked) identity table — streaming top-k handles the
+            # dead rows without a compaction
+            results[node.id] = ident
+            return self._exec_sort(sort_node, results)
         layout, key_ranges = self._static_perfect_layout(node,
                                                          with_ranges=True)
         if layout is None and key_ranges is None:

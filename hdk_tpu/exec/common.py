@@ -41,6 +41,15 @@ class ExecTable:
     nrows: int
     row_mask: Optional[jnp.ndarray] = None
     _live: Optional[int] = None
+    # uniqueness certificates: each entry is a frozenset of column
+    # indices whose value TUPLE (NULLs compared as values, matching
+    # GROUP BY equivalence) is distinct across live rows.  Issued by
+    # group-by outputs (key columns) and preserved by row-subset /
+    # 1:1 transforms; a downstream GROUP BY whose keys cover a
+    # certified set collapses to an identity pass (each live row is
+    # its own group) — no sort, no buffers (reference analog: Calcite
+    # removes aggregates over unique keys, AggregateRemoveRule)
+    unique_sets: tuple = ()
 
     def live_count(self) -> int:
         if self.row_mask is None:
@@ -55,7 +64,9 @@ class ExecTable:
             return self
         n = self.live_count()
         idx = nonzero_indices(self.row_mask, n)
-        return self.gather(idx)
+        out = self.gather(idx)
+        out.unique_sets = self.unique_sets  # row subset: still distinct
+        return out
 
     def column_by_name(self, name: str) -> MaskedCol:
         return self.columns[self.fields.index(name)]
@@ -306,6 +317,46 @@ _TWO_PHASE_KINDS = frozenset({
     ir.AggKind.APPROX_COUNT_DISTINCT, ir.AggKind.APPROX_QUANTILE,
 })
 
+
+
+def _consumer_kinds(order, root) -> Dict[int, List[str]]:
+    """Per-node terminal-consumer kinds, seen THROUGH Project/Filter
+    chains (which fuse into their consuming terminal and carry row
+    masks for free).  Used by output-shape policy decisions — e.g. a
+    join whose output only feeds other joins can stay masked
+    (uncompacted): join key evaluation folds the row_mask into key NULL
+    sentinels at zero cost, while compaction costs one HBM gather per
+    column (reference analog: RelAlgExecutor's translate-only
+    intermediate bufers never materialize dead rows either).
+
+    Kinds: ``join_build`` / ``join_probe`` / ``agg`` / ``sort`` /
+    ``root`` (materialized) / lowercase node-class name otherwise."""
+    direct: Dict[int, List] = {}
+    for n in order:
+        for pos, i in enumerate(n.inputs):
+            direct.setdefault(i.id, []).append((n, pos))
+    memo: Dict[int, List[str]] = {}
+
+    def kinds_of(nid: int) -> List[str]:
+        if nid in memo:
+            return memo[nid]
+        memo[nid] = res = []  # pre-seed: cycles impossible, but cheap
+        if nid == root.id:
+            res.append("root")
+        for (c, pos) in direct.get(nid, []):
+            if isinstance(c, _CHAIN_NODES):
+                res.extend(kinds_of(c.id))
+            elif isinstance(c, nd.Join):
+                res.append("join_build" if pos == 1 else "join_probe")
+            elif isinstance(c, nd.Aggregate):
+                res.append("agg")
+            elif isinstance(c, nd.Sort):
+                res.append("sort")
+            else:
+                res.append(type(c).__name__.lower())
+        return res
+
+    return {n.id: kinds_of(n.id) for n in order}
 
 
 def _next_pow2(n: int) -> int:

@@ -102,6 +102,7 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         self._feedback = RouteFeedback(
             enabled=config.exec.enable_route_feedback)
         self._demand: Optional[Dict[int, Optional[set]]] = None
+        self._consumers: Optional[Dict[int, list]] = None
         self._frag_prune_stats = None  # last fragment-skip counters
         self._frag_stream_chunks = None  # last fragment-stream chunk count
         self._deadline = None  # per-query watchdog deadline
@@ -123,7 +124,10 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
                     process_id=(config.dist.process_id
                                 if config.dist.process_id >= 0 else None))
             ndev = config.dist.num_devices or None
-            if len(jax.devices()) > 1 and (ndev is None or ndev > 1):
+            # an explicit num_devices > available falls back to virtual
+            # CPU devices inside make_mesh (driver dry-run contract)
+            if ((len(jax.devices()) > 1 or (ndev or 0) > 1)
+                    and (ndev is None or ndev > 1)):
                 self._mesh = pmesh.make_mesh(ndev, axis=config.dist.mesh_axis)
 
     # ------------------------------------------------------------------
@@ -145,6 +149,14 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         results: Dict[int, ExecTable] = {}
         order = dag.topo_order()
         self._demand = _column_demand(order, dag.root)
+        from .common import _consumer_kinds
+
+        self._consumers = _consumer_kinds(order, dag.root)
+        self._direct_consumers = {}
+        for n_ in order:
+            for pos_, i_ in enumerate(n_.inputs):
+                self._direct_consumers.setdefault(i_.id, []).append(
+                    (n_, pos_))
         _LOG.debug1("query: %d nodes, root=%s", len(order),
                     type(dag.root).__name__)
         t_query = _time.monotonic()

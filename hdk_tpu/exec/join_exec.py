@@ -137,6 +137,10 @@ class JoinExecMixin:
         rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
         # cross-dictionary string keys: translate rhs codes into the lhs
         # dictionary (reference: StringDictionaryTranslationMgr)
+        # keys rewritten below (dict translation / numeric promotion) no
+        # longer take the values of their source expression — static
+        # range inference over the expr would bound the WRONG value space
+        self._join_keys_rewritten = False
         for i, (le, re_) in enumerate(node.key_pairs):
             lt, rt = le.type, re_.type
             if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
@@ -144,6 +148,7 @@ class JoinExecMixin:
                 data, mask = self.scalar.translate_dict_codes(
                     rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
                 rhs_keys[i] = MaskedCol(data, mask)
+                self._join_keys_rewritten = True
             elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
                 # mixed numeric key types (e.g. INT = DOUBLE from an IN
                 # subquery): hash_keys encodes each side's raw bits, so
@@ -161,6 +166,7 @@ class JoinExecMixin:
                     if rd != ct:
                         rhs_keys[i] = MaskedCol(
                             rhs_keys[i].data.astype(ct), rhs_keys[i].mask)
+                        self._join_keys_rewritten = True
         jt = node.join_type
 
         if lhs.nrows == 0:
@@ -275,29 +281,53 @@ class JoinExecMixin:
         total = int(total_dev)  # host sync: candidate count
         if total == 0:
             l_keep = r_keep = jnp.zeros((0,), jnp.int32)
+            m = 0
         else:
+            # candidate capacity rounds up to a power of two so repeated
+            # executions with drifting match counts share ONE compiled
+            # expansion program (padding slots carry live=False); the
+            # exact-count variant recompiled per (total, m) pair — a
+            # compile per bench iteration on real data
+            cap = _next_pow2(total)
             expand_fn = self.code_cache.get_or_build(
-                plan_sig + f"|expand{total}",
+                plan_sig + f"|expand{cap}",
                 lambda: jax.jit(lambda tbl, lo_, hi_, lks, rks: (
-                    lambda pair: (pair[0], pair[1],
-                                  jn.verify_pairs(rks, lks, pair[0], pair[1]))
-                )(jn.expand_pairs(tbl, lo_, hi_, total))))
+                    lambda lrl: (lrl[0], lrl[1], lrl[2]
+                                 & jn.verify_pairs(rks, lks, lrl[0], lrl[1]))
+                )(jn.expand_pairs_capped(tbl, lo_, hi_, cap)[:3])))
             l_idx, r_idx, ok = expand_fn(table, lo, hi, lhs_keys, rhs_keys)
             if node.residual is not None and jt != nd.JoinType.INNER:
                 ok = ok & self._residual_on_pairs(node, lhs, rhs, l_idx, r_idx)
             m = int(ok.sum())  # host sync: verified match count
+
+        if jt == nd.JoinType.INNER:
+            if m == 0:
+                return ExecTable.empty(node.fields, node.output_types)
+            # pair buffer bucketed like the expansion: padded pair rows
+            # are dead under the output row_mask (masked-output design),
+            # and the live flag derives in-graph so one program serves
+            # every match count in the bucket
+            mcap = min(_next_pow2(m), total)
             keep_fn = self.code_cache.get_or_build(
-                plan_sig + f"|keep{total}/{m}",
+                plan_sig + f"|keepm{cap}/{mcap}",
+                lambda: jax.jit(lambda li, ri, okk: (
+                    lambda kp: (li[kp], ri[kp],
+                                jnp.arange(mcap, dtype=jnp.int64)
+                                < okk.sum())
+                )(nonzero_indices(okk, mcap))))
+            l_keep, r_keep, live = keep_fn(l_idx, r_idx, ok)
+            out = self._pair_table(node, lhs, rhs, l_keep, r_keep,
+                                   live_mask=None if mcap == m else live)
+            if node.residual is not None:
+                out = self._apply_residual(node, out)
+            return out
+        if total > 0:
+            keep_fn = self.code_cache.get_or_build(
+                plan_sig + f"|keep{cap}/{m}",
                 lambda: jax.jit(lambda li, ri, okk: (
                     lambda kp: (li[kp], ri[kp])
                 )(nonzero_indices(okk, m))))
             l_keep, r_keep = keep_fn(l_idx, r_idx, ok)
-
-        if jt == nd.JoinType.INNER:
-            out = self._pair_table(node, lhs, rhs, l_keep, r_keep)
-            if node.residual is not None:
-                out = self._apply_residual(node, out)
-            return out
 
         matched = jnp.zeros((lhs.nrows,), jnp.bool_).at[l_keep].set(True)
         if jt == nd.JoinType.SEMI:
@@ -334,8 +364,21 @@ class JoinExecMixin:
         cached = self._hashtable_cache.get(sig, ht_objs)
         if cached is None:
             bk = rhs_keys[0]
-            stats = jnp.stack([jnp.min(bk.fill(0)), jnp.max(bk.fill(0))])
-            lo, hi = (int(x) for x in np.asarray(stats))  # host sync
+            from . import ranges as rg
+
+            static_r = (None if getattr(self, "_join_keys_rewritten", False)
+                        else rg.infer_range(node.key_pairs[0][1]))
+            if static_r is not None:
+                # static stats bound the key range: no device min/max
+                # readback (a superset range only widens the table;
+                # validity masks keep matching exact) — one host sync
+                # saved per build, which an intermediate-derived build
+                # side pays on EVERY execution
+                lo, hi = static_r[0], static_r[1]
+            else:
+                stats = jnp.stack([jnp.min(bk.fill(0)),
+                                   jnp.max(bk.fill(0))])
+                lo, hi = (int(x) for x in np.asarray(stats))  # host sync
             range_size = hi - lo + 1
             # density guard: a dense table costs range_size entries of
             # memory, so tiny builds with huge ranges stay on the hash
@@ -402,6 +445,20 @@ class JoinExecMixin:
                 range_size=range_size)))
 
         if jt == nd.JoinType.INNER:
+            masked_wins = self._masked_output_wins(node, lhs)
+            if (masked_wins and lhs.row_mask is not None
+                    and route != "spread"):
+                # a masked probe can never be all-matched and its
+                # join-only consumers fold the mask into key NULLs for
+                # free: emit the masked output without even paying the
+                # match-count host sync
+                out = self._pair_table_slots(
+                    node, lhs, rhs, None, slots, None, sig,
+                    lambda: bslot_fn(rhs_keys[0]), range_size,
+                    ht_objs, lhs_mask=matched)
+                if node.residual is not None:
+                    out = self._apply_residual(node, out)
+                return out
             m = int(matched.sum())
             if m == lhs.nrows and lhs.row_mask is None:
                 if (complete and node.residual is None
@@ -422,10 +479,24 @@ class JoinExecMixin:
             elif route == "spread":
                 return None  # spread needs all-matched unmasked probes
             else:
-                keep = nonzero_indices(matched, m)
-                out = self._pair_table_slots(
-                    node, lhs, rhs, keep, slots[keep], None, sig,
-                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+                # masked output: dead probe rows ride the row_mask
+                # instead of paying one keep-gather per column.  Joins
+                # fold the mask into key NULLs for free; other consumers
+                # only win when enough rows survive (frac knob)
+                masked_ok = (
+                    masked_wins
+                    or m >= lhs.nrows
+                    * self.config.exec.join.masked_output_min_match_frac)
+                if masked_ok:
+                    out = self._pair_table_slots(
+                        node, lhs, rhs, None, slots, None, sig,
+                        lambda: bslot_fn(rhs_keys[0]), range_size,
+                        ht_objs, lhs_mask=matched)
+                else:
+                    keep = nonzero_indices(matched, m)
+                    out = self._pair_table_slots(
+                        node, lhs, rhs, keep, slots[keep], None, sig,
+                        lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
@@ -437,6 +508,45 @@ class JoinExecMixin:
             node, lhs, rhs, None, slots, matched, sig,
             lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs,
             lhs_mask=lhs.row_mask)
+
+    def _masked_output_wins(self, node: nd.Join, lhs: ExecTable) -> bool:
+        """True when every consumer of this join handles a masked
+        (uncompacted) output at no extra per-row cost, so compaction
+        gathers are pure waste regardless of the match fraction:
+
+        * other joins — key evaluation folds the mask into NULL
+          sentinels;
+        * aggregates that will take the uniqueness-certificate identity
+          pass (keys cover a certified set of the would-be output) —
+          the identity program and the streaming top-k after it carry
+          the mask through in-graph."""
+        cons = (self._consumers or {}).get(node.id, [])
+        if cons and all(c.startswith("join") for c in cons):
+            return True
+        if not lhs.unique_sets or node.residual is not None:
+            return False
+        if self._mesh is not None:
+            return False  # identity pass is single-device only
+        from .agg_exec import _IDENTITY_KINDS
+
+        direct = getattr(self, "_direct_consumers", None) or {}
+        direct = direct.get(node.id, [])
+        if not direct:
+            return False
+        for c, pos in direct:
+            if not (isinstance(c, nd.Aggregate) and pos == 0 and c.keys):
+                return False
+            if not all(isinstance(k, ir.ColumnRef) and k.node is node
+                       for k in c.keys):
+                return False
+            key_idx = {k.index for k in c.keys}
+            if not any(s <= key_idx for s in lhs.unique_sets):
+                return False
+            if not all(a.kind in _IDENTITY_KINDS
+                       and getattr(a, "operand2", None) is None
+                       for a in c.aggs):
+                return False
+        return True
 
     def _residual_on_pairs(self, node: nd.Join, lhs: ExecTable,
                            rhs: ExecTable, l_idx, r_idx):
@@ -492,7 +602,8 @@ class JoinExecMixin:
 
     def _fields_table(self, node, table: ExecTable) -> ExecTable:
         return ExecTable(list(node.fields), list(node.output_types),
-                         table.columns, table.nrows, table.row_mask)
+                         table.columns, table.nrows, table.row_mask,
+                         unique_sets=table.unique_sets)
 
     def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows,
                      ht_objs):
@@ -642,16 +753,22 @@ class JoinExecMixin:
             [lthunk(c) for c in lhs.columns]
             + [rthunk(c, ci) for ci, c in enumerate(rhs.columns)])
         nrows = lhs.nrows if l_idx is None else int(l_idx.shape[0])
+        # every output row maps to a distinct probe row (l_idx is None
+        # or a subset gather; build keys verified unique), so probe-side
+        # uniqueness certificates survive at unchanged column indices
         return ExecTable(list(node.fields), list(node.output_types),
-                         cols, nrows, lhs_mask)
+                         cols, nrows, lhs_mask,
+                         unique_sets=lhs.unique_sets)
 
     def _pair_table(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
-                    l_idx, r_idx) -> ExecTable:
+                    l_idx, r_idx, live_mask=None) -> ExecTable:
         """Join output with LAZY per-column gathers: a downstream step
         that uses only some columns never pays the HBM random-gather for
         the rest (measured 1.3 s per 1e8-row gather — the dominant join
         cost).  ``l_idx=None`` = identity (every probe row matched, in
-        order): lhs columns pass through untouched."""
+        order): lhs columns pass through untouched.  ``live_mask`` marks
+        real pairs when the pair buffer is padded to a compile-count
+        bucket (dead slots ride the output row_mask)."""
         def lthunk(c):
             if l_idx is None:
                 return lambda: c
@@ -665,7 +782,7 @@ class JoinExecMixin:
         cols = _LazyThunkColumns([lthunk(c) for c in lhs.columns]
                                  + [rthunk(c) for c in rhs.columns])
         return ExecTable(list(node.fields), list(node.output_types),
-                         cols, int(r_idx.shape[0]))
+                         cols, int(r_idx.shape[0]), live_mask)
 
     def _left_pad(self, node: nd.Join, lhs: ExecTable, rhs: ExecTable,
                   l_idx, r_idx, un_idx) -> ExecTable:
@@ -694,6 +811,8 @@ class JoinExecMixin:
         mask = cond.data.astype(jnp.bool_)
         if cond.mask is not None:
             mask = mask & cond.mask
+        if out.row_mask is not None:  # masked join output: dead rows
+            mask = mask & out.row_mask  # must not pass the residual
         n = int(mask.sum())
         return out.gather(nonzero_indices(mask, n))
 

@@ -39,6 +39,15 @@ def _column_source_range(ref: ir.ColumnRef) -> Optional[Range]:
     """Range of a ColumnRef by following pass-through nodes to a Scan."""
     node = ref.node
     idx = ref.index
+    # outer-join padding introduces NULLs the source stats don't know;
+    # track it so the perfect layouts keep their null slot
+    pad_nulls = False
+
+    def _out(r: Optional[Range]) -> Optional[Range]:
+        if r is None or not pad_nulls:
+            return r
+        return r[0], r[1], True
+
     while True:
         if isinstance(node, nd.Scan):
             name = node.fields[idx]
@@ -49,12 +58,27 @@ def _column_source_range(ref: ir.ColumnRef) -> Optional[Range]:
             if not (typ.is_integer() or typ.is_boolean()
                     or typ.is_dict_encoded_string() or typ.is_datetime()):
                 return None
-            return int(lo), int(hi), has_nulls or typ.nullable
+            return _out((int(lo), int(hi), has_nulls or typ.nullable))
         if isinstance(node, (nd.Filter, nd.Sort)):
             node = node.inputs[0]
             continue
         if isinstance(node, nd.Project):
-            return infer_range(node.exprs[idx])
+            return _out(infer_range(node.exprs[idx]))
+        if isinstance(node, nd.Join):
+            # join output columns are value-preserving row subsets /
+            # replications of one input side: the source range stays a
+            # valid (superset) bound
+            nl = len(node.inputs[0].fields)
+            if node.output_types[idx].nullable:
+                pad_nulls = True  # conservative: covers outer padding
+            if idx < nl:
+                node = node.inputs[0]
+            else:
+                node, idx = node.inputs[1], idx - nl
+            continue
+        if isinstance(node, nd.Aggregate) and idx < len(node.keys):
+            # group-by key columns take values from the key expression
+            return _out(infer_range(node.keys[idx]))
         return None
 
 

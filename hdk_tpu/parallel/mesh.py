@@ -65,6 +65,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = FRAG_AXIS) -> Mesh:
     ``init_distributed`` (devices sorted by id so every process builds
     the identical mesh, a requirement for multi-controller jit)."""
     devs = sorted(jax.devices(), key=lambda d: d.id)
+    if n_devices is not None and len(devs) < n_devices:
+        # explicit device count beyond the default platform (e.g. a
+        # dist session on a 1-chip dev box): fall back to the virtual
+        # CPU devices (xla_force_host_platform_device_count) so the
+        # sharded paths compile+run exactly as the driver's multichip
+        # dry-run expects
+        try:
+            cpu = sorted(jax.devices("cpu"), key=lambda d: d.id)
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devs = cpu
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
