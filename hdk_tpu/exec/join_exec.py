@@ -392,21 +392,35 @@ class JoinExecMixin:
                     or range_size > max(rhs.nrows, 1) * 1024
                     or range_size > max(rhs.nrows * 8, 1 << 16)
                     and lhs.nrows < self.config.exec.join.spread_join_min_rows):
-                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
+                self._hashtable_cache.put(sig, ht_objs,
+                                          (None, None, False, None))
                 return None
+
+            # ONE build program: dense table + per-build-row slots (the
+            # slot vector is an intermediate of the table scatter, so
+            # XLA shares the work; value tables address it directly) —
+            # saves the separate pjbslots dispatch that intermediate-
+            # derived builds pay per execution
+            def _build_both(bk_):
+                tbl, uq, ns = jn.build_perfect(bk_, min_key=lo,
+                                               range_size=range_size)
+                return tbl, uq, ns, jn.build_slots(
+                    bk_, min_key=lo, range_size=range_size)
+
             build_fn = self.code_cache.get_or_build(
-                f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}",
-                lambda: jax.jit(functools.partial(
-                    jn.build_perfect, min_key=lo, range_size=range_size)))
-            table, unique, n_set = build_fn(bk)
+                f"pjbuild/{range_size}/{lo}/{rhs.nrows}/{bk.data.dtype}"
+                f"/{bk.mask is None}",
+                lambda: jax.jit(_build_both))
+            table, unique, n_set, bslots_arr = build_fn(bk)
             if not bool(unique):  # duplicate keys: OneToMany -> generic
-                self._hashtable_cache.put(sig, ht_objs, (None, None, False))
+                self._hashtable_cache.put(sig, ht_objs,
+                                          (None, None, False, None))
                 return None
             # every slot occupied => probe matching needs no table gather
             complete = int(n_set) == range_size
-            cached = (table, range_size, complete)
+            cached = (table, range_size, complete, bslots_arr)
             self._hashtable_cache.put(sig, ht_objs, cached)
-        table, range_size, complete = cached
+        table, range_size, complete, bslots_arr = cached
         if table is None:
             return None
         if node.residual is not None and jt != nd.JoinType.INNER:
@@ -436,13 +450,7 @@ class JoinExecMixin:
             return self._fields_table(node, lhs.gather(
                 nonzero_indices(alive, n)))
 
-        bslot_key = (
-            f"pjbslots/{range_size}/{table.min_key}/{rhs.nrows}"
-            f"/{rhs_keys[0].data.dtype}/{rhs_keys[0].mask is None}")
-        bslot_fn = self.code_cache.get_or_build(
-            bslot_key, lambda: jax.jit(functools.partial(
-                jn.build_slots, min_key=table.min_key,
-                range_size=range_size)))
+        bslot_fn = lambda _bk=None: bslots_arr  # built with the table
 
         if jt == nd.JoinType.INNER:
             masked_wins = self._masked_output_wins(node, lhs)
@@ -454,7 +462,7 @@ class JoinExecMixin:
                 # match-count host sync
                 out = self._pair_table_slots(
                     node, lhs, rhs, None, slots, None, sig,
-                    lambda: bslot_fn(rhs_keys[0]), range_size,
+                    bslot_fn, range_size,
                     ht_objs, lhs_mask=matched)
                 if node.residual is not None:
                     out = self._apply_residual(node, out)
@@ -465,7 +473,7 @@ class JoinExecMixin:
                         and route in (None, "spread")):
                     out = self._try_spread_join(
                         node, lhs, rhs, slots, sig, range_size,
-                        lambda: bslot_fn(rhs_keys[0]), ht_objs)
+                        bslot_fn, ht_objs)
                     if out is not None:
                         self._join_route = "spread"
                         return out
@@ -475,7 +483,7 @@ class JoinExecMixin:
                 # compaction entirely, lhs columns pass through untouched
                 out = self._pair_table_slots(
                     node, lhs, rhs, None, slots, None, sig,
-                    lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+                    bslot_fn, range_size, ht_objs)
             elif route == "spread":
                 return None  # spread needs all-matched unmasked probes
             else:
@@ -490,13 +498,13 @@ class JoinExecMixin:
                 if masked_ok:
                     out = self._pair_table_slots(
                         node, lhs, rhs, None, slots, None, sig,
-                        lambda: bslot_fn(rhs_keys[0]), range_size,
+                        bslot_fn, range_size,
                         ht_objs, lhs_mask=matched)
                 else:
                     keep = nonzero_indices(matched, m)
                     out = self._pair_table_slots(
                         node, lhs, rhs, keep, slots[keep], None, sig,
-                        lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs)
+                        bslot_fn, range_size, ht_objs)
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
@@ -506,7 +514,7 @@ class JoinExecMixin:
                 "residual ON condition on LEFT join not supported yet")
         return self._pair_table_slots(
             node, lhs, rhs, None, slots, matched, sig,
-            lambda: bslot_fn(rhs_keys[0]), range_size, ht_objs,
+            bslot_fn, range_size, ht_objs,
             lhs_mask=lhs.row_mask)
 
     def _masked_output_wins(self, node: nd.Join, lhs: ExecTable) -> bool:
@@ -604,6 +612,42 @@ class JoinExecMixin:
         return ExecTable(list(node.fields), list(node.output_types),
                          table.columns, table.nrows, table.row_mask,
                          unique_sets=table.unique_sets)
+
+    def _value_tables_grouped(self, sig, rhs_idx, rhs, bslots_fn,
+                              range_size, ht_objs) -> Dict[int, tuple]:
+        """All demanded rhs columns scattered into key-slot order in ONE
+        jitted program (vs one dispatch per column): a build side
+        derived from an intermediate result misses the hashtable cache
+        on every execution, so per-column dispatches are a per-run
+        round-trip tax on the tunnel-attached TPU.  Each column's table
+        still lands in the per-column cache slot so later single-column
+        pulls hit."""
+        out: Dict[int, tuple] = {}
+        missing = []
+        for ci in rhs_idx:
+            c = rhs.columns[ci]
+            vt_sig = sig + f"|vt{ci}"
+            cached = self._hashtable_cache.get(vt_sig,
+                                               [c.data] + list(ht_objs))
+            if cached is None:
+                missing.append((ci, c))
+            else:
+                out[ci] = cached
+        if missing:
+            key = ("vtgroup/" + f"{range_size}/{rhs.nrows}/" + ",".join(
+                f"{ci}:{c.data.dtype}{c.data.shape[1:]}{c.mask is None}"
+                for ci, c in missing))
+            fn = self.code_cache.get_or_build(
+                key, lambda: jax.jit(lambda cols, bs: [
+                    jn.build_value_table(c, bs, range_size=range_size)
+                    for c in cols
+                ]))
+            vts = fn([c for _, c in missing], bslots_fn())
+            for (ci, c), vt in zip(missing, vts):
+                self._hashtable_cache.put(sig + f"|vt{ci}",
+                                          [c.data] + list(ht_objs), vt)
+                out[ci] = vt
+        return out
 
     def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows,
                      ht_objs):
@@ -720,6 +764,10 @@ class JoinExecMixin:
         1e8 x 1e7 rows).  ``l_idx=None`` = lhs passes through untouched;
         ``rhs_valid`` masks unmatched rows (LEFT join nulls)."""
         memo: dict = {}
+        demand = (self._demand or {}).get(node.id, None)
+        nl = len(lhs.fields)
+        rhs_demand = (sorted(i - nl for i in demand if i >= nl)
+                      if demand is not None else [])
 
         def bslots():
             if "bs" not in memo:
@@ -732,10 +780,18 @@ class JoinExecMixin:
             return lambda: MaskedCol(
                 c.data[l_idx], c.mask[l_idx] if c.mask is not None else None)
 
+        def vt_for(ci, c):
+            if len(rhs_demand) > 1 and ci in rhs_demand:
+                if "vts" not in memo:
+                    memo["vts"] = self._value_tables_grouped(
+                        sig, rhs_demand, rhs, bslots, range_size, ht_objs)
+                return memo["vts"][ci]
+            return self._value_table(sig, ci, c, bslots, range_size,
+                                     rhs.nrows, ht_objs)
+
         def rthunk(c, ci):
             def thunk():
-                vtd, vtm = self._value_table(sig, ci, c, bslots,
-                                             range_size, rhs.nrows, ht_objs)
+                vtd, vtm = vt_for(ci, c)
                 data = vtd[slots]
                 mask = rhs_valid
                 if vtm is not None:
