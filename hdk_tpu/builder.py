@@ -608,8 +608,11 @@ class QueryNode:
     def join(self, rhs: "QueryNode", lhs_cols=None, rhs_cols=None,
              how: str = "inner", cond: Optional[QueryExpr] = None) -> "QueryNode":
         """Equi-join (reference: hdk.py join — default joins on common
-        column names, like the reference's implicit key detection)."""
-        jt = nd.JoinType(how)
+        column names, like the reference's implicit key detection).
+        ``how`` accepts inner/left/semi/anti plus right/full, the latter
+        two canonicalized onto the 4-type IR (nd.outer_join_rewrite)."""
+        jt = (None if how in ("right", "full", "outer")
+              else nd.JoinType(how))
         if lhs_cols is None:
             common = [f for f in self.node.fields if f in rhs.node.fields]
             assert common, "no common columns to join on"
@@ -627,6 +630,10 @@ class QueryNode:
         ]
         residual = (_bind(_bind(cond.expr, self.node), rhs.node)
                     if cond is not None else None)
+        if jt is None:
+            kind = "full" if how == "outer" else how
+            return self._wrap(nd.outer_join_rewrite(
+                self.node, rhs.node, pairs, residual, kind))
         return self._wrap(nd.Join(self.node, rhs.node, pairs, jt, residual))
 
     def sort(self, *fields, limit: Optional[int] = None, offset: int = 0) -> "QueryNode":

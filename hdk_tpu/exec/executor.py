@@ -164,19 +164,21 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         # taxi-Q4 bread-and-butter, taxi_reduced_bench.cpp:76-84): when a
         # Sort directly consumes an Aggregate it alone uses, both compile
         # into ONE device program — no trim step, no group-count sync
+        # (dist sessions fuse too — the perfect-layout dense route sorts
+        # the replicated buffer inside the same shard_map program,
+        # _exec_fused_agg_sort_dist; other dist routes fall back)
         fused_aggs: Dict[int, nd.Sort] = {}
-        if self._mesh is None:
-            uses: Dict[int, int] = {}
-            for n in order:
-                for i in n.inputs:
-                    uses[i.id] = uses.get(i.id, 0) + 1
-            for n in order:
-                if (isinstance(n, nd.Sort) and n.sort_fields
-                        and isinstance(n.inputs[0], nd.Aggregate)
-                        and uses.get(n.inputs[0].id, 0) == 1
-                        and n.inputs[0] is not dag.root
-                        and n.inputs[0].keys):
-                    fused_aggs[n.inputs[0].id] = n
+        uses: Dict[int, int] = {}
+        for n in order:
+            for i in n.inputs:
+                uses[i.id] = uses.get(i.id, 0) + 1
+        for n in order:
+            if (isinstance(n, nd.Sort) and n.sort_fields
+                    and isinstance(n.inputs[0], nd.Aggregate)
+                    and uses.get(n.inputs[0].id, 0) == 1
+                    and n.inputs[0] is not dag.root
+                    and n.inputs[0].keys):
+                fused_aggs[n.inputs[0].id] = n
         wd = self.config.exec.watchdog
         deadline = (_time.monotonic() + wd.time_limit_ms / 1e3
                     if wd.enable and wd.time_limit_ms else None)

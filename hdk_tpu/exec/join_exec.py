@@ -140,7 +140,7 @@ class JoinExecMixin:
         # keys rewritten below (dict translation / numeric promotion) no
         # longer take the values of their source expression — static
         # range inference over the expr would bound the WRONG value space
-        self._join_keys_rewritten = False
+        keys_rewritten = False
         for i, (le, re_) in enumerate(node.key_pairs):
             lt, rt = le.type, re_.type
             if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
@@ -148,7 +148,7 @@ class JoinExecMixin:
                 data, mask = self.scalar.translate_dict_codes(
                     rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
                 rhs_keys[i] = MaskedCol(data, mask)
-                self._join_keys_rewritten = True
+                keys_rewritten = True
             elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
                 # mixed numeric key types (e.g. INT = DOUBLE from an IN
                 # subquery): hash_keys encodes each side's raw bits, so
@@ -166,7 +166,7 @@ class JoinExecMixin:
                     if rd != ct:
                         rhs_keys[i] = MaskedCol(
                             rhs_keys[i].data.astype(ct), rhs_keys[i].mask)
-                        self._join_keys_rewritten = True
+                        keys_rewritten = True
         jt = node.join_type
 
         if lhs.nrows == 0:
@@ -215,7 +215,8 @@ class JoinExecMixin:
                 self._join_route = "perfect"  # refined to "spread" inside
                 out_ = self._try_perfect_join(node, lhs, rhs, lhs_keys,
                                               rhs_keys, plan_sig, ht_objs,
-                                              jt, route=pref)
+                                              jt, route=pref,
+                                              keys_rewritten=keys_rewritten)
                 if out_ is not None or pref is not None:
                     return out_
             self._join_route = "hash"
@@ -345,10 +346,15 @@ class JoinExecMixin:
         return self._left_pad(node, lhs, rhs, l_keep, r_keep, un_idx)
 
     def _try_perfect_join(self, node, lhs, rhs, lhs_keys, rhs_keys,
-                          plan_sig, ht_objs, jt, route=None):
+                          plan_sig, ht_objs, jt, route=None,
+                          keys_rewritten=False):
         """``route``: None = spread-then-value default; "spread" = only
         the delta-spread output qualifies (None otherwise); "value" =
-        skip the spread attempt (measured-feedback candidates)."""
+        skip the spread attempt (measured-feedback candidates).
+        ``keys_rewritten``: the build keys no longer take their source
+        expression's values (dict translation / numeric promotion), so
+        static range inference must not be consulted (ADVICE r4: passed
+        explicitly, not via instance state)."""
         if len(node.key_pairs) != 1:
             return None
         if route == "spread" and (jt != nd.JoinType.INNER
@@ -366,20 +372,9 @@ class JoinExecMixin:
             bk = rhs_keys[0]
             from . import ranges as rg
 
-            static_r = (None if getattr(self, "_join_keys_rewritten", False)
+            static_r = (None if keys_rewritten
                         else rg.infer_range(node.key_pairs[0][1]))
-            if static_r is not None:
-                # static stats bound the key range: no device min/max
-                # readback (a superset range only widens the table;
-                # validity masks keep matching exact) — one host sync
-                # saved per build, which an intermediate-derived build
-                # side pays on EVERY execution
-                lo, hi = static_r[0], static_r[1]
-            else:
-                stats = jnp.stack([jnp.min(bk.fill(0)),
-                                   jnp.max(bk.fill(0))])
-                lo, hi = (int(x) for x in np.asarray(stats))  # host sync
-            range_size = hi - lo + 1
+
             # density guard: a dense table costs range_size entries of
             # memory, so tiny builds with huge ranges stay on the hash
             # route — but SPARSE bounded ranges (e.g. a filtered FK
@@ -387,11 +382,43 @@ class JoinExecMixin:
             # qualify: the sorted-hash probe + expand costs seconds and
             # a compile per candidate-count where the dense table costs
             # range_size*4B once (measured Q3 @SF10: 11.3 s -> sub-s)
-            if (range_size <= 0
+            def admissible(range_size):
+                return not (
+                    range_size <= 0
                     or range_size > self.config.exec.join.perfect_hash_range_limit
                     or range_size > max(rhs.nrows, 1) * 1024
                     or range_size > max(rhs.nrows * 8, 1 << 16)
-                    and lhs.nrows < self.config.exec.join.spread_join_min_rows):
+                    and lhs.nrows < self.config.exec.join.spread_join_min_rows)
+
+            lo = hi = None
+            if static_r is not None and admissible(
+                    static_r[1] - static_r[0] + 1):
+                # static stats bound the key range: no device min/max
+                # readback (a superset range only widens the table;
+                # validity masks keep matching exact) — one host sync
+                # saved per build, which an intermediate-derived build
+                # side pays on EVERY execution
+                lo, hi = static_r[0], static_r[1]
+            else:
+                # no static range, or the static superset failed the
+                # guard (e.g. base-table stats over a heavily filtered
+                # build side): a device min/max probe may still admit a
+                # compact table — only its failure caches a rejection
+                # (ADVICE r4).  NULL/dead keys fill with dtype extremes
+                # so a masked build side can't widen the probed range.
+                if bk.mask is None:
+                    stats = jnp.stack([jnp.min(bk.data), jnp.max(bk.data)])
+                else:
+                    fi = (jnp.iinfo(bk.data.dtype)
+                          if jnp.issubdtype(bk.data.dtype, jnp.integer)
+                          else None)
+                    top = fi.max if fi is not None else 0
+                    bot = fi.min if fi is not None else 0
+                    stats = jnp.stack([jnp.min(bk.fill(top)),
+                                       jnp.max(bk.fill(bot))])
+                lo, hi = (int(x) for x in np.asarray(stats))  # host sync
+            range_size = hi - lo + 1
+            if not admissible(range_size):
                 self._hashtable_cache.put(sig, ht_objs,
                                           (None, None, False, None))
                 return None
@@ -508,10 +535,9 @@ class JoinExecMixin:
             if node.residual is not None:
                 out = self._apply_residual(node, out)
             return out
-        # LEFT (one-to-one): value-table lookup at match or pad null
-        if node.residual is not None:
-            raise ExecError(
-                "residual ON condition on LEFT join not supported yet")
+        # LEFT (one-to-one): value-table lookup at match or pad null.
+        # Residual LEFT/SEMI/ANTI returned None above (generic route
+        # folds the residual into the match set, _hash_join)
         return self._pair_table_slots(
             node, lhs, rhs, None, slots, matched, sig,
             bslot_fn, range_size, ht_objs,

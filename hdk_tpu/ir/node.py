@@ -304,6 +304,45 @@ class LogicalValues(Node):
         return self._types
 
 
+def outer_join_rewrite(lnode: Node, rnode: Node, pairs, residual,
+                       kind: str, suffix: str = "_r") -> Node:
+    """RIGHT / FULL OUTER JOIN over the 4-type IR (reference: Calcite
+    canonicalizes RIGHT to a swapped LEFT before the reference's IR —
+    which also has only INNER/LEFT/SEMI/ANTI, IR/Node.h:463 — ever
+    sees the plan).
+
+    RIGHT = swapped LEFT + a column-reorder Project restoring the
+    user-facing lhs ++ rhs order.  FULL = LEFT(l, r) UNION ALL the rhs
+    rows with no surviving match (ANTI(r, l) under the same ON — key
+    equalities AND residual) padded with typed NULLs on the lhs.
+    Output schema in both cases matches what an unswapped join with
+    ``suffix`` dedup would produce."""
+    from .expr import Constant
+
+    assert kind in ("right", "full")
+    swapped = [(r, l) for l, r in pairs]
+    nl, nr = lnode.size(), rnode.size()
+    lhs_fields = list(lnode.fields)
+    rhs_fields = [f + suffix if f in lhs_fields else f for f in rnode.fields]
+    out_fields = lhs_fields + rhs_fields
+    if kind == "right":
+        sw = Join(rnode, lnode, swapped, JoinType.LEFT, residual)
+        return Project(
+            sw,
+            [sw.ref(nr + i) for i in range(nl)]
+            + [sw.ref(i) for i in range(nr)],
+            out_fields)
+    left = Join(lnode, rnode, pairs, JoinType.LEFT, residual,
+                suffix=suffix)
+    anti = Join(rnode, lnode, swapped, JoinType.ANTI, residual)
+    null_lhs = [Constant(ty.with_nullable(True), None)
+                for ty in lnode.output_types]
+    pad = Project(anti, null_lhs + [anti.ref(i) for i in range(nr)],
+                  out_fields)
+    lj = Project(left, [left.ref(i) for i in range(nl + nr)], out_fields)
+    return LogicalUnion([lj, pad])
+
+
 def _union_type(ts: List[t.Type]) -> t.Type:
     out = ts[0]
     for ty in ts[1:]:

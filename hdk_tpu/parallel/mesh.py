@@ -64,6 +64,9 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = FRAG_AXIS) -> Mesh:
     """Mesh over all addressable devices — global across hosts after
     ``init_distributed`` (devices sorted by id so every process builds
     the identical mesh, a requirement for multi-controller jit)."""
+    from ..utils.logger import get_channel
+
+    log = get_channel("dist")
     devs = sorted(jax.devices(), key=lambda d: d.id)
     if n_devices is not None and len(devs) < n_devices:
         # explicit device count beyond the default platform (e.g. a
@@ -76,7 +79,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = FRAG_AXIS) -> Mesh:
         except RuntimeError:
             cpu = []
         if len(cpu) >= n_devices:
+            # ADVICE r4: the fallback moves ALL compute onto CPU — a
+            # silently degraded session on an accelerator machine must
+            # be visible in the logs
+            log.warning(
+                "make_mesh(%d): only %d %s device(s) available; falling "
+                "back to %d virtual CPU devices — the whole session "
+                "computes on CPU", n_devices, len(devs),
+                devs[0].platform if devs else "?", n_devices)
             devs = cpu
+        else:
+            log.warning(
+                "make_mesh(%d): only %d device(s) available; building a "
+                "TRUNCATED %d-device mesh (stale dist.num_devices?)",
+                n_devices, len(devs), len(devs))
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))

@@ -35,9 +35,15 @@ _DT_FNS = {"date_trunc", "date_add", "date_sub", "date_diff", "datediff"}
 class Scope:
     """Name resolution over the current node's output positions."""
 
-    def __init__(self, entries: List[Tuple[Optional[str], List[str]]]) -> None:
-        # entries: (alias, field names) in output order
+    def __init__(self, entries: List[Tuple[Optional[str], List[str]]],
+                 alt: Optional[Dict[int, str]] = None) -> None:
+        # entries: (alias, field names) in output order.  ``alt`` maps a
+        # global position to the column's ORIGINAL name when the join
+        # output renamed it (dup suffix): ``r.k`` stays resolvable even
+        # though the output field is ``k_r`` (standard SQL scoping; the
+        # reference gets this from Calcite's per-input namespaces).
         self.entries = entries
+        self.alt = alt or {}
 
     @property
     def all_fields(self) -> List[str]:
@@ -52,6 +58,14 @@ class Scope:
                         table is None or (alias or "").lower() == table.lower()):
                     hits.append(pos + i)
             pos += len(fields)
+        if not hits and table is not None and self.alt:
+            pos = 0
+            for alias, fields in self.entries:
+                if (alias or "").lower() == table.lower():
+                    for i in range(len(fields)):
+                        if self.alt.get(pos + i, "").lower() == name.lower():
+                            hits.append(pos + i)
+                pos += len(fields)
         if not hits:
             where = f" in table {table!r}" if table else ""
             raise SqlError(f"unknown column {name!r}{where}")
@@ -553,23 +567,46 @@ class Binder:
         if not pairs and kind != "inner":
             raise SqlError(f"{kind.upper()} JOIN ON must contain at least "
                            "one equality between the two sides")
+        if kind in ("right", "full"):
+            return self._bind_outer_rewrite(lnode, lscope, rnode, rscope,
+                                            kind, pairs, residual)
         join = nd.Join(lnode, rnode, pairs, nd.JoinType(kind), residual)
         if kind in ("semi", "anti"):
-            scope = Scope(list(lscope.entries))
+            scope = Scope(list(lscope.entries), dict(lscope.alt))
         else:
             # output fields are lhs ++ suffixed rhs; keep per-alias spans
-            nl = sum(len(f) for _, f in lscope.entries)
-            out = list(join.fields)
-            entries = []
-            pos = 0
-            for alias, fields in lscope.entries:
-                entries.append((alias, out[pos:pos + len(fields)]))
-                pos += len(fields)
-            for alias, fields in rscope.entries:
-                entries.append((alias, out[pos:pos + len(fields)]))
-                pos += len(fields)
-            scope = Scope(entries)
+            scope = self._join_out_scope(lscope, rscope, list(join.fields))
         return join, scope
+
+    def _join_out_scope(self, lscope: Scope, rscope: Scope,
+                        out_fields: List[str]) -> Scope:
+        """Per-alias spans over a joined output (lhs spans then rhs);
+        suffix-renamed dup columns stay resolvable by their qualified
+        original names via the alt map."""
+        entries = []
+        alt = dict(lscope.alt)
+        orig = ([f for _, fs in lscope.entries for f in fs]
+                + [f for _, fs in rscope.entries for f in fs])
+        nl = sum(len(fs) for _, fs in lscope.entries)
+        for p, o in rscope.alt.items():
+            alt[nl + p] = o
+        pos = 0
+        for alias, fields in lscope.entries + rscope.entries:
+            entries.append((alias, out_fields[pos:pos + len(fields)]))
+            pos += len(fields)
+        for i, (o, n) in enumerate(zip(orig, out_fields)):
+            if o.lower() != n.lower() and i not in alt:
+                alt[i] = o
+        return Scope(entries, alt)
+
+    def _bind_outer_rewrite(self, lnode, lscope: Scope, rnode,
+                            rscope: Scope, kind: str, pairs, residual
+                            ) -> Tuple[nd.Node, Scope]:
+        """RIGHT/FULL OUTER JOIN: binder-level canonicalization onto the
+        4-type IR (see nd.outer_join_rewrite)."""
+        node = nd.outer_join_rewrite(lnode, rnode, pairs, residual, kind)
+        return node, self._join_out_scope(lscope, rscope,
+                                          list(node.fields))
 
     def _split_on(self, on, lnode, lscope, rnode, rscope):
         """Decompose ON into equi-key pairs + residual (reference:

@@ -264,6 +264,14 @@ class Parser:
             self.accept_kw("outer")
             self.expect_kw("join")
             kind = "left"
+        elif self.accept_kw("right"):
+            self.accept_kw("outer")
+            self.expect_kw("join")
+            kind = "right"
+        elif self.accept_kw("full"):
+            self.accept_kw("outer")
+            self.expect_kw("join")
+            kind = "full"
         elif self.accept_kw("semi"):
             self.expect_kw("join")
             kind = "semi"

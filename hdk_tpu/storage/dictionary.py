@@ -57,6 +57,12 @@ class _PyBackend:
             out[i] = NULL_CODE if s is None else self.get_or_add(s)
         return out
 
+    def bulk_get_code(self, values) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.int32)
+        for i, s in enumerate(values):
+            out[i] = NULL_CODE if s is None else self.codes.get(s, -1)
+        return out
+
     def bulk_decode(self, codes: np.ndarray) -> List[Optional[str]]:
         return [None if c == NULL_CODE else self.strings[c] for c in codes]
 
@@ -90,6 +96,10 @@ class _NativeBackend:
     def bulk_decode(self, codes: np.ndarray) -> List[Optional[str]]:
         return self.mod.dict_bulk_decode(
             self.handle, np.ascontiguousarray(codes, dtype=np.int32).tobytes())
+
+    def bulk_get_code(self, values) -> np.ndarray:
+        raw = self.mod.dict_bulk_get_code(self.handle, values)
+        return np.frombuffer(raw, dtype=np.int32).copy()
 
     def all_strings(self) -> List[str]:
         return self.mod.dict_all_strings(self.handle)
@@ -152,8 +162,10 @@ class StringDictionary:
         id space)."""
         with self._lock:
             self._b = _make_backend()
-            for s in strings:
-                self._b.get_or_add(s)
+            if strings:
+                # bulk intern: codes 0..n-1 in list order (parallel in
+                # the native backend)
+                self._b.bulk_get_or_add(list(strings))
 
     # -- code-space predicates (reference: StringDictionary::getLike /
     #    getRegexpLike run on the dictionary, result used as an IN-set) -----
@@ -169,13 +181,11 @@ class StringDictionary:
         StringDictionaryProxy translation maps, Execute.h:305-315).
         Missing strings map to NULL_CODE unless ``add_missing``."""
         strings = self.all_strings()
-        out = np.empty(len(strings), dtype=np.int32)
-        for c, s in enumerate(strings):
-            if add_missing:
-                out[c] = other.get_or_add(s)
-            else:
-                oc = other.get_code(s)
-                out[c] = oc if oc >= 0 else NULL_CODE
+        if add_missing:
+            with other._lock:
+                return other._b.bulk_get_or_add(strings)
+        out = other._b.bulk_get_code(strings)
+        out[out < 0] = NULL_CODE
         return out
 
 

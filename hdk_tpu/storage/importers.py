@@ -35,6 +35,16 @@ except ImportError:  # pragma: no cover
 def _encode_strings(
     values: Sequence[Optional[str]], dictionary: StringDictionary
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    # fast path: hand the raw values to Arrow's C++ converter (NaN/None
+    # become nulls) and encode via the dedup route — the per-row Python
+    # isinstance/str() loop below costs more than the whole C++ encode
+    if pa is not None:
+        try:
+            arr = pa.array(values, type=pa.string(), from_pandas=True)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            arr = None
+        if arr is not None:
+            return _encode_arrow_strings(arr, dictionary)
     codes = dictionary.bulk_get_or_add(
         [None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v) for v in values]
     )
@@ -130,10 +140,34 @@ def columns_from_pydict(
     out = []
     for name, values in data.items():
         declared = (schema or {}).get(name)
-        if (not isinstance(values, np.ndarray)
-                and ((declared is not None and declared.is_array())
-                     or any(isinstance(v, (list, tuple, np.ndarray))
-                            for v in values))):
+        if isinstance(values, np.ndarray) and values.dtype != object:
+            typ, phys, validity = _from_numpy(name, values, dicts,
+                                              declared, None)
+            out.append((name, typ, phys, validity))
+            continue
+        if not isinstance(values, np.ndarray):
+            values = list(values)
+        # single C-pass type inference + null handling via Arrow: the
+        # previous per-value Python scans (list-ness, None-ness, fill)
+        # cost ~4x the whole native encode at 4M rows.  _arrow_column
+        # honors the declared schema the same way _from_numpy does.
+        aarr = None
+        if pa is not None and len(values):
+            try:
+                aarr = pa.array(values, from_pandas=True)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                aarr = None
+        if aarr is not None and not pa.types.is_null(aarr.type):
+            typ, phys, validity = _arrow_column(
+                name, pa.chunked_array([aarr]), dicts, declared)
+            out.append((name, typ, phys, validity))
+            continue
+        # legacy Python path: empty/None-only columns, mixed values
+        # Arrow rejects (kept for its precise error messages)
+        if ((declared is not None and declared.is_array())
+                or any(isinstance(v, (list, tuple, np.ndarray))
+                       for v in values)):
             typ, arr2d, emask = _from_lists(list(values), declared, name)
             out.append((name, typ, arr2d, emask))
             continue
@@ -141,7 +175,6 @@ def columns_from_pydict(
             arr = values
             validity = None
         else:
-            values = list(values)
             has_none = any(v is None for v in values)
             if has_none and values and any(
                 isinstance(v, (int, float, np.integer, np.floating))

@@ -212,3 +212,59 @@ def test_not_in_null_probe(notin_env):
 def test_in_unaffected(notin_env):
     check_sql(notin_env, "SELECT tag FROM ni_t "
                          "WHERE a IN (SELECT b FROM ni_s)")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 low: a static superset range that fails the perfect-join
+# density guard must fall back to the device min/max probe (a heavily
+# filtered build side may still admit a compact dense table) instead of
+# permanently caching a rejection for that buffer identity.
+# ---------------------------------------------------------------------------
+
+def test_filtered_build_static_range_falls_back_to_probe(rng):
+    sess = hdk_tpu.HDK()
+    n_b = 4000
+    # build table whose STATIC key range is huge (one outlier at 50M)
+    # but whose filtered subset is dense [0, 200)
+    bk = np.arange(n_b, dtype=np.int64)
+    bk[-1] = 50_000_000  # widens base-table stats far past the guard
+    build = pd.DataFrame({"k": bk, "w": rng.normal(size=n_b)})
+    probe = pd.DataFrame({"k": rng.integers(0, 200, 5000),
+                          "v": rng.normal(size=5000)})
+    tb = sess.import_pandas(build, name="adv_sb")
+    tp = sess.import_pandas(probe, name="adv_sp")
+    # filter keeps only keys < 200: the device probe sees a tiny range
+    fb = tb.filter(tb["k"] < 200)
+    res = tp.join(fb, "k", "k").run().to_pandas()
+    exp = probe.merge(build[build["k"] < 200], on="k", how="inner")
+    exp.insert(2, "k_r", exp["k"])
+    assert_frames_match(res, exp[["k", "v", "k_r", "w"]])
+    # the perfect route must have been taken (probe range is dense):
+    assert getattr(sess._executor, "_join_route", None) in (
+        "perfect", "spread"), sess._executor._join_route
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 medium: make_mesh degradations must be visible
+# ---------------------------------------------------------------------------
+
+def test_make_mesh_truncation_warns():
+    import logging
+
+    from hdk_tpu.parallel import mesh as pm
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    log = logging.getLogger("hdk_tpu.dist")
+    h = Capture(level=logging.WARNING)
+    log.addHandler(h)
+    try:
+        m = pm.make_mesh(10_000)  # far beyond any real/virtual devices
+    finally:
+        log.removeHandler(h)
+    assert m.devices.size < 10_000
+    assert any("make_mesh" in r.getMessage() for r in records)

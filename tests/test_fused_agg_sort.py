@@ -116,3 +116,49 @@ def test_agg_used_twice_not_fused(hdk, data):
            .sort_values("count", ascending=False, kind="stable")
            .reset_index(drop=True))
     assert list(r1["count"]) == list(exp["count"])
+
+
+# ---------------------------------------------------------------------------
+# dist sessions fuse too (VERDICT r4 weak #5): the perfect-layout dense
+# route sorts the replicated buffer inside the same shard_map program
+# ---------------------------------------------------------------------------
+
+def test_dist_fused_agg_sort_route_and_result(data):
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    ht = dist.import_pandas(data, name="q4_dist")
+    res = (ht.agg(["pc", "yr", "dist"], "count")
+           .sort(("count", "desc")).run().to_pandas())
+    assert dist._executor._dist_agg_route == "dense_psum_fused_sort", (
+        dist._executor._dist_agg_route)
+    exp = pandas_q4(data)
+    assert list(res["count"]) == list(exp["count"])
+    assert_frames_match(res, exp)
+
+
+def test_dist_fused_agg_sort_limit(data):
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    ht = dist.import_pandas(data, name="q4_dist_lim")
+    res = (ht.agg(["pc", "yr", "dist"], "count")
+           .sort(("count", "desc"), limit=10).run().to_pandas())
+    assert dist._executor._dist_agg_route == "dense_psum_fused_sort"
+    assert len(res) == 10
+    exp = pandas_q4(data)
+    assert list(res["count"]) == list(exp["count"][:10])
+
+
+def test_dist_fused_agg_sort_avg_asc_nulls(rng):
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.normal(size=n),
+    })
+    df.loc[rng.permutation(n)[:500], "v"] = np.nan
+    dist = hdk_tpu.HDK(**{"dist.enable": True})
+    solo = hdk_tpu.HDK()
+    for s, name in ((dist, "fd_a"), (solo, "fd_b")):
+        s.import_pandas(df, name=name)
+    q = "SELECT k, AVG(v) AS m, SUM(v) AS s FROM {} GROUP BY k ORDER BY m"
+    rd = dist.sql(q.format("fd_a")).to_pandas()
+    rs = solo.sql(q.format("fd_b")).to_pandas()
+    assert_frames_match(rd, rs, ordered=True)
+    assert dist._executor._dist_agg_route == "dense_psum_fused_sort"

@@ -69,6 +69,49 @@ def run_one(csv_path: str, prefetch: bool) -> None:
     print(json.dumps({"prefetch": prefetch, "seconds": secs}))
 
 
+def bench_dict_encode() -> dict:
+    """Serial vs parallel native bulk dictionary encode (VERDICT r4
+    next #6; reference hot path: TBB getOrAddBulk,
+    StringDictionary.h:126).  Subprocess per thread count so the env
+    knob is read fresh."""
+    code = r"""
+import json, random, sys, time
+sys.path.insert(0, %r)
+from hdk_tpu.storage.native import load_native
+m = load_native()
+rng = random.Random(3)
+uniq = [f"str_{i:06d}" for i in range(50_000)]
+vals = [uniq[rng.randrange(50_000)] for _ in range(4_000_000)]
+d = m.dict_new()
+t0 = time.perf_counter(); m.dict_bulk_get_or_add(d, vals)
+cold = time.perf_counter() - t0
+warm = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); m.dict_bulk_get_or_add(d, vals)
+    warm = min(warm, time.perf_counter() - t0)
+print(json.dumps({"cold_s": cold, "warm_s": warm}))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {"rows": 4_000_000, "unique": 50_000}
+    for label, threads in (("serial", "1"), ("parallel", "0")):
+        env = {**os.environ, "HDK_TPU_DICT_THREADS": threads}
+        if threads == "0":
+            env.pop("HDK_TPU_DICT_THREADS")
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=600,
+                              env=env)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            out[label] = json.loads(lines[-1])
+    if "serial" in out and "parallel" in out:
+        out["warm_speedup"] = round(
+            out["serial"]["warm_s"] / out["parallel"]["warm_s"], 2)
+        out["cold_speedup"] = round(
+            out["serial"]["cold_s"] / out["parallel"]["cold_s"], 2)
+        out["warm_Mrows_per_s"] = round(
+            4.0 / out["parallel"]["warm_s"], 1)
+    return out
+
+
 def main() -> None:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
@@ -77,7 +120,10 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="hdk_ingest_")
     csv_path = os.path.join(d, "ingest.csv")
     make_csv(csv_path, ROWS)
-    out = {"rows": ROWS, "on": [], "off": []}
+    import jax
+
+    out = {"rows": ROWS, "platform": jax.devices()[0].platform,
+           "dict_encode": bench_dict_encode(), "on": [], "off": []}
     for _ in range(REPS):
         for mode in ("on", "off"):
             proc = subprocess.run(
