@@ -35,8 +35,14 @@ def run_one(n_dev: int, rows: int) -> dict:
     from hdk_tpu.utils import commlog
     from hdk_tpu.utils.benchtime import measure
 
-    hdk = hdk_tpu.HDK(**({"dist.enable": True, "dist.num_devices": n_dev}
-                         if n_dev > 1 else {}))
+    # route/plan feedback OFF: exploration repetitions time candidate
+    # routes with forced syncs — fine for a session, poison for an A/B
+    # whose 1-device baseline must be route-stable (the r4 artifact's
+    # 29x "efficiency" row came from exactly this non-comparability)
+    cfg = {"exec.enable_route_feedback": False}
+    if n_dev > 1:
+        cfg.update({"dist.enable": True, "dist.num_devices": n_dev})
+    hdk = hdk_tpu.HDK(**cfg)
     rng = np.random.default_rng(17)
     # Zipf-skewed key (hot key ~7%) + uniform payload
     zipf = np.minimum(rng.zipf(1.3, rows), 1 << 20).astype(np.int64)
@@ -49,6 +55,9 @@ def run_one(n_dev: int, rows: int) -> dict:
         "u": rng.integers(0, 1 << 62, rows),
         "z": zipf,
         "v": rng.integers(0, 1000, rows),
+        # bounded key for the taxi-Q4 class (perfect layout + ORDER BY
+        # count DESC): exercises the dist fused agg->sort program
+        "b": rng.integers(0, 5000, rows),
     }, name="sc_t")
     hdk.import_pydict({
         "k": rng.permutation(rows // 10).astype(np.int64),
@@ -69,6 +78,11 @@ def run_one(n_dev: int, rows: int) -> dict:
             "z", "count_distinct(v)").run(),
         "zipf_skew_join": lambda: t.join(d, "z", "k").agg(
             [], "count", "sum(w)").run(),
+        # taxi-Q4 class: bounded-key GROUP BY + ORDER BY count DESC
+        # LIMIT — in dist sessions this must take the fused
+        # dense_psum + replicated-buffer-sort program (VERDICT r4 #3)
+        "q4_agg_sort": lambda: t.agg("b", "count", "sum(v)").sort(
+            ("count", "desc"), limit=10).run(),
     }
     for name, q in queries.items():
         # collective bytes are a static property of the traced program:
@@ -81,7 +95,7 @@ def run_one(n_dev: int, rows: int) -> dict:
         # XLA inserted the collectives implicitly (P8 gap rows)
         comm[name]["agg_route"] = hdk._executor._dist_agg_route
         comm[name]["join_route"] = hdk._executor._join_route
-        out[name] = measure(q, warmup=1, iters=4)["throughput_s"]
+        out[name] = measure(q, warmup=2, iters=4)["throughput_s"]
     out["_comm"] = comm
     return out
 
@@ -124,6 +138,7 @@ def main() -> None:
     base = results.get("1", {})
     efficiency = {}
     predicted = {}
+    invalid = []
     from hdk_tpu.parallel.ici_model import IciModel
 
     model = IciModel()
@@ -136,7 +151,22 @@ def main() -> None:
             if q.startswith("_"):
                 continue
             if q in base and secs > 0:
-                eff[q] = round(base[q] / secs / int(n), 3)
+                e = round(base[q] / secs / int(n), 3)
+                if e > 1.05:
+                    # sanity gate (VERDICT r4 weak #2): >105% efficiency
+                    # means the 1-device baseline ran a different code
+                    # path or a cached result — the comparison is NOT
+                    # valid scaling evidence and is omitted, loudly
+                    invalid.append({
+                        "n_devices": int(n), "query": q,
+                        "raw_efficiency": e,
+                        "reason": "non-comparable baseline "
+                                  "(route/cache mismatch); row omitted"})
+                    print(f"SANITY GATE: {q}@{n}dev efficiency {e} > "
+                          f"1.05 — omitted as non-comparable",
+                          file=sys.stderr, flush=True)
+                    continue
+                eff[q] = e
             comm = qs.get("_comm", {}).get(q)
             if comm is not None and q in base:
                 # re-derive a records list from the summary for predict()
@@ -154,6 +184,23 @@ def main() -> None:
                 pred[q] = p
         efficiency[n] = eff
         predicted[n] = pred
+    # dist-relative scaling: configs whose 1-device baseline runs a
+    # DIFFERENT formulation (one-hot MXU contraction on a CPU backend vs
+    # the dist segment-sum path) are non-comparable vs 1 dev; the valid
+    # scaling signal is dist-vs-dist, normalized to the smallest dist
+    # mesh (2 devices)
+    rel = {}
+    base2 = results.get("2", {})
+    for n, qs in results.items():
+        if int(n) <= 2:
+            continue
+        r = {}
+        for q, secs in qs.items():
+            if q.startswith("_") or q not in base2:
+                continue
+            if secs > 0 and base2[q] > 0:
+                r[q] = round(base2[q] * 2 / (secs * int(n)), 3)
+        rel[n] = r
     rec = {
         "rows": args.rows,
         "host_cores": os.cpu_count(),
@@ -164,6 +211,8 @@ def main() -> None:
                  "(hdk_tpu/parallel/ici_model.py)"),
         "seconds_per_query": results,
         "scaling_efficiency_vs_1dev": efficiency,
+        "scaling_efficiency_vs_2dev": rel,
+        "omitted_non_comparable": invalid,
         "predicted_efficiency_on_ici": predicted,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -79,6 +79,12 @@ class ExecConfig:
 
     device: str = "auto"  # auto|tpu|cpu — jax platform selection
     enable_multifrag_results: bool = True
+    # external-executor escape hatch: a query the native engine rejects
+    # re-runs through in-memory SQLite over the session's tables
+    # (reference: ExternalExecutor.h:50, exec.enable_interop,
+    # fallback seam RelAlgExecutor.cpp:443-449).  Off by default like
+    # the reference; an escape hatch, not a performance path.
+    enable_interop: bool = False
     # fragment skipping via per-fragment min/max stats (reference:
     # Execute.h:540 skipFragmentPair); exec/prune.py
     enable_fragment_skipping: bool = True

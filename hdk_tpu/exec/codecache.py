@@ -71,6 +71,44 @@ def node_sig(node: nd.Node, node_ids: dict) -> str:
     return kind
 
 
+def data_plan_sig(node: nd.Node) -> str:
+    """DATA-level structural signature of a whole subtree.
+
+    Unlike the code-cache signatures (schema-only scans: same compiled
+    program for same shapes), this identifies the VALUES a subtree
+    produces: scans carry table identity, row count and data
+    generation, so the signature is a sound recycling key for derived
+    artifacts — join hash tables, value tables — across executions
+    (reference: HashtableRecycler keyed by plan hash + table
+    generations, DataRecycler/HashtableRecycler.h:32 and
+    QueryPlanDagCache.h:61)."""
+    memo: dict = {}
+
+    def rec(n: nd.Node) -> str:
+        got = memo.get(n.id)
+        if got is not None:
+            return got
+        ids = {i.id: f"I{k}" for k, i in enumerate(n.inputs)}
+        if isinstance(n, nd.Scan):
+            t = n.table
+            s = (f"DScan({getattr(t, 'table_id', id(t))}:{t.name}:"
+                 f"{t.nrows}:g{getattr(t, 'generation', 0)})")
+        elif isinstance(n, nd.LogicalValues):
+            s = "DValues(" + _h([repr(n.rows), repr(n.output_types)]) + ")"
+        elif isinstance(n, nd.Unnest):
+            s = f"DUnnest({n.field_index})"
+        elif isinstance(n, nd.LogicalUnion):
+            s = f"DUnion({n.all})"
+        else:
+            s = node_sig(n, ids)
+        kids = ",".join(rec(i) for i in n.inputs)
+        out = _h([s, kids])
+        memo[n.id] = out
+        return out
+
+    return rec(node)
+
+
 class CodeCache:
     """LRU of compiled step callables keyed by plan signature
     (reference: CodeCacheAccessor, cache.code_cache_size)."""

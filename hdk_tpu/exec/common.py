@@ -239,6 +239,56 @@ class _IdentityKeyedCache:
         self._bytes += nb
 
 
+class _PlanArtifactCache:
+    """LRU of join build artifacts keyed by (data-plan signature, tag).
+
+    The identity-keyed cache above only hits while the SAME device
+    buffers are alive — a build side derived from an intermediate
+    result (filtered build, join output) gets fresh buffers every
+    execution and rebuilds its hash/value tables each warm run.  This
+    layer recycles those artifacts across executions keyed by
+    exec/codecache.data_plan_sig of the build subtree (table
+    generations included), the reference's HashtableRecycler-by-plan-
+    hash design (DataRecycler/HashtableRecycler.h:32,
+    QueryPlanDagCache.h:61)."""
+
+    def __init__(self, limit: int = 256,
+                 byte_budget: Optional[int] = None,
+                 enabled: bool = True) -> None:
+        self._limit = limit
+        self._byte_budget = byte_budget
+        self._enabled = enabled
+        self._bytes = 0
+        from collections import OrderedDict
+
+        self._d: "OrderedDict" = OrderedDict()
+
+    def get(self, key):
+        if not self._enabled:
+            return None
+        ent = self._d.get(key)
+        if ent is None:
+            return None
+        self._d.move_to_end(key)
+        return ent[0]
+
+    def put(self, key, value) -> None:
+        if not self._enabled:
+            return
+        nb = _IdentityKeyedCache._value_bytes(value)
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._bytes -= old[1]
+        self._d[key] = (value, nb)
+        self._bytes += nb
+        while self._d and (
+                len(self._d) > self._limit
+                or (self._byte_budget is not None
+                    and self._bytes > self._byte_budget)):
+            _, (_, b) = self._d.popitem(last=False)
+            self._bytes -= b
+
+
 # nodes that are fused into their consumer's step rather than executed
 _CHAIN_NODES = (nd.Project, nd.Filter)
 

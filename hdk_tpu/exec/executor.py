@@ -84,6 +84,17 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         self._hashtable_cache = _IdentityKeyedCache(
             256, byte_budget=config.cache.hashtable_cache_size,
             enabled=config.cache.enable_hashtable_cache)
+        # plan-keyed recycling of join build artifacts (reference:
+        # HashtableRecycler by plan-DAG hash + table generations) —
+        # intermediate-derived build sides get fresh buffers every
+        # execution, so the identity cache alone misses on warm runs
+        from .common import _PlanArtifactCache
+
+        self._ht_plan_cache = _PlanArtifactCache(
+            256, byte_budget=config.cache.hashtable_cache_size,
+            enabled=config.cache.enable_hashtable_cache)
+        self._join_build_plan = None  # set per _exec_join
+        self._join_skip_rhs: Dict[int, tuple] = {}
         self._dist_agg_route = None  # last dist agg route (observability)
         self._join_route = None  # last join route (observability)
         self._dist_window_route = None  # last dist window route
@@ -96,11 +107,13 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         # guess (VERDICT r3 weak #7)
         self._ndv_sample_seconds = 0.0
         self._groupby_attempts = 0  # compile attempts of the last group-by
-        from .feedback import RouteFeedback
+        from .feedback import PlanChoiceFeedback, RouteFeedback
 
         # measured-feedback route tuning (P3 autotune seam, feedback.py)
         self._feedback = RouteFeedback(
             enabled=config.exec.enable_route_feedback)
+        # plan-level A/B (eager-agg rewrite vs original; VERDICT r4 #7)
+        self._plan_feedback = PlanChoiceFeedback(self._feedback)
         self._demand: Optional[Dict[int, Optional[set]]] = None
         self._consumers: Optional[Dict[int, list]] = None
         self._frag_prune_stats = None  # last fragment-skip counters
@@ -183,7 +196,10 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
         deadline = (_time.monotonic() + wd.time_limit_ms / 1e3
                     if wd.enable and wd.time_limit_ms else None)
         self._deadline = deadline
+        skip_nodes = self._plan_recycle_skips(order)
         for node in order:
+            if node.id in skip_nodes and node.id not in results:
+                continue  # build subtree covered by recycled artifacts
             if node.id in fused_aggs and node.id not in results:
                 continue  # fused into the consuming Sort
             if isinstance(node, _CHAIN_NODES) and node is not dag.root:
@@ -244,6 +260,54 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
                   (_time.monotonic() - t_query) * 1e3,
                   results[dag.root.id].nrows)
         return results[dag.root.id]
+
+    def _plan_recycle_skips(self, order) -> set:
+        """Build-subtree pruning driven by recycled join artifacts
+        (reference seam: HashtableRecycler hit => the build-side
+        kernels never launch).  For each join whose build artifacts are
+        plan-cached and cover its demanded build columns, the build
+        subtree nodes consumed EXCLUSIVELY by that join are skipped;
+        _exec_join reconstructs the build side's shape from recycled
+        metadata."""
+        self._join_skip_rhs = {}
+        skip: set = set()
+        if self._mesh is not None:
+            return skip
+        for n in order:
+            if (not isinstance(n, nd.Join) or not n.key_pairs
+                    or n.residual is not None):
+                continue
+            bp = self._join_build_plan_sig(n)
+            if bp is None:
+                continue
+            meta = self._ht_plan_cache.get((bp, "meta"))
+            if meta is None or not self._join_plan_ready(n, bp):
+                continue
+            # include a node iff every consumer is this join's build
+            # input or an already-included node (reverse reachability)
+            included: set = set()
+
+            def try_include(m: nd.Node) -> None:
+                if m.id in included or isinstance(m, nd.Scan):
+                    return  # scans are lazy/free; leave them alone
+                cons = (self._direct_consumers or {}).get(m.id, [])
+                if cons and all((c is n and pos == 1) or c.id in included
+                                for c, pos in cons):
+                    included.add(m.id)
+                    for i in m.inputs:
+                        try_include(i)
+
+            try_include(n.inputs[1])
+            if not included:
+                # base-scan build sides skip nothing: stay on the normal
+                # path (route feedback + identity/plan caches cover it)
+                continue
+            self._join_skip_rhs[n.id] = meta
+            skip |= included
+            _LOG.debug1(
+                "join #%d: recycled build artifacts — skipping %d "
+                "build-subtree step(s)", n.id, len(included))
+        return skip
 
     # ------------------------------------------------------------------
     # chain resolution (WorkUnitBuilder analog)

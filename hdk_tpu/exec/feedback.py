@@ -59,6 +59,43 @@ class RouteFeedback:
         return {r: s for (g, r), s in self._t.items() if g == sig}
 
 
+class PlanChoiceFeedback:
+    """Explore-once A/B between whole-plan variants (the route-feedback
+    pattern lifted one level — VERDICT r4 next #7: eager aggregation
+    fires on static thresholds; a mis-fire costs a full extra sort pass
+    at scale, so the session measures both plans once).
+
+    Per (plan-sig, variant) the first repetition runs COLD (pays every
+    compile, untimed), the second runs warm and records; once every
+    variant is measured, the winner runs.  choose() returns
+    (variant, mode) with mode in {"cold", "timed", None}."""
+
+    def __init__(self, fb: RouteFeedback) -> None:
+        self._fb = fb
+        self._cold: set = set()
+
+    def choose(self, sig: str, variants: Sequence[str]
+               ) -> Tuple[str, Optional[str]]:
+        if not self._fb.enabled or len(variants) == 1:
+            return variants[0], None
+        for v in variants:
+            if (sig, v) in self._fb._t:
+                continue
+            if (sig, v) in self._cold:
+                return v, "timed"
+            if len(self._cold) > 4096:
+                self._cold.clear()
+            self._cold.add((sig, v))
+            return v, "cold"
+        return min(variants, key=lambda v: self._fb._t[(sig, v)]), None
+
+    def record(self, sig: str, variant: str, seconds: float) -> None:
+        self._fb.record(sig, variant, seconds)
+
+    def measured(self, sig: str) -> Dict[str, float]:
+        return self._fb.measured(sig)
+
+
 def timed_sync(fn, *args):
     """Run ``fn`` and force completion with 1-element readbacks; returns
     (outputs, warm_seconds).  The first call pays compilation, so the

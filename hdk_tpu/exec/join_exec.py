@@ -35,7 +35,112 @@ from .masked import MaskedCol, combine_masks, nonzero_indices
 from .scalar import ExecError
 
 
+class _StubArray:
+    """Typed placeholder for a skipped build side's column data: carries
+    shape/dtype metadata (route admission checks read them) but raises
+    on any real use — a skipped subtree's data must never be touched."""
+
+    __slots__ = ("shape", "dtype", "__weakref__")
+
+    def __init__(self, shape, dtype) -> None:
+        self.shape = tuple(shape)
+        self.dtype = jnp.dtype(dtype)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def __getattr__(self, name):
+        raise ExecError(
+            f"internal: skipped build-side data touched (attr {name!r}) "
+            "— plan-cache readiness check missed a consumer")
+
+    def __getitem__(self, *_a):
+        raise ExecError(
+            "internal: skipped build-side data touched (__getitem__)")
+
+
 class JoinExecMixin:
+    # -- plan-keyed build-artifact recycling (reference:
+    # HashtableRecycler by plan hash + table generations,
+    # DataRecycler/HashtableRecycler.h:32) --------------------------------
+    def _data_epoch(self) -> str:
+        """Session data context a data-plan signature must include:
+        dictionary contents feed translation maps / transient codes and
+        UDF bodies feed traced programs."""
+        dsig = ",".join(f"{i}:{len(d)}"
+                        for i, d in sorted(self.dicts._dicts.items()))
+        u = self.udfs.generation if self.udfs is not None else 0
+        return f"{dsig}|u{u}"
+
+    def _join_build_plan_sig(self, node: nd.Join) -> Optional[str]:
+        """Recycling key for this join's build-side artifacts: the
+        data-plan signature of the build subtree + the key-pair
+        expression signatures (both sides — probe key TYPES drive
+        numeric promotion and dict translation of the build keys) +
+        the session data epoch.  None when recycling does not apply."""
+        if self._mesh is not None or not node.key_pairs:
+            return None
+        if not self.config.cache.enable_hashtable_cache:
+            return None
+        from .codecache import _h, data_plan_sig, expr_sig
+
+        sig_ids = {node.inputs[0].id: "L", node.inputs[1].id: "R"}
+        pairs = ";".join(
+            f"{expr_sig(l, sig_ids)}={expr_sig(r, sig_ids)}"
+            for l, r in node.key_pairs)
+        return _h([data_plan_sig(node.inputs[1]), pairs,
+                   node.join_type.value, self._data_epoch()])
+
+    def _plan_get(self, tag: str, bp=None):
+        bp = bp if bp is not None else getattr(self, "_join_build_plan",
+                                               None)
+        if bp is None:
+            return None
+        return self._ht_plan_cache.get((bp, tag))
+
+    def _plan_put(self, tag: str, value, bp=None) -> None:
+        bp = bp if bp is not None else getattr(self, "_join_build_plan",
+                                               None)
+        if bp is not None:
+            self._ht_plan_cache.put((bp, tag), value)
+
+    def _stub_rhs_table(self, meta) -> ExecTable:
+        """Reconstruct the build side's SHAPE (fields, types, per-column
+        dtypes, nrows) from recycled metadata without executing its
+        subtree; data access raises (everything the probe needs is in
+        the recycled artifacts)."""
+        fields, types_, nrows, colmeta, has_row_mask, unique_sets = meta
+        cols = [
+            MaskedCol(_StubArray(shape, dt),
+                      _StubArray(shape, jnp.bool_) if has_mask else None)
+            for (shape, dt, has_mask) in colmeta
+        ]
+        rm = _StubArray((nrows,), jnp.bool_) if has_row_mask else None
+        return ExecTable(list(fields), list(types_), cols, nrows, rm,
+                         unique_sets=unique_sets)
+
+    def _join_plan_ready(self, node: nd.Join, bp: str) -> bool:
+        """True when the recycled artifacts fully cover this join's
+        build-side needs, so the build subtree need not execute:
+        perfect/value route present + a value table for every demanded
+        build column (SEMI/ANTI demand none)."""
+        if self._ht_plan_cache.get((bp, "meta")) is None:
+            return False
+        perf = self._ht_plan_cache.get((bp, "perfect"))
+        if perf is None or perf[0] is None:
+            return False  # generic route gathers rhs data directly
+        if node.join_type in (nd.JoinType.SEMI, nd.JoinType.ANTI):
+            return True
+        nl = node.inputs[0].size()
+        demand = (self._demand or {}).get(node.id)
+        rhs_demand = (sorted(i - nl for i in demand if i >= nl)
+                      if demand is not None
+                      else list(range(node.inputs[1].size())))
+        return all(
+            self._ht_plan_cache.get((bp, f"vt{ci}")) is not None
+            for ci in rhs_demand)
+
     def _exec_loop_join(self, node: nd.Join, results) -> ExecTable:
         """Cartesian (loop) join for key-less INNER joins: CROSS JOIN and
         the non-equi ON fallback (reference: IRCodegen.cpp:513 loop-join
@@ -108,13 +213,28 @@ class JoinExecMixin:
             out = self._exec_join_dist(node, results)
             if out is not None:
                 return out
+        self._join_build_plan = self._join_build_plan_sig(node)
+        try:
+            return self._exec_join_single(node, results)
+        finally:
+            self._join_build_plan = None
+
+    def _exec_join_single(self, node: nd.Join, results) -> ExecTable:
         # masked inputs: a filtered probe/build side keeps its row_mask
         # instead of paying an eager compaction (one 1.3-2.2 s/1e8-row
         # gather PER COLUMN — the dominant cost of filtered joins like
         # TPC-H Q3's shipdate-filtered lineitem).  Dead rows fold into
         # the key NULL sentinels below, so they can never match.
         lhs = self._input_table_masked(node.inputs[0], results)
-        rhs = self._input_table_masked(node.inputs[1], results)
+        # recycled build artifacts (plan-keyed): the build subtree was
+        # skipped by the executor — its fields/types/nrows reconstruct
+        # from metadata, every data access rides the recycled tables
+        skip_info = (self._join_skip_rhs or {}).get(node.id)
+        if skip_info is not None:
+            rhs = self._stub_rhs_table(skip_info)
+            self._join_route = "perfect(recycled)"
+        else:
+            rhs = self._input_table_masked(node.inputs[1], results)
         resolve_l = lambda ref: lhs.columns[ref.index] if ref.node is node.inputs[0] else _raise_ref(ref)
         resolve_r = lambda ref: rhs.columns[ref.index] if ref.node is node.inputs[1] else _raise_ref(ref)
 
@@ -134,39 +254,59 @@ class JoinExecMixin:
             return out
 
         lhs_keys = eval_keys([l for l, _ in node.key_pairs], lhs, 0)
-        rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
-        # cross-dictionary string keys: translate rhs codes into the lhs
-        # dictionary (reference: StringDictionaryTranslationMgr)
-        # keys rewritten below (dict translation / numeric promotion) no
-        # longer take the values of their source expression — static
-        # range inference over the expr would bound the WRONG value space
         keys_rewritten = False
-        for i, (le, re_) in enumerate(node.key_pairs):
-            lt, rt = le.type, re_.type
-            if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
-                    and lt.dict_id != rt.dict_id):  # type: ignore[attr-defined]
-                data, mask = self.scalar.translate_dict_codes(
-                    rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
-                rhs_keys[i] = MaskedCol(data, mask)
-                keys_rewritten = True
-            elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
-                # mixed numeric key types (e.g. INT = DOUBLE from an IN
-                # subquery): hash_keys encodes each side's raw bits, so
-                # 31 and 31.0 would never match — promote both sides to
-                # the common SQL type first (reference: Analyzer
-                # normalizes operand types before hash-join key check,
-                # normalize_column_pairs)
-                ld, rd = lhs_keys[i].data.dtype, rhs_keys[i].data.dtype
-                if (jnp.issubdtype(ld, jnp.number)
+        if skip_info is not None:
+            # recycled build: the cached table embodies the cold run's
+            # dict translation / promotion of the BUILD keys; the probe
+            # keys must take the same promotion, derived from the
+            # static build-key types (no build data to consult)
+            rhs_keys = None
+            for i, (le, re_) in enumerate(node.key_pairs):
+                lt, rt = le.type, re_.type
+                if lt.is_dict_encoded_string() or rt.is_dict_encoded_string():
+                    continue
+                ld = lhs_keys[i].data.dtype
+                rd = jnp.dtype(rt.physical_dtype())
+                if (ld != rd and jnp.issubdtype(ld, jnp.number)
                         and jnp.issubdtype(rd, jnp.number)):
                     ct = jnp.promote_types(ld, rd)
                     if ld != ct:
                         lhs_keys[i] = MaskedCol(
                             lhs_keys[i].data.astype(ct), lhs_keys[i].mask)
-                    if rd != ct:
-                        rhs_keys[i] = MaskedCol(
-                            rhs_keys[i].data.astype(ct), rhs_keys[i].mask)
-                        keys_rewritten = True
+        else:
+            rhs_keys = eval_keys([r for _, r in node.key_pairs], rhs, 1)
+            # cross-dictionary string keys: translate rhs codes into the
+            # lhs dictionary (reference: StringDictionaryTranslationMgr)
+            # keys rewritten below (dict translation / numeric promotion)
+            # no longer take the values of their source expression —
+            # static range inference would bound the WRONG value space
+            for i, (le, re_) in enumerate(node.key_pairs):
+                lt, rt = le.type, re_.type
+                if (lt.is_dict_encoded_string() and rt.is_dict_encoded_string()
+                        and lt.dict_id != rt.dict_id):  # type: ignore[attr-defined]
+                    data, mask = self.scalar.translate_dict_codes(
+                        rhs_keys[i].data, rhs_keys[i].mask, rt, lt)
+                    rhs_keys[i] = MaskedCol(data, mask)
+                    keys_rewritten = True
+                elif lhs_keys[i].data.dtype != rhs_keys[i].data.dtype:
+                    # mixed numeric key types (e.g. INT = DOUBLE from an
+                    # IN subquery): hash_keys encodes each side's raw
+                    # bits, so 31 and 31.0 would never match — promote
+                    # both sides to the common SQL type first (reference:
+                    # Analyzer normalize_column_pairs)
+                    ld, rd = lhs_keys[i].data.dtype, rhs_keys[i].data.dtype
+                    if (jnp.issubdtype(ld, jnp.number)
+                            and jnp.issubdtype(rd, jnp.number)):
+                        ct = jnp.promote_types(ld, rd)
+                        if ld != ct:
+                            lhs_keys[i] = MaskedCol(
+                                lhs_keys[i].data.astype(ct),
+                                lhs_keys[i].mask)
+                        if rd != ct:
+                            rhs_keys[i] = MaskedCol(
+                                rhs_keys[i].data.astype(ct),
+                                rhs_keys[i].mask)
+                            keys_rewritten = True
         jt = node.join_type
 
         if lhs.nrows == 0:
@@ -203,6 +343,18 @@ class JoinExecMixin:
         ht_objs = [rhs.columns[i].data for i in rhs_ref_idx] + (
             [rhs.row_mask] if rhs.row_mask is not None else [])
 
+        # recycle metadata: a later execution of the same build subtree
+        # (data_plan_sig) reconstructs the build side's SHAPE from this
+        # and skips executing the subtree entirely (column dtypes come
+        # from the static types — no forced materialization here)
+        if (skip_info is None and self._join_build_plan is not None
+                and all(not ty.is_array() for ty in rhs.types)):
+            colmeta = [((rhs.nrows,), jnp.dtype(ty.physical_dtype()),
+                        bool(ty.nullable)) for ty in rhs.types]
+            self._plan_put("meta", (
+                list(rhs.fields), list(rhs.types), rhs.nrows, colmeta,
+                rhs.row_mask is not None, rhs.unique_sets))
+
         # perfect (dense direct-index) join: single int-ish key with a
         # small value range and unique build keys (reference:
         # PerfectJoinHashTable; falls back to the sorted-hash table on
@@ -222,6 +374,24 @@ class JoinExecMixin:
             self._join_route = "hash"
             return self._hash_join(node, lhs, rhs, lhs_keys, rhs_keys,
                                    plan_sig, ht_objs, jt)
+
+        if skip_info is not None:
+            # recycled artifacts cover the perfect-route family end to
+            # end (the readiness check guaranteed table + demanded
+            # value tables); the static spread>value preference applies,
+            # route feedback is bypassed — the recycled configuration
+            # is the fastest known one for this plan
+            out = self._try_perfect_join(node, lhs, rhs, lhs_keys,
+                                         rhs_keys, plan_sig, ht_objs,
+                                         jt, route=None,
+                                         keys_rewritten=False)
+            if out is None:
+                raise ExecError(
+                    "internal: recycled perfect-join artifacts vanished "
+                    "mid-run (plan-cache eviction between readiness "
+                    "check and execution?)")
+            self._join_route = "perfect(recycled)"
+            return out
 
         # measured-feedback route tuning (exec/feedback.py; VERDICT r3
         # #8): spread vs value-table vs sorted-hash have tunnel-state-
@@ -266,11 +436,16 @@ class JoinExecMixin:
         probe ranges, expand candidate pairs, verify exact keys."""
         table = self._hashtable_cache.get(plan_sig + "|ht", ht_objs)
         if table is None:
+            table = self._plan_get("ht")
+            if table is not None:
+                self._hashtable_cache.put(plan_sig + "|ht", ht_objs, table)
+        if table is None:
             build_fn = self.code_cache.get_or_build(
                 plan_sig + "|build",
                 lambda: jax.jit(lambda ks: jn.build(ks)))
             table = build_fn(rhs_keys)
             self._hashtable_cache.put(plan_sig + "|ht", ht_objs, table)
+            self._plan_put("ht", table)
 
         probe_fn = self.code_cache.get_or_build(
             plan_sig + "|probe",
@@ -369,6 +544,14 @@ class JoinExecMixin:
         sig = plan_sig + "|perfect"
         cached = self._hashtable_cache.get(sig, ht_objs)
         if cached is None:
+            cached = self._plan_get("perfect")
+            if cached is not None:
+                self._hashtable_cache.put(sig, ht_objs, cached)
+        if cached is None:
+            if rhs_keys is None:
+                raise ExecError(
+                    "internal: recycled perfect-join table missing with "
+                    "a skipped build side")
             bk = rhs_keys[0]
             from . import ranges as rg
 
@@ -421,6 +604,7 @@ class JoinExecMixin:
             if not admissible(range_size):
                 self._hashtable_cache.put(sig, ht_objs,
                                           (None, None, False, None))
+                self._plan_put("perfect", (None, None, False, None))
                 return None
 
             # ONE build program: dense table + per-build-row slots (the
@@ -442,11 +626,13 @@ class JoinExecMixin:
             if not bool(unique):  # duplicate keys: OneToMany -> generic
                 self._hashtable_cache.put(sig, ht_objs,
                                           (None, None, False, None))
+                self._plan_put("perfect", (None, None, False, None))
                 return None
             # every slot occupied => probe matching needs no table gather
             complete = int(n_set) == range_size
             cached = (table, range_size, complete, bslots_arr)
             self._hashtable_cache.put(sig, ht_objs, cached)
+            self._plan_put("perfect", cached)
         table, range_size, complete, bslots_arr = cached
         if table is None:
             return None
@@ -640,7 +826,8 @@ class JoinExecMixin:
                          unique_sets=table.unique_sets)
 
     def _value_tables_grouped(self, sig, rhs_idx, rhs, bslots_fn,
-                              range_size, ht_objs) -> Dict[int, tuple]:
+                              range_size, ht_objs,
+                              bp=None) -> Dict[int, tuple]:
         """All demanded rhs columns scattered into key-slot order in ONE
         jitted program (vs one dispatch per column): a build side
         derived from an intermediate result misses the hashtable cache
@@ -655,6 +842,11 @@ class JoinExecMixin:
             vt_sig = sig + f"|vt{ci}"
             cached = self._hashtable_cache.get(vt_sig,
                                                [c.data] + list(ht_objs))
+            if cached is None:
+                cached = self._plan_get(f"vt{ci}", bp)
+                if cached is not None:
+                    self._hashtable_cache.put(
+                        vt_sig, [c.data] + list(ht_objs), cached)
             if cached is None:
                 missing.append((ci, c))
             else:
@@ -672,11 +864,12 @@ class JoinExecMixin:
             for (ci, c), vt in zip(missing, vts):
                 self._hashtable_cache.put(sig + f"|vt{ci}",
                                           [c.data] + list(ht_objs), vt)
+                self._plan_put(f"vt{ci}", vt, bp)
                 out[ci] = vt
         return out
 
     def _value_table(self, sig, ci, c, bslots_fn, range_size, rhs_nrows,
-                     ht_objs):
+                     ht_objs, bp=None):
         """One rhs column scattered into key-slot order, cached per plan
         + buffer identity (reference: HashtableRecycler.h:32).  The cache
         identity includes the build KEY buffers (``ht_objs``) — the slot
@@ -686,6 +879,10 @@ class JoinExecMixin:
         id_objs = [c.data] + list(ht_objs)
         cached = self._hashtable_cache.get(vt_sig, id_objs)
         if cached is None:
+            cached = self._plan_get(f"vt{ci}", bp)
+            if cached is not None:
+                self._hashtable_cache.put(vt_sig, id_objs, cached)
+        if cached is None:
             vt_fn = self.code_cache.get_or_build(
                 f"vtbuild/{range_size}/{rhs_nrows}/{c.data.dtype}"
                 f"/{c.data.shape[1:]}/{c.mask is None}",
@@ -693,6 +890,7 @@ class JoinExecMixin:
                     jn.build_value_table, range_size=range_size)))
             cached = vt_fn(c, bslots_fn())
             self._hashtable_cache.put(vt_sig, id_objs, cached)
+            self._plan_put(f"vt{ci}", cached, bp)
         return cached
 
     @staticmethod
@@ -753,7 +951,8 @@ class JoinExecMixin:
             return memo["bs"]
 
         vts = [self._value_table(sig, i, c, bslots, range_size, rhs.nrows,
-                                 ht_objs)
+                                 ht_objs,
+                                 bp=getattr(self, "_join_build_plan", None))
                for i, c in zip(rhs_idx, rcols)]
         fn = self.code_cache.get_or_build(
             sig + f"|spread/{lhs.nrows}/{tuple(rhs_idx)}",
@@ -794,6 +993,9 @@ class JoinExecMixin:
         nl = len(lhs.fields)
         rhs_demand = (sorted(i - nl for i in demand if i >= nl)
                       if demand is not None else [])
+        # lazy thunks outlive _exec_join's plan context: capture it so
+        # late column pulls still reach the plan-keyed recycling layer
+        bp = getattr(self, "_join_build_plan", None)
 
         def bslots():
             if "bs" not in memo:
@@ -810,10 +1012,11 @@ class JoinExecMixin:
             if len(rhs_demand) > 1 and ci in rhs_demand:
                 if "vts" not in memo:
                     memo["vts"] = self._value_tables_grouped(
-                        sig, rhs_demand, rhs, bslots, range_size, ht_objs)
+                        sig, rhs_demand, rhs, bslots, range_size, ht_objs,
+                        bp=bp)
                 return memo["vts"][ci]
             return self._value_table(sig, ci, c, bslots, range_size,
-                                     rhs.nrows, ht_objs)
+                                     rhs.nrows, ht_objs, bp=bp)
 
         def rthunk(c, ci):
             def thunk():

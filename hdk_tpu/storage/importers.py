@@ -214,7 +214,8 @@ def _arrow_column(
     def fixed(np_dtype, typ: t.Type):
         filled = arr.combine_chunks()
         if validity is not None:
-            filled = pc.fill_null(filled, 0)
+            filled = pc.fill_null(
+                filled, False if pa.types.is_boolean(at) else 0)
         data = np.asarray(filled, dtype=np_dtype)
         if declared is not None and not declared.is_array():
             # honor the declared schema like the pydict path does

@@ -193,6 +193,11 @@ class Table:
         self.fragment_size = max(1, fragment_size)
         self._stats: Dict[Tuple[int, int], FragmentStats] = {}
         self._stats_lock = threading.Lock()
+        # data generation: bumped on every append so plan-keyed derived
+        # artifacts (join hash tables / value tables recycled by
+        # exec/codecache.data_plan_sig) invalidate when content changes
+        # (reference: table generations in the DataRecycler keys)
+        self.generation = 0
 
     # -- schema -------------------------------------------------------------
     def column_names(self, include_rowid: bool = False) -> List[str]:
@@ -311,3 +316,4 @@ class Table:
         self._by_name = {c.info.name: c for c in new_cols}
         self.nrows = len(new_cols[0]) if new_cols else 0
         self._stats.clear()
+        self.generation += 1

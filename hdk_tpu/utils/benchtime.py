@@ -47,7 +47,7 @@ def _tips(result) -> list:
 
 
 def measure(fn: Callable, warmup: int = 2, iters: int = 8,
-            latency_iters: int = 3) -> Dict[str, float]:
+            latency_iters: int = 5) -> Dict[str, float]:
     """Time ``fn`` (a no-arg callable returning a QueryResult or jax
     pytree).  Returns {"latency_s", "throughput_s"} — per-query seconds.
     """

@@ -267,3 +267,80 @@ def test_eager_agg_in_dist_session():
         avg_val=("val", "mean"))
     res.columns = list(exp.columns)
     assert_frames_match(res, exp, approx_cols=("sum_val", "avg_val"))
+
+
+# ---------------------------------------------------------------------------
+# plan-level measured feedback (VERDICT r4 #7): the rewrite explores
+# both plan variants once, then runs the measured winner — a mis-fired
+# rewrite self-disables for that plan shape.
+# ---------------------------------------------------------------------------
+
+def test_plan_choice_feedback_state_machine():
+    from hdk_tpu.exec.feedback import PlanChoiceFeedback, RouteFeedback
+
+    fb = PlanChoiceFeedback(RouteFeedback(enabled=True))
+    sig = "plan-x"
+    # explore sequence: rewrite cold -> rewrite timed -> original cold
+    # -> original timed -> winner
+    assert fb.choose(sig, ["rewrite", "original"]) == ("rewrite", "cold")
+    assert fb.choose(sig, ["rewrite", "original"]) == ("rewrite", "timed")
+    fb.record(sig, "rewrite", 2.0)
+    assert fb.choose(sig, ["rewrite", "original"]) == ("original", "cold")
+    assert fb.choose(sig, ["rewrite", "original"]) == ("original", "timed")
+    fb.record(sig, "original", 0.5)
+    assert fb.choose(sig, ["rewrite", "original"]) == ("original", None)
+    # and the faster rewrite wins elsewhere
+    sig2 = "plan-y"
+    for _ in range(2):
+        fb.choose(sig2, ["rewrite", "original"])
+    fb.record(sig2, "rewrite", 0.1)
+    for _ in range(2):
+        fb.choose(sig2, ["rewrite", "original"])
+    fb.record(sig2, "original", 0.9)
+    assert fb.choose(sig2, ["rewrite", "original"]) == ("rewrite", None)
+
+
+def test_rewrite_self_disables_when_measured_slower(data):
+    sess = hdk_tpu.HDK()
+    sess.config.exec.eager_agg_min_rows = 64
+    sess.config.exec.eager_agg_min_ratio = 1.0
+    lhs, rhs, _ = data
+    sess.import_pandas(lhs, name="pf_l")
+    sess.import_pandas(rhs, name="pf_r")
+    q = ("SELECT cat, SUM(val) AS s FROM pf_l JOIN pf_r "
+         "ON pf_l.fk = pf_r.pk GROUP BY cat")
+
+    executed_plans = []
+    ex = sess._executor
+    real_execute = type(ex).execute
+
+    def spy(dag):
+        from hdk_tpu.exec.explain import explain_dag
+
+        executed_plans.append(explain_dag(dag.root))
+        return real_execute(ex, dag)
+
+    ex.execute = spy
+    # 4 exploration runs: rewrite cold/timed, original cold/timed
+    for _ in range(4):
+        sess.sql(q).to_pandas()
+    assert len(executed_plans) == 4
+    assert "Aggregate" in executed_plans[0]
+    assert executed_plans[0] == executed_plans[1]  # rewrite twice
+    assert executed_plans[2] == executed_plans[3]  # original twice
+    assert executed_plans[0] != executed_plans[2]
+    # force the decision: make the rewrite measure slower
+    sig = [s for (s, v) in ex._plan_feedback._fb._t if v == "rewrite"][0]
+    ex._plan_feedback._fb._t[(sig, "rewrite")] = 9.9
+    ex._plan_feedback._fb._t[(sig, "original")] = 0.1
+    res = sess.sql(q).to_pandas()
+    # winner (original, agg above join) runs from now on
+    assert executed_plans[-1] == executed_plans[2]
+    exp = (lhs.merge(rhs, left_on="fk", right_on="pk")
+           .groupby("cat")["val"].sum().reset_index(name="s"))
+    assert_frames_match(res, exp)
+    # and the reverse preference picks the rewrite
+    ex._plan_feedback._fb._t[(sig, "rewrite")] = 0.1
+    ex._plan_feedback._fb._t[(sig, "original")] = 9.9
+    sess.sql(q).to_pandas()
+    assert executed_plans[-1] == executed_plans[0]
