@@ -107,6 +107,28 @@ def test_fuzz_left_join(jenv, seed):
     assert_frames_match(got, exp)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_right_full_join(jenv, seed):
+    """RIGHT/FULL OUTER joins (round-5 binder canonicalization) under
+    random build filters — padded-row counts must match pandas with SQL
+    NULL-key semantics (no NaN keys here, so merge is a valid oracle)."""
+    hdk, (tl, tr, _), (lhs, rhs, _) = jenv
+    rng = np.random.default_rng(700 + seed)
+    rthr = int(rng.integers(0, 6))
+    how = "right" if seed % 2 == 0 else "full"
+    got = (tl.join(tr.filter(tr["ri"] >= rthr), "k", "k", how=how)
+           .agg([], "count", "count(lv)", "count(rv)", "sum(rv)")
+           .run().to_pandas())
+    sub = lhs.merge(rhs[rhs["ri"] >= rthr], on="k",
+                    how=("right" if how == "right" else "outer"))
+    assert got["count"].iloc[0] == len(sub)
+    assert got.iloc[0, 1] == sub["lv"].count()
+    assert got.iloc[0, 2] == sub["rv"].count()
+    if sub["rv"].count():
+        np.testing.assert_allclose(got.iloc[0, 3], sub["rv"].sum(),
+                                   rtol=1e-6)
+
+
 # -------------------------------------------------------------- windows
 @pytest.fixture(scope="module")
 def wenv():
