@@ -140,9 +140,13 @@ def bench_high_ndv(hdk, scale: float):
         _rec(f"groupby {n} rows ~{ndv} distinct keys", n, m,
              bytes_ideal=16 * n + 24 * ndv,
              bytes_algo=2 * _bitonic_bytes(n, 16)),
+        # top-k route runs ONE group-by payload sort + a linear
+        # lax.top_k pass over the group buffer — NOT a second full
+        # sort (NOTES r5 gap 6: the old 2x formula overstated
+        # bytes_algo, frac_algo 1.28)
         _rec(f"groupby+top100 {n} rows ~{ndv} keys", n, m2,
              bytes_ideal=16 * n + 24 * 100,
-             bytes_algo=2 * _bitonic_bytes(n, 16)),
+             bytes_algo=_bitonic_bytes(n, 16) + 16 * ndv),
     ]
 
 

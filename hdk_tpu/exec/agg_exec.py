@@ -271,6 +271,159 @@ class AggExecMixin:
         cons = (self._consumers or {}).get(node.id, [])
         return bool(cons) and all(c.startswith("join") for c in cons)
 
+    def _identity_applicable(self, node: nd.Aggregate, source: ExecTable,
+                             chain, src_node) -> bool:
+        """Admission for the uniqueness-certificate identity pass
+        (_agg_identity_table): keys cover a certified-unique set, every
+        aggregate has a closed single-row form."""
+        if chain or not node.keys or not source.unique_sets:
+            return False
+        if self._mesh is not None:
+            return False  # dist certificates would need global scope
+        if not all(isinstance(k, ir.ColumnRef) and k.node is src_node
+                   for k in node.keys):
+            return False
+        key_idx = {k.index for k in node.keys}
+        if not any(s <= key_idx for s in source.unique_sets):
+            return False
+        if not all(a.kind in _IDENTITY_KINDS for a in node.aggs):
+            return False
+        if any(getattr(a, "operand2", None) is not None
+               for a in node.aggs):
+            return False
+        return True
+
+    def _identity_cols(self, node: nd.Aggregate, resolve, nrows0):
+        """Traced identity-pass output columns (keys pass through, each
+        aggregate takes its closed single-row form) — shared by the
+        standalone identity program and the fused identity+sort one."""
+        keys = [
+            _broadcast(self.scalar.evaluate(k, resolve), nrows0)
+            for k in node.keys
+        ]
+        aggs = []
+        for a, oty in zip(node.aggs, node.output_types[len(node.keys):]):
+            od = jnp.dtype(oty.physical_dtype())
+            if a.kind == ir.AggKind.COUNT:
+                if a.operand is None:
+                    aggs.append(MaskedCol(jnp.ones((nrows0,), od), None))
+                else:
+                    v = _broadcast(self.scalar.evaluate(a.operand, resolve),
+                                   nrows0)
+                    data = (v.mask.astype(od) if v.mask is not None
+                            else jnp.ones((nrows0,), od))
+                    aggs.append(MaskedCol(data, None))
+                continue
+            v = _broadcast(self.scalar.evaluate(a.operand, resolve), nrows0)
+            data = v.data.astype(od)  # SUM/AVG widen: 1-row exact
+            aggs.append(MaskedCol(data, v.mask))
+        return keys + aggs
+
+    def _exec_fused_identity_sort(self, sort_node: nd.Sort,
+                                  node: nd.Aggregate, source: ExecTable,
+                                  chain, src_node) -> Optional[ExecTable]:
+        """ONE program for the whole probe tail: the source's traceable
+        lazy-column gathers (join value-table probes) + the identity
+        aggregate pass + the streaming top-n — replacing one dispatch
+        per gathered column plus separate identity and sort programs
+        (~5 tunnel round-trips on TPC-H Q3's partials-join tail).  Only
+        the small-LIMIT shapes fuse (single- or multi-key top-n); large
+        or unlimited sorts fall back to the two-step path."""
+        sf = sort_node.sort_fields
+        limit, offset = sort_node.limit, sort_node.offset
+        nrows0 = source.nrows
+        if not sf or limit is None:
+            return None
+        topn = offset + limit
+        if not (0 < topn <= self.config.exec.streaming_topn_max
+                and topn < nrows0):
+            return None
+        terminal_exprs = list(node.keys) + [
+            a.operand for a in node.aggs if a.operand is not None]
+        used = self._used_columns(src_node, chain, terminal_exprs)
+        size = len(source.fields)
+        out_types = list(node.output_types)
+        descs = [f.desc for f in sf]
+        nfs = [f.nulls_first for f in sf]
+
+        # per-used-column rebuild specs: traceable columns inline their
+        # gathers into this program; concrete ones pass through as args
+        tr_get = getattr(source.columns, "traceable", None)
+        specs = []
+        for i in used:
+            made = None
+            if tr_get is not None:
+                t_ = tr_get(i)
+                if t_ is not None:
+                    made = t_()  # may consult value-table caches
+            if made is None:
+                c = source.columns[i]
+                if c.data.ndim != 1:
+                    return None  # 2D passthrough: keep two-step path
+                if c.mask is None:
+                    made = ([c.data], lambda d: MaskedCol(d, None),
+                            f"pass/{c.data.dtype}")
+                else:
+                    made = ([c.data, c.mask],
+                            lambda d, m: MaskedCol(d, m),
+                            f"passm/{c.data.dtype}")
+            specs.append(made)
+        leaves_nested = [list(sp[0]) for sp in specs]
+        specs_meta = [(a.kind, str(a.type), a.distinct) for a in node.aggs]
+        key = chain_key(
+            _schema_sig(source), chain, node,
+            self._dict_generation_sig(chain, node)
+            + f"identfsort/u{used}/n{nrows0}/{specs_meta}"
+            + "|" + ";".join(sp[2] for sp in specs)
+            + f"|{[(f.field_index, f.desc, f.nulls_first) for f in sf]}"
+            + f"/{limit}/{offset}")
+
+        def build():
+            def fn(leaves, row_mask):
+                rebuilt = [None] * size
+                for i, sp, lv in zip(used, specs, leaves):
+                    rebuilt[i] = sp[1](*lv)
+                resolve = lambda ref: rebuilt[ref.index]
+                cols = self._identity_cols(node, resolve, nrows0)
+                rm = row_mask
+                scols = [
+                    self._sortable(cols[f.field_index],
+                                   out_types[f.field_index])
+                    for f in sf
+                ]
+                skeys = srt.sort_keys_int64(scols, descs, nfs)
+                if len(skeys) == 1:
+                    # single-key: plain top_k with the sentinel scheme
+                    imin = jnp.iinfo(jnp.int64).min
+                    imax = jnp.iinfo(jnp.int64).max
+                    k64 = skeys[0]
+                    if rm is not None:
+                        k64 = jnp.where(rm, jnp.clip(k64, imin, imax - 1),
+                                        imax)
+                    _, perm = jax.lax.top_k(~k64, topn)
+                    perm = perm.astype(jnp.int32)
+                else:
+                    perm = srt.lex_topn(skeys, topn, rm)
+                out = [
+                    MaskedCol(c.data[perm],
+                              c.mask[perm] if c.mask is not None else None)
+                    for c in cols
+                ]
+                live = (jnp.asarray(nrows0, jnp.int64) if rm is None
+                        else rm.sum())
+                pos = jnp.arange(topn, dtype=jnp.int64)
+                window = (pos >= offset) & (pos < jnp.minimum(live, topn))
+                return out, window
+
+            return jax.jit(fn)
+
+        fn = self.code_cache.get_or_build(key, build)
+        cols, window = fn(leaves_nested, source.row_mask)
+        _LOG.debug1("fused identity+sort tail: one program for %d "
+                    "gathered columns + top-%d", len(used), topn)
+        return ExecTable(list(sort_node.fields),
+                         list(sort_node.output_types), cols, topn, window)
+
     def _agg_identity_table(self, node: nd.Aggregate, source: ExecTable,
                             chain, src_node) -> Optional[ExecTable]:
         """GROUP BY over certified-unique keys: every live row is its
@@ -283,19 +436,7 @@ class AggExecMixin:
         analog: Calcite AggregateRemoveRule on unique input keys;
         single-row agg semantics per GroupByRuntime.cpp agg_* on one
         matching row)."""
-        if chain or not node.keys or not source.unique_sets:
-            return None
-        if self._mesh is not None:
-            return None  # dist certificates would need global scope
-        if not all(isinstance(k, ir.ColumnRef) and k.node is src_node
-                   for k in node.keys):
-            return None
-        key_idx = {k.index for k in node.keys}
-        if not any(s <= key_idx for s in source.unique_sets):
-            return None
-        if not all(a.kind in _IDENTITY_KINDS for a in node.aggs):
-            return None
-        if any(getattr(a, "operand2", None) is not None for a in node.aggs):
+        if not self._identity_applicable(node, source, chain, src_node):
             return None
         terminal_exprs = list(node.keys) + [
             a.operand for a in node.aggs if a.operand is not None]
@@ -311,30 +452,8 @@ class AggExecMixin:
             def fn(sub_cols, row_mask):
                 source_cols = self._expand_cols(sub_cols, used, size)
                 resolve = lambda ref: source_cols[ref.index]
-                keys = [
-                    _broadcast(self.scalar.evaluate(k, resolve), nrows0)
-                    for k in node.keys
-                ]
-                aggs = []
-                for a, oty in zip(node.aggs,
-                                  node.output_types[len(node.keys):]):
-                    od = jnp.dtype(oty.physical_dtype())
-                    if a.kind == ir.AggKind.COUNT:
-                        if a.operand is None:
-                            aggs.append(MaskedCol(
-                                jnp.ones((nrows0,), od), None))
-                        else:
-                            v = _broadcast(self.scalar.evaluate(
-                                a.operand, resolve), nrows0)
-                            data = (v.mask.astype(od) if v.mask is not None
-                                    else jnp.ones((nrows0,), od))
-                            aggs.append(MaskedCol(data, None))
-                        continue
-                    v = _broadcast(self.scalar.evaluate(a.operand, resolve),
-                                   nrows0)
-                    data = v.data.astype(od)  # SUM/AVG widen: 1-row exact
-                    aggs.append(MaskedCol(data, v.mask))
-                return keys + aggs, row_mask
+                return self._identity_cols(node, resolve,
+                                           nrows0), row_mask
 
             return jax.jit(fn)
 
@@ -358,6 +477,11 @@ class AggExecMixin:
             node.inputs[0], results)
         if source.nrows == 0:
             return None
+        if self._identity_applicable(node, source, chain, src_node):
+            out = self._exec_fused_identity_sort(sort_node, node, source,
+                                                 chain, src_node)
+            if out is not None:
+                return out
         ident = self._agg_identity_table(node, source, chain, src_node)
         if ident is not None:
             # grouping is an identity pass; the Sort runs directly over
@@ -472,6 +596,29 @@ class AggExecMixin:
                         for c in cols
                     ]
                     pos = jnp.arange(topn, dtype=jnp.int64)
+                    end = jnp.minimum(live, offset + limit)
+                    window = (pos >= offset) & (pos < end)
+                    return out, window, n_groups
+                ltopn = (offset + limit
+                         if (len(scols) > 1 and limit is not None
+                             and 0 < offset + limit
+                             <= self.config.exec.streaming_topn_max
+                             and offset + limit < nbuf)
+                         else None)
+                if ltopn is not None:
+                    # MULTI-key ORDER BY + small LIMIT over the group
+                    # buffer: exact lexicographic top-n (srt.lex_topn)
+                    # instead of the full payload sort — dead groups
+                    # ride the liveness pass
+                    skeys = srt.sort_keys_int64(scols, descs, nfs)
+                    perm = srt.lex_topn(skeys, ltopn, exists)
+                    out = [
+                        MaskedCol(c.data[perm],
+                                  c.mask[perm] if c.mask is not None
+                                  else None)
+                        for c in cols
+                    ]
+                    pos = jnp.arange(ltopn, dtype=jnp.int64)
                     end = jnp.minimum(live, offset + limit)
                     window = (pos >= offset) & (pos < end)
                     return out, window, n_groups

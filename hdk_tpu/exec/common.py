@@ -115,11 +115,29 @@ class _LazyScanColumns(list):
 
 class _LazyThunkColumns(list):
     """Columns computed on first access (join outputs: dead columns
-    never pay their gather)."""
+    never pay their gather).
 
-    def __init__(self, thunks):
+    ``traceables`` (optional, parallel to ``thunks``): per-column
+    zero-arg callables returning ``(leaves, trace, sig)`` — ``leaves``
+    a list of concrete device arrays, ``trace`` a pure function of the
+    traced leaves producing the column's MaskedCol, ``sig`` a string
+    keying the trace structure for program caches.  A consumer step
+    compiler can pull these instead of the eager thunk and inline the
+    column's gather INTO its own jitted program (one dispatch for
+    gather + aggregate + sort instead of one per column — the fused
+    probe tail of TPC-H Q3).  Resolving a traceable may itself consult
+    caches (e.g. value-table builds), so they are resolved at program-
+    build time, not table-construction time."""
+
+    def __init__(self, thunks, traceables=None):
         super().__init__([None] * len(thunks))
         self._thunks = thunks
+        self._traceables = traceables
+
+    def traceable(self, i):
+        if self._traceables is None:
+            return None
+        return self._traceables[i]
 
     def __getitem__(self, i):
         got = super().__getitem__(i)

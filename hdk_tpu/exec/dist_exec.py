@@ -509,6 +509,28 @@ class DistExecMixin:
                     end = jnp.minimum(live, offset + limit)
                     window = (pos >= offset) & (pos < end)
                     return out, window
+                ltopn = (offset + limit
+                         if (len(scols) > 1 and limit is not None
+                             and 0 < offset + limit
+                             <= self.config.exec.streaming_topn_max
+                             and offset + limit < nbuf)
+                         else None)
+                if ltopn is not None:
+                    # multi-key LIMIT over the replicated dense buffer:
+                    # exact lexicographic top-n (srt.lex_topn) — same
+                    # route as the single-chip fused shape
+                    skeys = srt.sort_keys_int64(scols, descs, nfs)
+                    idx = srt.lex_topn(skeys, ltopn, exists)
+                    out = [
+                        MaskedCol(c.data[idx],
+                                  c.mask[idx] if c.mask is not None
+                                  else None)
+                        for c in cols
+                    ]
+                    pos = jnp.arange(ltopn, dtype=jnp.int64)
+                    end = jnp.minimum(live, offset + limit)
+                    window = (pos >= offset) & (pos < end)
+                    return out, window
                 from ..ops import sortops as so
 
                 skeys = [~exists] + srt.sort_keys_int64(scols, descs, nfs)

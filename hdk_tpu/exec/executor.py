@@ -657,10 +657,23 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
                 and node.offset + node.limit < source.nrows):
             topn = node.offset + node.limit
 
+        # MULTI-key ORDER BY + small LIMIT: exact lexicographic top-n
+        # (srt.lex_topn, K+2 lax.top_k passes + a candidate mini-sort)
+        # replaces the full payload-carrying sort — the TPC-H Q3 tail
+        # shape (ORDER BY revenue DESC, o_orderdate LIMIT 10) paid a
+        # full 15M-row buffer sort here
+        ltopn = None
+        if (topn is None and len(node.sort_fields) > 1
+                and node.limit is not None
+                and 0 < node.offset + node.limit
+                <= self.config.exec.streaming_topn_max
+                and node.offset + node.limit < source.nrows):
+            ltopn = node.offset + node.limit
+
         # distributed sessions: full sorts route through the sampled
         # range-partition sort (parallel/dist_sort.py); small-LIMIT sorts
         # keep the global top_k fast path (GSPMD parallelizes it)
-        if topn is None and self._mesh is not None:
+        if topn is None and ltopn is None and self._mesh is not None:
             out = self._exec_sort_dist(node, results)
             if out is not None:
                 return out
@@ -697,6 +710,16 @@ class Executor(AggExecMixin, DistExecMixin, JoinExecMixin):
                         key = jnp.where(rm, key, imax)
                     _, perm = jax.lax.top_k(~key, topn)
                     perm = perm.astype(jnp.int32)
+                    out = [
+                        MaskedCol(c.data[perm],
+                                  c.mask[perm] if c.mask is not None else None)
+                        for c in cols
+                    ]
+                elif ltopn is not None:
+                    skeys = srt.sort_keys_int64(
+                        scols, [f.desc for f in node.sort_fields],
+                        [f.nulls_first for f in node.sort_fields])
+                    perm = srt.lex_topn(skeys, ltopn, rm)
                     out = [
                         MaskedCol(c.data[perm],
                                   c.mask[perm] if c.mask is not None else None)

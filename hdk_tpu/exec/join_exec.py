@@ -1034,9 +1034,59 @@ class JoinExecMixin:
                 return MaskedCol(data, mask)
             return thunk
 
+        # traceable forms: a consumer step compiler (the fused identity
+        # +sort tail) can inline these gathers into its own program —
+        # one dispatch for the whole probe tail instead of one per
+        # column (the ~5-program tunnel round-trip tax, NOTES r5 gap 2)
+        def l_traceable(c):
+            if l_idx is not None:
+                return None
+
+            def make():
+                if c.mask is None:
+                    return ([c.data],
+                            lambda d: MaskedCol(d, None),
+                            f"pass/{c.data.dtype}")
+                return ([c.data, c.mask],
+                        lambda d, m: MaskedCol(d, m),
+                        f"passm/{c.data.dtype}")
+            return make
+
+        def r_traceable(c, ci):
+            def make():
+                vtd, vtm = vt_for(ci, c)
+                leaves = [vtd, slots]
+                if vtm is not None:
+                    leaves.append(vtm)
+                if rhs_valid is not None:
+                    leaves.append(rhs_valid)
+
+                def trace(vtd_, slots_, *rest):
+                    it = iter(rest)
+                    vtm_ = next(it) if vtm is not None else None
+                    rv_ = next(it) if rhs_valid is not None else None
+                    data = vtd_[slots_]
+                    mask = rv_
+                    if vtm_ is not None:
+                        m2 = vtm_[slots_]
+                        if mask is None:
+                            mask = m2
+                        elif m2.ndim > 1:
+                            mask = m2 & mask[:, None]
+                        else:
+                            mask = mask & m2
+                    return MaskedCol(data, mask)
+
+                sig = (f"vt/{vtd.dtype}{vtd.shape[1:]}/{vtm is not None}"
+                       f"/{rhs_valid is not None}")
+                return leaves, trace, sig
+            return make
+
         cols = _LazyThunkColumns(
             [lthunk(c) for c in lhs.columns]
-            + [rthunk(c, ci) for ci, c in enumerate(rhs.columns)])
+            + [rthunk(c, ci) for ci, c in enumerate(rhs.columns)],
+            traceables=[l_traceable(c) for c in lhs.columns]
+            + [r_traceable(c, ci) for ci, c in enumerate(rhs.columns)])
         nrows = lhs.nrows if l_idx is None else int(l_idx.shape[0])
         # every output row maps to a distinct probe row (l_idx is None
         # or a subset gather; build keys verified unique), so probe-side

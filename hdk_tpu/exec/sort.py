@@ -70,6 +70,74 @@ def sort_keys_int64(
     return keys
 
 
+def lex_topn(keys64: Sequence[jnp.ndarray], topn: int,
+             rm: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact MULTI-key streaming top-n: the first ``topn`` live rows in
+    ascending order of the int64 sort keys (from ``sort_keys_int64``),
+    ties broken by row id — bit-identical to the stable full payload
+    sort it replaces, without paying it (a full bitonic sort is
+    ~log^2(n) HBM passes; this is K+2 linear ``lax.top_k`` scans).
+
+    Scheme (the multi-key analog of the reference's StreamingTopN
+    per-fragment heaps, QueryEngine/StreamingTopN.cpp): one candidate
+    pass per level — liveness, each key, then row id — where pass j
+    restricts to rows TIED with the running boundary on all previous
+    levels and takes the ``topn`` best by level j.  Any true top-n row
+    r is captured: at r's first level with value above the boundary it
+    enters that pass's top-k; if it ties every level through row id,
+    row ids are distinct so the final pass takes it; and it can never
+    fall strictly below a boundary (that would put ``topn`` rows with
+    an identical key prefix ahead of it).  The deduped candidate union
+    (<= (K+2)*topn rows) then pays one tiny exact sort.
+
+    Returns the ``topn`` selected row indices in output order (dead
+    rows, if fewer than ``topn`` live, sink to the tail — mask them
+    with the caller's validity window).
+    """
+    n = keys64[0].shape[0]
+    imin = jnp.iinfo(jnp.int64).min
+    cand = []
+    # level -1: liveness — dead rows never compete at key levels, and
+    # when fewer than topn rows are live this pass alone collects all
+    # of them (no key-level sentinel can collide with real key values)
+    tie = None
+    if rm is not None:
+        cand.append(jax.lax.top_k(rm.astype(jnp.int8), topn)[1])
+        tie = rm
+    # key levels: descending int64 view (~key), masked rows sink to
+    # imin; the tie mask compares UNMASKED values against the boundary
+    # and ANDs with the previous tie, so masked rows can't re-enter
+    for k in keys64:
+        d = ~k
+        dj = d if tie is None else jnp.where(tie, d, imin)
+        vals, idx = jax.lax.top_k(dj, topn)
+        cand.append(idx)
+        t = vals[topn - 1]
+        tiej = d == t
+        tie = tiej if tie is None else tie & tiej
+    # row-id level: strict (all distinct), settles full-key ties the
+    # way the stable sort does — smallest row id first
+    iota = jax.lax.iota(jnp.int64, n)
+    dlast = jnp.where(tie, ~iota, imin) if tie is not None else ~iota
+    cand.append(jax.lax.top_k(dlast, topn)[1])
+
+    cidx = jnp.concatenate(cand).astype(jnp.int32)
+    # dedup: a row can appear in several passes; keep one copy
+    order = jnp.argsort(cidx)
+    ids = cidx[order]
+    dup = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
+                           ids[1:] == ids[:-1]])
+    dead = dup if rm is None else (dup | ~rm[ids])
+    # exact mini-sort of the candidates: dead/dup last, then the keys
+    # ascending, then row id (stable parity); lexsort's LAST key is
+    # primary
+    lex = ([ids.astype(jnp.int64)]
+           + [k[ids] for k in reversed(list(keys64))]
+           + [dead.astype(jnp.int8)])
+    perm_c = jnp.lexsort(tuple(lex))
+    return ids[perm_c[:topn]]
+
+
 def apply_limit(perm: jnp.ndarray, limit: Optional[int], offset: int) -> jnp.ndarray:
     """Slice the permutation (reference: dropFirstN/keepFirstN,
     RelAlgExecutor.cpp:1000-1005)."""

@@ -23,15 +23,26 @@ def hdk():
 
 
 def _track_identity(monkeypatch):
+    """Counts BOTH identity-pass entry points: the standalone table
+    (_agg_identity_table) and the fused identity+sort tail program
+    that replaced it for small-LIMIT sorts (round 5)."""
     fired = []
     orig = AggExecMixin._agg_identity_table
+    orig_fused = AggExecMixin._exec_fused_identity_sort
 
     def patched(self, node, source, chain, src_node):
         r = orig(self, node, source, chain, src_node)
         fired.append(r is not None)
         return r
 
+    def patched_fused(self, sort_node, node, source, chain, src_node):
+        r = orig_fused(self, sort_node, node, source, chain, src_node)
+        fired.append(r is not None)
+        return r
+
     monkeypatch.setattr(AggExecMixin, "_agg_identity_table", patched)
+    monkeypatch.setattr(AggExecMixin, "_exec_fused_identity_sort",
+                        patched_fused)
     return fired
 
 
